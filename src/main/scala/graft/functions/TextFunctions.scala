@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (dedup / fingerprinting / quality scoring). Everything here is built
+  * from Catalyst expressions (no UDFs): at 100 TB these run inside the
+  * scan-project pipeline with no serialization boundary.
+  *
+  * Where an operator must be replayed exactly by the DuckDB oracle, the
+  * hash is `polyHash` (a plain polynomial rolling hash — reproducible in
+  * any SQL engine) rather than xxhash64; xxhash64 is used where only
+  * Spark-side determinism matters (MinHash/SimHash signatures).
+  */
+object TextFunctions {
+
+  val PolyMod: Long = 1000000007L
+
+  /** Words of a single-space-separated text. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, e.g. n=3: "a b c d" -> ["a b c","b c d"].
+    * Documents shorter than n words produce no shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Polynomial rolling hash over the characters of a string:
+    * fold(acc = 0; acc = (acc*31 + codepoint) mod 1e9+7). Reproducible in
+    * the DuckDB oracle as a list_reduce over the same fold. */
+  def polyHash(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % PolyMod)
+
+  /** Jaccard similarity of two pre-distinct shingle arrays, as an exact
+    * rational computed in double (bit-stable across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}

