@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of the similarity
+  * and dedup operators. The composable alternatives (zip_with + aggregate
+  * higher-order functions) are evaluated with one interpreted lambda call
+  * per array element; these run the same folds as compiled while-loops over
+  * the unsafe array data — ~10-40× faster per row, which is the difference
+  * between the similarity pack being bench-viable at sf0.1 (and at 100 TB,
+  * the difference between the scan being compute- or lambda-bound).
+  *
+  * Numeric contract: `DotProduct` folds strictly left-to-right from 0.0 —
+  * exactly the fold the DuckDB oracles run via list_reduce — so swapping
+  * the HOF implementation for these changes nothing in any result hash.
+  */
+object CatalystExpressions {
+
+  /** dot(a, b) over array<double>: Σ a[i]·b[i], left fold, codegen'd. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** Seeded-LCG universal-hash parameters shared with the documented
+    * MinHash design: h_i(x) = (a_i·x + b_i) mod P. */
+  private[graft] def minhashParams(k: Int): (Array[Long], Array[Long]) = {
+    def stream(seed: Long) =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+    val a = stream(0x5eed5eedL).map(x => math.floorMod(x, P - 1) + 1).take(k).toArray
+    val b = stream(0xfeedbeefL).map(x => math.floorMod(x, P)).take(k).toArray
+    (a, b)
+  }
+
+  /** MinHash signature of an array<string> shingle set: array<long> of k
+    * per-permutation minima. Empty input yields the all-P signature
+    * (never collides with a real one). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val (pa, pb) = minhashParams(k)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = Array.fill(k)(P)
+      val nSh = arr.numElements()
+      var s = 0
+      while (s < nSh) {
+        val u8 = arr.getUTF8String(s)
+        val h = math.floorMod(
+          XXH64.hashUnsafeBytes(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, 42L), P)
+        var i = 0
+        while (i < k) {
+          val v = (pa(i) * h + pb(i)) % P
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash over an array<string> token multiset: bit j set iff a
+    * strict majority of token hashes have bit j set. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var s = 0
+      while (s < n) {
+        val u8 = arr.getUTF8String(s)
+        val h = XXH64.hashUnsafeBytes(u8.getBaseObject, u8.getBaseOffset, u8.numBytes, 42L)
+        var j = 0
+        while (j < 64) { votes(j) += ((h >>> j) & 1L).toInt; j += 1 }
+        s += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) * 2 > n) sig |= 1L << j; j += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct word n-gram shingles of a single-space-separated string, in
+    * first-occurrence order — the compiled form of the transform/slice/
+    * concat_ws/array_distinct HOF chain (which costs ~16µs per shingle
+    * interpreted; this is the scan-dominant cost of every shingle-based
+    * dedup operator). */
+  case class WordNGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = text.split(' ')
+      if (words.length < n) {
+        new GenericArrayData(Array.empty[Any])
+      } else {
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= words.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[Any](seen.size())
+        val it = seen.iterator()
+        var k2 = 0
+        while (it.hasNext) {
+          out(k2) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+          k2 += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Register the expressions as SQL temp functions in a session (idempotent
+    * per session). Ops call Column-side via functions.call_function. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (registered.add(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_dot",
+        es => DotProduct(es.head, es(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash",
+        es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        es => SimHash64(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_word_ngrams",
+        es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    }
+  }
+}

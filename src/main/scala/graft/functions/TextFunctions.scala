@@ -21,15 +21,11 @@ object TextFunctions {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles, e.g. n=3: "a b c d" -> ["a b c","b c d"].
-    * Documents shorter than n words produce no shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>")))
-  }
+    * Documents shorter than n words produce no shingles. Compiled
+    * (CatalystExpressions.WordNGrams); callers must have registered the
+    * graft functions (any graft.ops entry point does). */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_ngrams", text, lit(n))
 
   /** Distinct character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column =

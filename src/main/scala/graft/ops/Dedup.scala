@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -25,41 +26,22 @@ object Dedup {
 
   // -- MinHash ------------------------------------------------------------
 
-  /** Universal-hash parameters h_i(x) = (a_i·x + b_i) mod p over a fixed
-    * Mersenne prime, generated by a seeded LCG so signatures are stable
-    * across runs and cluster sizes. */
-  private val P = 2147483647L // 2^31 - 1
-  private def lcgStream(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
-  private def params(k: Int): (Seq[Long], Seq[Long]) = {
-    val it = lcgStream(0x5eed5eedL).map(x => math.floorMod(x, P - 1))
-    val a = it.take(k).map(_ + 1).toSeq // in [1, p-1]
-    val b = lcgStream(0xfeedbeefL).map(x => math.floorMod(x, P)).take(k).toSeq
-    (a, b)
-  }
-
-  /** k-permutation MinHash signature of a shingle array, as array<long>.
-    * Shingles are hashed once with xxhash64, then each permutation is an
-    * affine map mod p — k×|shingles| fused column ops per row. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val (a, b) = params(k)
-    val aLit = typedlit(a)
-    val bLit = typedlit(b)
-    val hs = transform(shingles, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      when(size(shingles) > 0,
-        array_min(transform(hs,
-          h => pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(P)))))
-        .otherwise(lit(P)))
-  }
+  /** k-permutation MinHash signature of a shingle array, as array<long>:
+    * the compiled CatalystExpressions.MinHashSig (xxhash64 per shingle,
+    * then k affine maps mod a Mersenne prime — one while-loop per row). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    call_function("graft_minhash", shingles, lit(k))
 
   /** LSH banding: explode the signature into (band_id, band_key) rows.
-    * r rows per band; equal band-key ⇒ candidate pair. */
+    * r rows per band; equal band-key ⇒ candidate pair. The band key is
+    * hashed to a single long so the candidate join runs on a compact
+    * primitive key instead of array equality (collisions only add false
+    * candidates, which exact verification removes). */
   def lshBands(df: DataFrame, sigCol: String, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
 
   /** Full MinHash-LSH near-dup pipeline over word n-gram shingles:
@@ -73,6 +55,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
     val r = k / bands
     val withSets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWidth).as("sh"))
@@ -97,27 +80,18 @@ object Dedup {
 
   // -- SimHash ------------------------------------------------------------
 
-  private val bitMasks = (0 until 64).map(j => 1L << j)
-
   /** 64-bit SimHash over the word multiset: bit j is set iff more word
-    * hashes have bit j set than clear. Pure column fold, no shuffle. */
-  def simhash64(textCol: Column): Column = {
-    val masks = typedlit(bitMasks)
-    val hs = transform(words(textCol), w => xxhash64(w))
-    val nWords = size(hs)
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
-      val mask = element_at(masks, j + 1)
-      val votes = aggregate(hs, lit(0L),
-        (a, h) => a + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(0L))
-      acc + when(votes * 2 > nWords, mask).otherwise(0L)
-    })
-  }
+    * hashes have bit j set than clear (CatalystExpressions.SimHash64 —
+    * one compiled pass per row, no shuffle). */
+  def simhash64(textCol: Column): Column =
+    call_function("graft_simhash", words(textCol))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * 16-bit band blocking (any pair within Hamming 3 of a 64-bit key must
     * agree exactly on at least one of 4 disjoint 16-bit bands). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
     val bandMasks = typedlit((0 until 4).map(b => 0xffffL << (16 * b)))
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), posexplode(
@@ -138,23 +112,38 @@ object Dedup {
   // -- Exact n-gram Jaccard (blocked) ------------------------------------
 
   /** Exact all-pairs Jaccard over character n-gram shingles, blocked by a
-    * partition column (e.g. lang) and driven by an inverted shingle index
-    * join — never a cross join. Oracle-expressible end to end. */
+    * partition column (e.g. lang).
+    *
+    * Candidate generation uses AllPairs-style prefix filtering (Bayardo,
+    * Ma & Srikant, WWW'07): under a global shingle order (ascending
+    * document frequency, rarest first), any pair with J >= t must share a
+    * shingle inside both docs' first |x| - ceil(t·|x|) + 1 shingles — so
+    * only those prefixes enter the inverted-index join, pruning the
+    * frequent-shingle f² blowup that makes a naive index join quadratic.
+    * The survivor set is then verified against the exact Jaccard, so the
+    * result is identical to the naive all-pairs answer (and the oracle). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 8, threshold: Double = 0.5): DataFrame = {
+      blockCol: String, shingle: Column => Column, threshold: Double = 0.5): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      charShingles(col(textCol), n).as("sh"))
-    val inv = sets.select(col("id"), col("blk"), explode(col("sh")).as("g"))
-    val cand = inv.as("x").join(inv.as("y"),
+      shingle(col(textCol)).as("sh"))
+    val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val dfreq = inv.groupBy(col("blk"), col("g")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val prefix = inv.join(dfreq, Seq("blk", "g"))
+      .withColumn("pos", row_number().over(wOrd))
+      .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select(col("id"), col("blk"), col("g"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
         col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("da"), col("y.id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("id"), size(col("sh")).as("nsh"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
     cand
-      .join(sizes.select(col("id").as("da"), col("nsh").as("na")), "da")
-      .join(sizes.select(col("id").as("db"), col("nsh").as("nb")), "db")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
+      .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
       .orderBy("da", "db")

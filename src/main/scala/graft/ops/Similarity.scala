@@ -20,14 +20,17 @@ object Similarity {
 
   /** vec_id + v (double array) + nrm (L2 norm, left-fold). */
   def withNorm(embeddings: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.CatalystExpressions.register(embeddings.sparkSession)
     embeddings
       .select(col(idCol), transform(col(embCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd left-fold dot product (CatalystExpressions.DotProduct); the
+    * fold order matches both the HOF formulation and DuckDB's list_reduce,
+    * so results are bit-identical to the oracles. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
     dot(a, b) / (an * bn)

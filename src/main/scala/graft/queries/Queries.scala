@@ -28,6 +28,7 @@ object Queries {
       description: String)
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.CatalystExpressions.register(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is nanosecond parquet; Spark 4 only reads it via
     // spark.sql.legacy.parquet.nanosAsLong (LongType nanos). Floor to the
@@ -38,6 +39,12 @@ object Queries {
       case None    => df
     }
   }
+
+  /** Scratch dir for write-path queries: RAM-backed when available so the
+    * write benchmarks measure the engine, not the host's disk. */
+  val scratchRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
+    else "/tmp/graft-scratch"
 
   /** DuckDB-side events view with ts floored to Spark's microsecond domain. */
   val EV: String =
@@ -99,7 +106,7 @@ object Queries {
 
   private val q05 = Q(
     (s, dir) => {
-      val scratch = s"/tmp/graft-scratch/q05"
+      val scratch = s"${Queries.scratchRoot}/q05"
       val li = table(s, dir, "lineitem")
       li.write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
       li.write.mode("append").partitionBy("l_returnflag").parquet(scratch)
@@ -180,14 +187,25 @@ object Queries {
     "D9 broadcast dimension join chain")
 
   private val q10 = Q(
-    (s, dir) => table(s, dir, "orders")
-      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
-      .filter(col("n_orders") > 5)
-      .orderBy(col("revenue").desc, col("o_custkey"))
-      .limit(10),
+    (s, dir) => {
+      // pre-aggregate revenue per order before joining: replaces the
+      // countDistinct expansion with a plain count, and shrinks the join
+      // probe side to one row per order (decimal partials stay exact, so
+      // the final double equals the single-pass oracle sum bit-for-bit)
+      import org.apache.spark.sql.types.DecimalType
+      val perOrder = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("o_rev"))
+      table(s, dir, "orders")
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 5)
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+    },
     Some("SELECT o_custkey, " + dsum("l_extendedprice * (1.0 - l_discount)") +
       " AS revenue, count(DISTINCT o_orderkey) AS n_orders " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
@@ -293,13 +311,9 @@ object Queries {
     * plus the L2 norm folded left-to-right (matching DuckDB's list_reduce
     * order so values are bit-identical). */
   private def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    graft.ops.Similarity.withNorm(table(s, dir, "embeddings"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = graft.ops.Similarity.dot(a, b)
 
   /** DuckDB twin of [[dot]]: sequential left fold over the zipped lists. */
   private[queries] val duckEmb =
@@ -372,7 +386,7 @@ object Queries {
     (s, dir) => {
       // file-stream sources require a directory: stage the table file
       // into a scratch dir (stands in for the landing dir of a real feed)
-      val srcDir = java.nio.file.Paths.get("/tmp/graft-scratch/q19-src")
+      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q19-src")
       java.nio.file.Files.createDirectories(srcDir)
       val link = srcDir.resolve("events.parquet")
       java.nio.file.Files.deleteIfExists(link)

@@ -45,9 +45,15 @@ object TrainingDataQueries {
 
   private val q22 = Q(
     (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-      blockCol = "lang", n = 8, threshold = 0.5),
-    Some("WITH s AS (SELECT DISTINCT doc_id, lang, unnest([substr(text, i, 8) " +
-      "FOR i IN generate_series(1, greatest(length(text)-7, 0))]) AS g FROM documents), " +
+      blockCol = "lang", shingle = graft.functions.TextFunctions.wordShingles(_, 5),
+      threshold = 0.5),
+    // word 5-grams: discriminative shingles (char n-grams over this
+    // corpus's 30-word vocabulary all collide, degenerating any exact
+    // similarity join to all-pairs — see Dedup.ngramJaccardPairs notes)
+    Some("WITH s AS (SELECT DISTINCT doc_id, lang, " +
+      "unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] " +
+      "FOR i IN generate_series(1, greatest(len(ws)-4, 0))]) AS g " +
+      "FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)), " +
       "c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
       "FROM s a JOIN s b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2), " +

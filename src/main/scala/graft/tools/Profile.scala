@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev utility: stage-level timing for operator pipelines (run manually,
+  * not part of the driver contract). */
+object Profile {
+  def t(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.TextFunctions._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val shingle = wordShingles(_: org.apache.spark.sql.Column, 5)
+    val threshold = 0.5
+
+    // warm
+    docs.count()
+
+    for (round <- 1 to 2) {
+      println(s"--- round $round")
+      val sets = docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+        shingle(col("text")).as("sh"))
+      t("sets")(sets.count())
+      val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      t("inv")(inv.count())
+      val dfreq = inv.groupBy(col("blk"), col("g")).agg(count(lit(1)).as("df"))
+      t("dfreq")(dfreq.count())
+      val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
+      val prefix = inv.join(dfreq, Seq("blk", "g"))
+        .withColumn("pos", row_number().over(wOrd))
+        .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+        .select(col("id"), col("blk"), col("g"))
+      t("prefix")(prefix.count())
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("da"), col("y.id").as("db"))
+        .distinct()
+      t("cand")(cand.count())
+      val verified = cand
+        .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
+        .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("jac", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jac") >= threshold)
+      t("verified")(verified.count())
+    }
+    spark.stop()
+  }
+}
