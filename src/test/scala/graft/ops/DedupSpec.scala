@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.functions.TextFunctions
+
+class DedupSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val other = "completely different words in this one with nothing shared at all here"
+
+  private def docs = Seq(
+    (1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"),
+    (4L, base, "en")) // exact dup of 1
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup is idempotent and keeps one row per key") {
+    val d1 = Dedup.exact(docs, Seq("text"))
+    assert(d1.count() == 3)
+    assert(Dedup.exact(d1, Seq("text")).count() == 3)
+  }
+
+  test("minhash LSH finds planted near-dups and reports exact Jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleWidth = 3, k = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 1-4 exact (jac 1.0), 1-2 and 2-4 near (share most shingles), 3 isolated
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 4L), (1L, 2L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 > 0.5 && j12 < 1.0)
+  }
+
+  test("minhash candidates equal brute-force pairs at high threshold") {
+    // brute-force exact jaccard over word 3-gram shingle sets
+    val sets = docs.select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming budget") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 0)) // identical text -> identical signature
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L)) // unrelated doc stays out
+  }
+
+  test("ngram jaccard with prefix filtering equals naive all-pairs") {
+    val shingle = TextFunctions.wordShingles(_: org.apache.spark.sql.Column, 2)
+    val filtered = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      shingle, threshold = 0.3)
+      .select("da", "db", "jac").as[(Long, Long, Double)].collect().toSet
+    val sets = docs.select(col("doc_id"), col("lang"), shingle(col("text")).as("sh"))
+    val naive = sets.as("a").join(sets.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")), 6))
+      .filter(col("jac") >= 0.3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("jac"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(filtered == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("lang blocking keeps cross-block pairs out") {
+    val mixed = Seq((1L, base, "en"), (2L, base, "fr")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "lang",
+      TextFunctions.wordShingles(_, 2), threshold = 0.1)
+    assert(pairs.count() == 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class SimilaritySpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // four unit-ish vectors: 0 and 1 nearly parallel, 2 orthogonal, 3 opposite
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("withNorm computes the L2 norm") {
+    val n = Similarity.withNorm(emb).filter(col("vec_id") === 0L)
+      .select("nrm").as[Double].head()
+    assert(math.abs(n - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val e = Similarity.withNorm(emb)
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val corpus = e.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm"))
+    val top = Similarity.bruteForceTopK(corpus, queries, 3)
+      .orderBy("rnk").select("neighbor").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L)) // by descending cosine: ~1, 0, -1
+  }
+
+  test("cosinePairs finds only pairs above threshold, ordered ida<idb") {
+    val pairs = Similarity.cosinePairs(emb, 0.9)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
+
+  test("ivfTopK equals brute force when every cell is probed") {
+    // nCells = all vectors, nProbe = all cells -> exhaustive
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") === 0L, k = 3, nCells = 4, nProbe = 4)
+      .select("rnk", "neighbor").as[(Long, Long)].collect().toSeq.sorted
+    val e = Similarity.withNorm(emb)
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val brute = Similarity.bruteForceTopK(
+      e.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm")),
+      queries, 3)
+      .select("rnk", "neighbor").as[(Long, Long)].collect().toSeq.sorted
+    assert(ivf == brute)
+  }
+
+  test("dot is an exact left fold (matches manual computation)") {
+    val d = emb.select(
+      Similarity.dot(
+        transform(col("embedding"), x => x.cast("double")),
+        transform(col("embedding"), x => x.cast("double"))).as("d"))
+      .filter(col("d") > 1.0).count()
+    // only vec 1 has |v|^2 > 1? (0.9^2 + 0.1^2 = 0.82) -> none besides exact 1.0s
+    assert(d == 0)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("polyHash matches the documented fold ((acc*31 + code) mod 1e9+7)") {
+    val fp = Seq("ab").toDF("text")
+      .select(TextFunctions.polyHash(col("text")).as("fp")).as[Long].head()
+    assert(fp == (97L * 31 + 98) % 1000000007L) // 'a'=97 then 'b'=98
+    val empty = Seq("").toDF("text")
+      .select(TextFunctions.polyHash(col("text")).as("fp")).as[Long].head()
+    assert(empty == 0L)
+  }
+
+  test("multimodal decode stub checksum equals polyHash on ASCII payloads") {
+    val docs = Seq((1L, "hello world graft")).toDF("doc_id", "text")
+    val viaBytes = Multimodal.extractFeatures(spark, docs)
+      .select("checksum").as[Long].head()
+    val viaChars = docs.select(TextFunctions.polyHash(col("text")).as("fp"))
+      .as[Long].head()
+    assert(viaBytes == viaChars)
+  }
+
+  test("quality score stays in [0,1] and rewards diverse long docs") {
+    val docs = Seq(
+      (1L, "dup dup dup dup dup dup dup dup"),
+      (2L, "a genuinely varied collection of distinct meaningful tokens here"))
+      .toDF("doc_id", "text")
+    val scores = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(2L) > scores(1L))
+  }
+
+  test("langId is deterministic with lexicographic tie-break") {
+    // no markers at all -> every score 0 -> tie -> first lang asc ("de")
+    val pred = TextAnalysis.langId(Seq((1L, "zz yy xx")).toDF("doc_id", "text"))
+      .select("pred_lang").as[String].head()
+    assert(pred == "de")
+    // clear zh markers win
+    val zh = TextAnalysis.langId(
+      Seq((1L, "join group stream join group")).toDF("doc_id", "text"))
+      .select("pred_lang").as[String].head()
+    assert(zh == "zh")
+  }
+
+  test("token counts: whitespace vs regex tokenizer") {
+    val out = TextAnalysis.tokenCounts(Seq((1L, "ab 12 cd")).toDF("doc_id", "text"))
+      .select("ws_toks", "re_toks").as[(Long, Long)].head()
+    assert(out == ((3L, 3L)))
+    val mixed = TextAnalysis.tokenCounts(Seq((1L, "ab12cd")).toDF("doc_id", "text"))
+      .select("ws_toks", "re_toks").as[(Long, Long)].head()
+    assert(mixed == ((1L, 3L))) // "ab", "12", "cd" under the regex
+  }
+
+  test("wordShingles compiled expression: distinct, ordered, short-doc empty") {
+    val sh = Seq("a b a b c").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b a", "b c")) // "a b" deduped, first-occurrence order
+    val short = Seq("one two").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+}

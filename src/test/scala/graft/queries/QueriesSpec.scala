@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** t1 smoke (SURVEY.md §5.1): every declared query runs end-to-end at
+  * sf0.001 with a plausible shape, plus streaming/batch equivalence. */
+class QueriesSpec extends AnyFunSuite with SparkTest {
+
+  // near-dup pair queries may legitimately be empty on the small corpus
+  private val mayBeEmpty = Set("q20_dedup_minhash_lsh", "q21_dedup_simhash",
+    "q22_dedup_ngram_jaccard", "q23_dedup_embedding")
+
+  Queries.all.foreach { case (name, q) =>
+    test(s"$name runs at sf0.001") {
+      val df = q.fn(spark, sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("oracle SQL exists for every query that claims one, with no blanks") {
+    Queries.all.foreach { case (name, q) =>
+      q.oracle.foreach(sql => assert(sql.trim.nonEmpty, name))
+    }
+    assert(Queries.all.count(_._2.oracle.isDefined) >= 30)
+  }
+
+  test("q19 streaming output equals the batch aggregation (D19 equivalence)") {
+    val streamed = Queries.all("q19_stream_tumbling").fn(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val ev = Queries.table(spark, sf0001, "events")
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("value")).as("val_sum"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("val_sum"))
+      .orderBy("bucket", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q17 top-k neighbors are genuinely the nearest (spot check one query)") {
+    val out = Queries.all("q17_knn_cosine").fn(spark, sf0001)
+    val firstQ = out.filter(col("qid") === 0L).orderBy("rnk")
+      .select("sim").collect().map(_.getDouble(0)).toSeq
+    assert(firstQ.size == 5)
+    assert(firstQ == firstQ.sorted.reverse) // descending similarity
+  }
+}
