@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{Lake, Rest}
+import graft.model.Schemas
+import graft.ops.BarOps
+
+/** The reference's two pipeline drivers, re-expressed over the operator
+  * library. Control flow mirrors E1/E2 in SURVEY.md §3; the Spark idioms
+  * replace the reference's anti-patterns (ds.isEmpty instead of
+  * rdd.isEmpty / limit(1).count — SURVEY.md §4).
+  *
+  * A23: the API key comes from the environment with a Spark-conf fallback
+  * (massive_client.py:14-27).
+  */
+object Ingest {
+
+  def apiKey(spark: SparkSession, env: Map[String, String] = sys.env): String =
+    env.get("MASSIVE_API_KEY")
+      .orElse(spark.conf.getOption("spark.massive.api.key"))
+      .getOrElse(throw new IllegalStateException(
+        "API key not found in env MASSIVE_API_KEY or conf spark.massive.api.key"))
+
+  private def toDf(spark: SparkSession, rows: Seq[graft.model.RawBar]): DataFrame = {
+    import spark.implicits._
+    // explicit wire schema, never inferred (reference passes schema= to
+    // both createDataFrame calls)
+    spark.createDataFrame(rows.toDF().rdd, Schemas.raw)
+  }
+
+  /** E1: historical backfill — per-symbol fetch → normalize → watermark
+    * dedup → partitioned append. Returns rows appended per symbol. */
+  def historicalBackfill(spark: SparkSession, http: Rest.Http, baseUrl: String,
+      symbols: Seq[String], lakePath: String, fullLoad: Boolean,
+      userWindow: Option[(String, String)] = None,
+      granularity: Windows.Granularity = Windows.OneMinute,
+      interPageDelaySec: Double = 12.0,
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Map[String, Long] = {
+    val lakeExists = Lake.exists(spark, lakePath)
+    val maxTs =
+      if (lakeExists) BarOps.maxTs(Lake.read(spark, lakePath)) else None
+    val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
+    symbols.map { symbol =>
+      val wire = Rest.fetchAggregates(http, baseUrl, symbol, window.start,
+        window.end, interPageDelaySec = interPageDelaySec, sleep = sleep)
+      val raw = toDf(spark, Rest.decodeRaw(wire))
+      val normalized = BarOps.normalizeRaw(raw, symbol)
+      val deduped = (if (fullLoad) None else maxTs) match {
+        case Some(wm) => BarOps.newerThan(normalized, wm)
+        case None     => normalized
+      }
+      val n = deduped.count()
+      if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"))
+      symbol -> n
+    }.toMap
+  }
+
+  /** E2: per-session pipeline — regular bars arrive server-side filtered
+    * (session=regular request param); premarket/afterhours are carved out
+    * of the full feed with the same Spark predicate, unifying the dual
+    * classification mechanism the reference splits between API and Spark
+    * (SURVEY.md §3 E2 note). */
+  def sessionIngest(spark: SparkSession, http: Rest.Http, baseUrl: String,
+      symbols: Seq[String], tableRoot: String, start: String, end: String,
+      interPageDelaySec: Double = 12.0,
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Map[String, Long] = {
+    def build(symbol: String, wire: Seq[com.fasterxml.jackson.databind.JsonNode]) =
+      BarOps.normalizeRaw(toDf(spark, Rest.decodeRaw(wire)), symbol)
+
+    symbols.map { symbol =>
+      var appended = 0L
+      // regular: server-side session filter
+      val regular = build(symbol, Rest.fetchAggregates(http, baseUrl, symbol,
+        start, end, session = Some("regular"),
+        interPageDelaySec = interPageDelaySec, sleep = sleep))
+      if (!regular.isEmpty) {
+        Lake.append(regular, s"$tableRoot/regular", Seq("symbol"))
+        appended += regular.count()
+      }
+      // full feed, Spark-side session carve-outs
+      val full = build(symbol, Rest.fetchAggregates(http, baseUrl, symbol,
+        start, end, interPageDelaySec = interPageDelaySec, sleep = sleep))
+      Seq("premarket", "afterhours").foreach { sess =>
+        val part = BarOps.filterSession(full, sess)
+          .select(full.columns.map(org.apache.spark.sql.functions.col): _*)
+        if (!part.isEmpty) {
+          Lake.append(part, s"$tableRoot/$sess", Seq("symbol"))
+          appended += part.count()
+        }
+      }
+      symbol -> appended
+    }.toMap
+  }
+}
