@@ -187,7 +187,40 @@ object TrainingDataQueries {
     "Reference ET session classification (premarket/regular/afterhours) " +
       "as a single-pass session column")
 
+  private val q32 = Q(
+    (s, dir) => {
+      import s.implicits._
+      // stage the table file into a landing dir (file-stream source)
+      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q32-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .as[graft.streaming.Sessionize.Ev]
+      val sessions = graft.streaming.Sessionize.streaming(stream, gapMinutes = 30)
+      val sink = s"q32_out_${System.nanoTime()}"
+      val sq = sessions.writeStream.outputMode("update")
+        .format("memory").queryName(sink).start()
+      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.Sessionize.latestSnapshot(s.table(sink))
+    },
+    Some("WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts, user_id, event_id FROM events), " +
+      "g AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - " +
+      "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+      "THEN 1 ELSE 0 END AS new_sess FROM ev), " +
+      "s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+      "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n " +
+      "FROM s2 GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "Stateful streaming sessionization (flatMapGroupsWithState, 30-minute " +
+      "gap); oracle is the declarative batch window formulation")
+
   val all: Map[String, Q] = Map(
+    "q32_stream_sessionize" -> q32,
     "q20_dedup_minhash_lsh" -> q20,
     "q21_dedup_simhash" -> q21,
     "q22_dedup_ngram_jaccard" -> q22,

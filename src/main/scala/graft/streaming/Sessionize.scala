@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based activity sessionization, in both execution models:
+  *
+  *  - `batch`: the declarative window formulation (lag → gap flag →
+  *    running session index → group) — one shuffle on user, fully
+  *    Catalyst-optimized; this is also the correctness oracle.
+  *  - `streaming`: the same semantics as arbitrary keyed state via
+  *    flatMapGroupsWithState (Update mode) — the scale path when events
+  *    arrive as an unbounded stream and sessions must close incrementally.
+  *    Emitted rows are session *snapshots*; collapse with
+  *    `latestSnapshot` to get each session's final extent.
+  *
+  * All gap arithmetic is in epoch microseconds (the table's native
+  * precision after the ns→µs floor) on both paths, so streaming, batch,
+  * and the DuckDB oracle agree exactly.
+  */
+object Sessionize {
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n: Long)
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Batch twin: session = maximal run of events with gaps <= gapMinutes. */
+  def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapped = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n"))
+      .drop("sid")
+      .orderBy("user_id", "session_start")
+  }
+
+  private def sessionizeGroup(gapUs: Long)(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    // state funcs see an unordered batch: order explicitly
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val out = Seq.newBuilder[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.end <= gapUs =>
+          cur = Some(s.copy(end = e.ts_us, n = s.n + 1))
+        case Some(s) => // close previous, open new
+          out += SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // snapshot of the (possibly still-open) session
+      out += SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
+    }
+    out.result().iterator
+  }
+
+  /** Streaming sessionization over a typed event stream (ts in µs). */
+  def streaming(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup(gapMinutes * 60L * 1000000L))
+  }
+
+  /** Collapse session snapshots to their final extent: one row per
+    * (user, session_start) keeping the furthest end. */
+  def latestSnapshot(snapshots: DataFrame): DataFrame =
+    snapshots.groupBy(col("user_id"), col("session_start"))
+      .agg(max(col("session_end")).as("session_end"), max(col("n")).as("n"))
+      .orderBy("user_id", "session_start")
+}

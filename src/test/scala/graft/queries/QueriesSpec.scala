@@ -42,6 +42,16 @@ class QueriesSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("q32 stateful streaming sessions equal the batch window formulation") {
+    val streamed = Queries.all("q32_stream_sessionize").fn(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.streaming.Sessionize.batch(
+      Queries.table(spark, sf0001, "events"), gapMinutes = 30)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
