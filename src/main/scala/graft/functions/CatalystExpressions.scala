@@ -191,3 +191,32 @@ object CatalystExpressions {
     }
   }
 }
+
+/** Session-extension entry point: makes the graft functions available in
+  * any session built with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), including plain `spark.sql`
+  * users — the deployment-grade alternative to per-session registration. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import CatalystExpressions._
+
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[CatalystExpressions.type].getName, name, usage,
+        "", "", "", "", "", "4.0.0", "", "built-in")
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "_FUNC_(a, b) - left-fold dot product of two double arrays"),
+      es => DotProduct(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "_FUNC_(shingles, k) - k-permutation MinHash signature"),
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash"),
+      es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", "_FUNC_(text, n) - distinct word n-gram shingles"),
+      es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int])))
+  }
+}

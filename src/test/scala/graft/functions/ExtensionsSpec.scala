@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class ExtensionsSpec extends AnyFunSuite with SparkTest {
+
+  test("graft functions are SQL-callable in a registered session") {
+    CatalystExpressions.register(spark)
+    val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT graft_word_ngrams('a b c d', 2) AS sh")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val sim = spark.sql("SELECT graft_simhash(array('x','x','x')) AS s")
+      .head().getLong(0)
+    // all-identical tokens: simhash == the token hash's majority bits == hash itself
+    assert(sim != 0L)
+  }
+
+  test("GraftExtensions injects all four functions at the extension point") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // registerFunctions is private[sql] at the Scala level; the bytecode
+    // is public — go through reflection for the test
+    val reg = ext.getClass
+      .getMethod("registerFunctions", classOf[FunctionRegistry])
+      .invoke(ext, FunctionRegistry.builtin.clone())
+      .asInstanceOf[FunctionRegistry]
+    Seq("graft_dot", "graft_minhash", "graft_simhash", "graft_word_ngrams")
+      .foreach { name =>
+        assert(reg.functionExists(FunctionIdentifier(name)), name)
+      }
+  }
+}
