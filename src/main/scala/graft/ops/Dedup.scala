@@ -128,9 +128,11 @@ object Dedup {
       shingle(col(textCol)).as("sh"))
     val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
-    val dfreq = inv.groupBy(col("blk"), col("g")).agg(count(lit(1)).as("df"))
+    // document frequency as a window over the posting list: one shuffle on
+    // (blk, g) instead of groupBy + re-join (two shuffles of the same rows)
+    val dfreq = count(lit(1)).over(Window.partitionBy(col("blk"), col("g")))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
-    val prefix = inv.join(dfreq, Seq("blk", "g"))
+    val prefix = inv.withColumn("df", dfreq)
       .withColumn("pos", row_number().over(wOrd))
       .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select(col("id"), col("blk"), col("g"))

@@ -159,13 +159,23 @@ object TrainingDataQueries {
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
   private val q30 = Q(
-    (s, dir) => allTables.map(t =>
-        table(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
-      .reduce(_.union(_))
-      .orderBy("tbl"),
+    (s, dir) => {
+      // a catalog sweep is N independent jobs — submit them concurrently
+      // from the driver (Spark's scheduler interleaves their stages) rather
+      // than serializing 10 agg subtrees behind one union. Each count is
+      // still a distributed job; only 10 scalars come back to the driver.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val counts = Await.result(
+        Future.sequence(allTables.map(t => Future(t -> table(s, dir, t).count()))),
+        Duration.Inf)
+      import s.implicits._
+      counts.toDF("tbl", "n").orderBy("tbl")
+    },
     Some(allTables.map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
       .mkString("", " UNION ALL ", " ORDER BY tbl")),
-    "Catalog sweep: per-table row counts via union of scans")
+    "Catalog sweep: per-table row counts, jobs submitted concurrently")
 
   private val q31 = Q(
     (s, dir) => {
