@@ -30,7 +30,8 @@ object Bench {
 
     // streaming queries are checked for batch-equivalence in Verify, not
     // timed (BASELINE.md BENCH definition)
-    val notTimed = Set("q19_stream_tumbling", "q32_stream_sessionize")
+    val notTimed = Set("q19_stream_tumbling", "q32_stream_sessionize",
+      "q39_stream_dedup")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RangeJoin, Skew}
+import graft.queries.Queries.{dsum, table, EV, Q}
+
+/** Analytic operator pack beyond the D1–D19 declared surface: pivot,
+  * cube/grouping sets, exact percentiles, semi-structured (JSON)
+  * extraction, banded range join, salted skew join, streaming dedup.
+  * Every query ends in a total-order sort and aliases computed columns
+  * identically to its oracle.
+  */
+object AnalyticsQueries {
+
+  /** Pivot: order counts per priority × status. Pivot values are pinned
+    * (TPC-H o_orderstatus ∈ {F,O,P}) so the plan needs no distinct-scan
+    * job — at scale an unpinned pivot is two jobs, one just to find the
+    * column set. Absent combinations are 0, matching the conditional
+    * aggregation the oracle (and any SQL engine) uses. */
+  private val q33 = Q(
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority"),
+    Some("SELECT o_orderpriority, " +
+      "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+      "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+      "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "Pivot (pinned value set) of order counts per priority x status")
+
+  /** Cube with an explicit grouping-bit column (grouping() composed by
+    * hand on both sides — grouping_id bit order is engine-defined, the
+    * composed form is not). */
+  private val q34 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n"))
+      .orderBy("rf", "ls", "gid"),
+    Some("SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+      "coalesce(l_linestatus, 'ALL') AS ls, " +
+      "CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid, " +
+      "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY rf, ls, gid"),
+    "Cube aggregation with composed grouping bits")
+
+  /** Exact interpolated percentiles (SQL percentile_cont semantics); the
+    * single-pass exact `percentile` is fine per-group at any scale because
+    * groups partition the shuffle — for a global percentile over 100 TB
+    * you'd switch to approx_percentile (t-digest) instead. */
+  private val q35 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      .orderBy("l_returnflag"),
+    Some("SELECT l_returnflag, " +
+      "round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
+      "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+      "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "Exact interpolated percentiles per return flag")
+
+  /** Semi-structured extraction: typed from_json over the props payload
+    * (schema declared, so the parse is a codegen'd single pass — no
+    * schema-inference job, no UDF). */
+  private val q36 = Q(
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    Some("SELECT event_type, count(CAST(props->>'k' AS INTEGER)) AS n_k, " +
+      "CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k, " +
+      "min(CAST(props->>'k' AS INTEGER)) AS min_k, " +
+      "max(CAST(props->>'k' AS INTEGER)) AS max_k " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "JSON extraction (typed from_json) + aggregation over props.k")
+
+  /** Banded range join: clicks in the hour before each purchase, per
+    * user. The oracle states the naive non-equi join; the engine runs the
+    * banded equi-join rewrite (RangeJoin.bandedRangeJoin) — hash shuffle,
+    * not BroadcastNestedLoop. */
+  private val q37 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cval"))
+      RangeJoin.bandedRangeJoin(p, c, "user_id", "pts", "cts",
+          loMs = -3600000L, hiMs = 0L, bandMs = 3600000L)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          graft.ops.BarOps.moneySum(col("cval")).as("click_val"))
+        .orderBy("purchase_id")
+    },
+    Some(EV + " SELECT p.event_id AS purchase_id, count(*) AS n_clicks, " +
+      dsum("c.value") + " AS click_val " +
+      "FROM ev p JOIN ev c ON p.event_type = 'purchase' AND c.event_type = 'click' " +
+      "AND c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts " +
+      "GROUP BY p.event_id ORDER BY purchase_id"),
+    "Range join (clicks in the hour before each purchase) via time-banded " +
+      "equi-join rewrite")
+
+  /** Salted skew join: row-identical to the plain join, partition-safe
+    * under pathological key skew (Skew.saltedJoin). */
+  private val q38 = Q(
+    (s, dir) => {
+      // salt the large fact side; replicate the dimension side `salts`x.
+      // salts=4 bounds the replication cost while still quartering the
+      // largest shuffle partition under a hot customer key.
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "c_custkey", col("o_orderkey"), salts = 4)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.BarOps.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, count(*) AS n, " +
+      dsum("o_totalprice") + " AS sum_price " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "Salted equi-join (explicit skew mitigation), result-identical to the " +
+      "plain join")
+
+  /** Streaming exact dedup: dropDuplicates over a watermarked stream —
+    * the streaming face of the training-data dedup block. The memory-sink
+    * snapshot is aggregated in batch; the oracle is the equivalent batch
+    * distinct count. */
+  private val q39 = Q(
+    (s, dir) => {
+      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q39-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates("user_id", "event_type")
+      val sink = s"q39_out_${System.nanoTime()}"
+      val sq = stream.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_users " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "Streaming exact dedup (watermarked dropDuplicates); oracle is the " +
+      "batch distinct count")
+
+  val all: Map[String, Q] = Map(
+    "q33_pivot" -> q33,
+    "q34_cube_grouping" -> q34,
+    "q35_percentiles" -> q35,
+    "q36_json_extract" -> q36,
+    "q37_range_join" -> q37,
+    "q38_salted_join" -> q38,
+    "q39_stream_dedup" -> q39)
+}

@@ -439,6 +439,7 @@ object Queries {
     "q18_asof_join" -> q18,
     "q19_stream_tumbling" -> q19)
 
-  /** Full registry; extended by the training-data operator packs. */
-  def all: Map[String, Q] = relational ++ TrainingDataQueries.all
+  /** Full registry; extended by the training-data + analytics packs. */
+  def all: Map[String, Q] =
+    relational ++ TrainingDataQueries.all ++ AnalyticsQueries.all
 }

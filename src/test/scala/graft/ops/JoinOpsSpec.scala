@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class JoinOpsSpec extends AnyFunSuite with SparkTest {
+
+  test("bandedRangeJoin equals the naive non-equi join") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+
+    val banded = RangeJoin.bandedRangeJoin(p, c, "user_id", "pts", "cts",
+        loMs = -3600000L, hiMs = 0L, bandMs = 3600000L)
+      .select($"pid", $"cid").as[(Long, Long)].collect().toSet
+
+    val naive = p.join(c, Seq("user_id"))
+      .filter(unix_millis($"cts") >= unix_millis($"pts") - 3600000L &&
+        unix_millis($"cts") < unix_millis($"pts"))
+      .select($"pid", $"cid").as[(Long, Long)].collect().toSet
+
+    assert(naive.nonEmpty, "fixture must produce at least one in-range pair")
+    assert(banded == naive)
+  }
+
+  test("bandedRangeJoin half-open bounds: hit at lo, miss at hi") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "lts")
+    val r = Seq(
+      (1L, 101L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")), // == lo: in
+      (1L, 102L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), // == hi: out
+      (1L, 103L, java.sql.Timestamp.valueOf("2024-01-01 08:59:59.999")) // < lo: out
+    ).toDF("k", "rid", "rts")
+    val got = RangeJoin.bandedRangeJoin(l, r, "k", "lts", "rts",
+        -3600000L, 0L, 3600000L)
+      .select($"rid").as[Long].collect().toSet
+    assert(got == Set(101L))
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), 8)
+    val plain = li.join(o, Seq("l_orderkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin spreads a hot key over multiple partitions' sub-keys") {
+    import spark.implicits._
+    // one pathological key: 1000 rows on the left, 1 dim row on the right
+    val hot = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "line")
+    val dim = Seq((42L, "x")).toDF("k", "name")
+    val salted = Skew.saltedJoin(hot, dim, "k", $"line", 8)
+    assert(salted.count() == 1000)
+    // the salt assignment must actually use more than one sub-key
+    val nSalts = hot.select(pmod(xxhash64($"line"), lit(8)).as("s"))
+      .distinct().count()
+    assert(nSalts > 1)
+  }
+}
