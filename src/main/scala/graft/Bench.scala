@@ -31,7 +31,7 @@ object Bench {
     // streaming queries are checked for batch-equivalence in Verify, not
     // timed (BASELINE.md BENCH definition)
     val notTimed = Set("q19_stream_tumbling", "q32_stream_sessionize",
-      "q39_stream_dedup")
+      "q39_stream_dedup", "q40_stream_join")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -50,4 +50,21 @@ object Lake {
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.save(path)
   }
+
+  /** Bucketed catalog table: rows are hash-clustered into `buckets` files
+    * per partition by `bucketCol`, and the layout is recorded in the
+    * catalog. Two tables bucketed the same way join with NO exchange on
+    * either side — the join becomes a per-bucket zip, the co-location
+    * strategy for repeated large⋈large joins (e.g. a bars table and a
+    * corporate-actions table both bucketed by symbol). Requires
+    * `saveAsTable` (bucket metadata lives in the catalog, not the files);
+    * `spark.sql.warehouse.dir` controls placement.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.foreach(c => w = w.sortBy(c))
+    w.saveAsTable(tableName)
+  }
 }

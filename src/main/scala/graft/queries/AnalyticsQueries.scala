@@ -172,6 +172,47 @@ object AnalyticsQueries {
     "Streaming exact dedup (watermarked dropDuplicates); oracle is the " +
       "batch distinct count")
 
+  /** Stream-stream interval join: the streaming twin of q37. Both sides
+    * are watermarked; the event-time range condition lets Spark bound the
+    * join state (clicks older than pts-1h-watermark are evicted), which
+    * is what makes a stream-stream join runnable indefinitely at scale.
+    * Oracle = the same batch range-join aggregation as q37. */
+  private val q40 = Q(
+    (s, dir) => {
+      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q40-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val p = stream().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .withWatermark("pts", "1 day")
+      val c = stream().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("cval"))
+        .withWatermark("cts", "1 day")
+      val joined = p.join(c, expr(
+        "user_id = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts < pts"))
+      val sink = s"q40_out_${System.nanoTime()}"
+      val sq = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(sink)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          graft.ops.BarOps.moneySum(col("cval")).as("click_val"))
+        .orderBy("purchase_id")
+    },
+    Some(EV + " SELECT p.event_id AS purchase_id, count(*) AS n_clicks, " +
+      dsum("c.value") + " AS click_val " +
+      "FROM ev p JOIN ev c ON p.event_type = 'purchase' AND c.event_type = 'click' " +
+      "AND c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts " +
+      "GROUP BY p.event_id ORDER BY purchase_id"),
+    "Stream-stream interval join (watermarked both sides, state-bounded); " +
+      "oracle is the batch range-join aggregation")
+
   val all: Map[String, Q] = Map(
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
@@ -179,5 +220,6 @@ object AnalyticsQueries {
     "q36_json_extract" -> q36,
     "q37_range_join" -> q37,
     "q38_salted_join" -> q38,
-    "q39_stream_dedup" -> q39)
+    "q39_stream_dedup" -> q39,
+    "q40_stream_join" -> q40)
 }
