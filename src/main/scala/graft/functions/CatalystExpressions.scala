@@ -127,6 +127,55 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 60-bit *replayable* SimHash over an array<string> token multiset.
+    *
+    * Unlike [[SimHash64]] (xxhash64, fast but not expressible outside the
+    * JVM), the token hash here is pure integer arithmetic — two chained
+    * 31/37-base polynomial rolling hashes over the token's characters,
+    * mod 1000000007 / 998244353, each finalized with one more affine
+    * mix (raw folds of short tokens never reach the high bits), packed
+    * into 60 bits as h1·2³⁰ + h2. Every step is replayable in ANSI
+    * SQL/DuckDB, which makes SimHash near-dup pairs oracle-checkable
+    * end-to-end (q21). Bit j is set iff a strict majority of token
+    * hashes have bit j set.
+    */
+  case class SimHash60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash60"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](60)
+      var s = 0
+      while (s < n) {
+        val t = arr.getUTF8String(s).toString
+        var h1 = 0L
+        var h2 = 0L
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i).toLong
+          h1 = (h1 * 31 + c) % 1000000007L
+          h2 = (h2 * 37 + c) % 998244353L
+          i += 1
+        }
+        h1 = (h1 * 1103515245L + 12345L) % 1000000007L
+        h2 = (h2 * 69069L + 1L) % 998244353L
+        val h = h1 * 1073741824L + h2 // h1 << 30 | h2 (h2 < 2^30)
+        var j = 0
+        while (j < 60) { votes(j) += ((h >>> j) & 1L).toInt; j += 1 }
+        s += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 60) { if (votes(j) * 2 > n) sig |= 1L << j; j += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of a single-space-separated string, in
     * first-occurrence order — the compiled form of the transform/slice/
     * concat_ws/array_distinct HOF chain (which costs ~16µs per shingle
@@ -186,6 +235,8 @@ object CatalystExpressions {
         es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction("graft_simhash",
         es => SimHash64(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash60",
+        es => SimHash60(es.head), "built-in")
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     }
@@ -215,6 +266,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash"),
       es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "_FUNC_(tokens) - 60-bit SQL-replayable SimHash"),
+      es => SimHash60(es.head)))
     e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "_FUNC_(text, n) - distinct word n-gram shingles"),
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int])))

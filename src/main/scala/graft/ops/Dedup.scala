@@ -92,18 +92,41 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     graft.functions.CatalystExpressions.register(docs.sparkSession)
-    val bandMasks = typedlit((0 until 4).map(b => 0xffffL << (16 * b)))
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"), posexplode(
-        transform(sequence(lit(0), lit(3)),
-          b => col("sig").bitwiseAND(element_at(bandMasks, b + 1)))))
+    simhashPairs(sigs, bits = 64, nBands = 4, maxHamming)
+  }
+
+  /** 60-bit SQL-replayable SimHash (CatalystExpressions.SimHash60 — pure
+    * modular arithmetic, so the whole pipeline is oracle-checkable in
+    * DuckDB), 15-bit × 4 band blocking. Same pigeonhole guarantee: any
+    * pair within Hamming 3 agrees exactly on ≥1 of the 4 bands. */
+  def simhashNearDupsReplayable(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val sigs = docs.select(col(idCol).as("id"),
+      call_function("graft_simhash60", words(col(textCol))).as("sig"))
+    simhashPairs(sigs, bits = 60, nBands = 4, maxHamming)
+  }
+
+  /** Band-blocked Hamming pair search shared by the SimHash variants:
+    * explode each signature into nBands (band, band_key) rows, equi-join
+    * on the band key, verify the exact Hamming distance. */
+  private def simhashPairs(sigs: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits % nBands == 0, "bands must tile the signature")
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val bandWidth = bits / nBands
+    val mask = (1L << bandWidth) - 1
+    val bandKeys = array((0 until nBands).map(b =>
+      shiftright(col("sig"), b * bandWidth).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("id"), col("sig"), posexplode(bandKeys))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("band_key"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("da", "db")

@@ -36,12 +36,35 @@ object TrainingDataQueries {
     "MinHash+LSH near-dup detection (word 3-gram shingles, 128 hashes, " +
       "32 bands), candidates verified by exact Jaccard >= 0.8")
 
+  // DuckDB twin of CatalystExpressions.SimHash60: per-token chained
+  // 31/37-base polynomial hashes with affine finalization, packed to 60
+  // bits, then a per-bit strict-majority vote. Pure modular arithmetic —
+  // bit-identical to the compiled Spark expression.
+  private def duckPolyHash(base: Int, mod: Long, mulFin: Long, addFin: Long) =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a,b) -> (a*$base+b)%$mod) * $mulFin + $addFin) % $mod"
+
+  private val duckSimhash60 =
+    "WITH hs AS (SELECT doc_id, " +
+      s"[ ${duckPolyHash(31, 1000000007L, 1103515245L, 12345L)} * 1073741824 " +
+      s"+ ${duckPolyHash(37, 998244353L, 69069L, 1L)} " +
+      "FOR t IN string_split(text, ' ') ] AS hs FROM documents), " +
+      "sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN " +
+      "2*list_sum([(h >> b) & 1 FOR h IN hs]) > len(hs) " +
+      "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END " +
+      "FOR b IN generate_series(0,59)]) AS BIGINT) AS sig FROM hs)"
+
   private val q21 = Q(
-    (s, dir) => Dedup.simhashNearDups(table(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 3),
-    None, // xxhash64 signatures are not replayable in DuckDB -> rows-only
-    "SimHash near-dup detection (64-bit signature, 16-bit band blocking, " +
-      "Hamming <= 3)")
+    (s, dir) => Dedup.simhashNearDupsReplayable(table(s, dir, "documents"),
+      "doc_id", "text", maxHamming = 3),
+    Some(duckSimhash60 +
+      " SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY da, db"),
+    "SimHash near-dup detection (60-bit SQL-replayable signature, 15-bit " +
+      "band blocking, Hamming <= 3), oracle-checked bit-for-bit")
 
   private val q22 = Q(
     (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",

@@ -52,10 +52,23 @@ class DedupSpec extends AnyFunSuite with SparkTest {
 
   test("simhash: identical docs collide, near-dups within hamming budget") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
-      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSeq
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq
     val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
     assert(exact.exists(_._3 == 0)) // identical text -> identical signature
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L)) // unrelated doc stays out
+  }
+
+  test("replayable 60-bit simhash: same contract as the xxhash variant") {
+    val pairs = Dedup.simhashNearDupsReplayable(docs, "doc_id", "text", maxHamming = 3)
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    // signatures stay within 60 bits
+    val sigs = docs.select(
+      call_function("graft_simhash60", split(col("text"), " ")).as("sig"))
+      .as[Long].collect()
+    assert(sigs.forall(s => s >= 0L && s < (1L << 60)))
   }
 
   test("ngram jaccard with prefix filtering equals naive all-pairs") {
