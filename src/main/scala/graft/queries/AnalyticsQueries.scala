@@ -213,7 +213,45 @@ object AnalyticsQueries {
     "Stream-stream interval join (watermarked both sides, state-bounded); " +
       "oracle is the batch range-join aggregation")
 
+  /** JSON-lines sink + source round-trip with an explicit read schema
+    * (never inferred — schema inference is a full extra pass over the
+    * data at scale, and the reference's contract is declared schemas). */
+  private val q41 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q41"
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(scratch)
+      s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(scratch)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    },
+    Some(EV + " SELECT event_type, count(*) AS n, " + dsum("value") +
+      " AS val_sum FROM ev GROUP BY event_type ORDER BY event_type"),
+    "JSON-lines sink + explicit-schema source round-trip")
+
+  /** CSV sink + source round-trip, explicit schema + header. */
+  private val q42 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q42"
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").option("header", "true").csv(scratch)
+      s.read.schema("l_returnflag STRING, l_quantity DOUBLE")
+        .option("header", "true").csv(scratch)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, count(*) AS n, " + dsum("l_quantity") +
+      " AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "CSV sink + explicit-schema source round-trip")
+
   val all: Map[String, Q] = Map(
+    "q41_json_roundtrip" -> q41,
+    "q42_csv_roundtrip" -> q42,
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
     "q35_percentiles" -> q35,
