@@ -232,21 +232,23 @@ object AnalyticsQueries {
       " AS val_sum FROM ev GROUP BY event_type ORDER BY event_type"),
     "JSON-lines sink + explicit-schema source round-trip")
 
-  /** CSV sink + source round-trip, explicit schema + header. */
+  /** CSV sink + source round-trip, explicit schema + header. (The bulk
+    * write path is q05's partitioned parquet; this covers the format, so
+    * it runs on the dimension-sized part table.) */
   private val q42 = Q(
     (s, dir) => {
       val scratch = s"${Queries.scratchRoot}/q42"
-      table(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"))
+      table(s, dir, "part")
+        .select(col("p_brand"), col("p_retailprice"))
         .write.mode("overwrite").option("header", "true").csv(scratch)
-      s.read.schema("l_returnflag STRING, l_quantity DOUBLE")
+      s.read.schema("p_brand STRING, p_retailprice DOUBLE")
         .option("header", "true").csv(scratch)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("l_quantity")).as("sum_qty"))
-        .orderBy("l_returnflag")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand")
     },
-    Some("SELECT l_returnflag, count(*) AS n, " + dsum("l_quantity") +
-      " AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    Some("SELECT p_brand, count(*) AS n, " + dsum("p_retailprice") +
+      " AS sum_price FROM part GROUP BY p_brand ORDER BY p_brand"),
     "CSV sink + explicit-schema source round-trip")
 
   val all: Map[String, Q] = Map(
