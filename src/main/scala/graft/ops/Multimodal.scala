@@ -49,4 +49,44 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
       .toDF()
   }
+
+  /** STUB for media resize/downsample: keep every `stride`-th byte. A real
+    * deployment swaps the body for an image scaler; the contract —
+    * binary in, smaller binary out, schema unchanged — is what the
+    * pipeline depends on. */
+  def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+
+  /** Batched resize over the payload column (same mapPartitions shape as
+    * [[extractFeatures]]). */
+  def resize(spark: SparkSession, payloaded: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    payloaded.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, resizeStub(b, stride)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Frame sampling: one output row per sampled fixed-width frame of the
+    * payload — frame i covers bytes [i·stride, i·stride + frameSize).
+    * Fully declarative (sequence → transform → posexplode over binary
+    * substring), so it stays inside whole-stage codegen and needs no
+    * shuffle: the 1→N row expansion every video/audio pipeline starts
+    * with. A real deployment replaces "fixed stride" with codec keyframe
+    * offsets from the metadata struct. */
+  def frameSample(payloaded: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val n = length(col("payload"))
+    val nFrames = expr(s"(length(payload) - $frameSize) div $stride") + 1
+    payloaded
+      .filter(n >= frameSize)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), (nFrames - 1).cast("int")),
+          i => col("payload").substr(i * stride + 1, lit(frameSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_no"),
+        col("col").as("frame"))
+  }
 }

@@ -251,7 +251,27 @@ object AnalyticsQueries {
       " AS sum_price FROM part GROUP BY p_brand ORDER BY p_brand"),
     "CSV sink + explicit-schema source round-trip")
 
+  /** Frame sampling over the opaque media payload (64-byte frames every
+    * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
+    * The corpus payload is UTF-8 text, so the oracle replays the byte
+    * slicing with substr. */
+  private val q43 = Q(
+    (s, dir) => graft.ops.Multimodal.frameSample(
+        graft.ops.Multimodal.withPayload(table(s, dir, "documents")),
+        frameSize = 64, stride = 128)
+      .select(col("doc_id"), col("frame_no"), col("frame").cast("string").as("frame"))
+      .orderBy("doc_id", "frame_no"),
+    Some("WITH idx AS (SELECT doc_id, text, " +
+      "unnest(generate_series(0, (length(text)-64)//128)) AS i " +
+      "FROM documents WHERE length(text) >= 64) " +
+      "SELECT doc_id, CAST(i AS BIGINT) AS frame_no, " +
+      "substr(text, CAST(i*128+1 AS INT), 64) AS frame " +
+      "FROM idx ORDER BY doc_id, frame_no"),
+    "Media frame sampling: declarative 1-to-N payload slicing " +
+      "(sequence/transform/posexplode over binary substr)")
+
   val all: Map[String, Q] = Map(
+    "q43_frame_sample" -> q43,
     "q41_json_roundtrip" -> q41,
     "q42_csv_roundtrip" -> q42,
     "q33_pivot" -> q33,
