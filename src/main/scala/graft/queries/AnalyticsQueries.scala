@@ -270,7 +270,26 @@ object AnalyticsQueries {
     "Media frame sampling: declarative 1-to-N payload slicing " +
       "(sequence/transform/posexplode over binary substr)")
 
+  /** Heavy hitters over the token stream via the SpaceSaving typed
+    * Aggregator (ops/Sketches). Declared with capacity 64 > the corpus
+    * vocabulary, where the sketch is provably exact (err = 0), so the
+    * oracle is the plain count — the approximation regime is covered by
+    * SketchesSpec's error-bound properties. */
+  private val q44 = Q(
+    (s, dir) => {
+      val tokens = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("item"))
+      graft.ops.Sketches.heavyHitters(tokens, "item", capacity = 64)
+        .orderBy(col("cnt").desc, col("item"))
+    },
+    Some("WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents) " +
+      "SELECT item, count(*) AS cnt, CAST(0 AS BIGINT) AS err FROM t " +
+      "GROUP BY item ORDER BY cnt DESC, item"),
+    "SpaceSaving heavy-hitters sketch (typed Aggregator, mergeable for " +
+      "map-side partial aggregation); exact at this capacity")
+
   val all: Map[String, Q] = Map(
+    "q44_heavy_hitters" -> q44,
     "q43_frame_sample" -> q43,
     "q41_json_roundtrip" -> q41,
     "q42_csv_roundtrip" -> q42,

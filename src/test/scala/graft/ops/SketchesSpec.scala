@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.ops.Sketches.SpaceSaving
+
+class SketchesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // zipf-ish stream: "w1" x 100, "w2" x 50, "w3" x 25, ..., 40 rare singletons
+  private val stream: Seq[String] =
+    (1 to 5).flatMap(i => Seq.fill(200 / (1 << i))(s"w$i")) ++
+      (1 to 40).map(i => s"rare$i")
+  private val exact: Map[String, Long] =
+    stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("exact when capacity >= distinct items (the q44 regime)") {
+    val hh = Sketches.heavyHitters(stream.toDF("item"), "item", capacity = 64)
+      .as[(String, Long, Long)].collect()
+    assert(hh.map(h => h._1 -> h._2).toMap == exact)
+    assert(hh.forall(_._3 == 0L), "no evictions -> no error")
+  }
+
+  test("SpaceSaving bound: count overestimates by at most err, true <= reported") {
+    val agg = new SpaceSaving(8)
+    val st = stream.foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(st)
+    out.foreach { h =>
+      val t = exact.getOrElse(h.item, 0L)
+      assert(h.cnt >= t, s"${h.item}: reported ${h.cnt} < true $t")
+      assert(h.cnt - h.err <= t, s"${h.item}: ${h.cnt} - ${h.err} > true $t")
+    }
+  }
+
+  test("items above n/capacity are guaranteed present") {
+    val agg = new SpaceSaving(8)
+    val st = stream.foldLeft(agg.zero)(agg.reduce)
+    val kept = agg.finish(st).map(_.item).toSet
+    val n = stream.size
+    exact.collect { case (k, c) if c > n / 8 => k }
+      .foreach(k => assert(kept.contains(k), s"heavy item $k evicted"))
+  }
+
+  test("merge is a valid sketch combine (bounds hold across partitions)") {
+    val agg = new SpaceSaving(8)
+    val (s1, s2) = stream.splitAt(stream.size / 3)
+    val merged = agg.merge(
+      s1.foldLeft(agg.zero)(agg.reduce),
+      s2.foldLeft(agg.zero)(agg.reduce))
+    val out = agg.finish(merged)
+    assert(out.size <= 8)
+    out.foreach { h =>
+      val t = exact.getOrElse(h.item, 0L)
+      assert(h.cnt >= t && h.cnt - h.err <= t, s"${h.item}: ${h.cnt}±${h.err} vs $t")
+    }
+    // the dominant item survives any split
+    assert(out.map(_.item).contains("w1"))
+  }
+}
