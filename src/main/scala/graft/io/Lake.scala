@@ -30,14 +30,24 @@ object Lake {
   def exists(spark: SparkSession, path: String): Boolean =
     Try(spark.read.parquet(path).schema).isSuccess
 
-  /** A20/A21: partitioned append. */
+  /** A20/A21: partitioned append.
+    *
+    * `sortCols` orders rows *within* each task before writing (no extra
+    * shuffle): every parquet row group then carries tight min/max stats
+    * on those columns, so later predicate scans (the watermark `ts >`
+    * probe, session time ranges) skip whole row groups at the footer —
+    * the poor-man's z-order that makes a 100 TB lake scannable. */
   def append(df: DataFrame, path: String, partitionCols: Seq[String],
-      format: String = "parquet", maxRecordsPerFile: Long = 0L): Unit = {
+      format: String = "parquet", maxRecordsPerFile: Long = 0L,
+      sortCols: Seq[String] = Nil): Unit = {
     val fmt = format match {
       case "delta" => "parquet" // no Delta jars in this environment; see above
       case other   => other
     }
-    var w = df.write.mode("append").format(fmt)
+    val src = if (sortCols.nonEmpty)
+      df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    else df
+    var w = src.write.mode("append").format(fmt)
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)

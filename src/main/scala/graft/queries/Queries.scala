@@ -112,8 +112,12 @@ object Queries {
       // on the write side too (writing 11 columns to aggregate 2 is the
       // kind of waste that matters at 100 TB)
       val li = table(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
-      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
-      li.write.mode("append").partitionBy("l_returnflag").parquet(scratch)
+      // RAM-backed scratch: compression is wasted CPU here (a durable
+      // 100 TB lake write would use zstd instead)
+      li.write.mode("overwrite").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
+      li.write.mode("append").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
       s.read.parquet(scratch)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
