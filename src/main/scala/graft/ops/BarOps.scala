@@ -45,6 +45,24 @@ object BarOps {
         col("n").cast("long").as("trades"))
   }
 
+
+  /** [[normalizeRaw]] for pre-tagged wire rows (the DSv2 source emits the
+    * symbol column itself): same rename/cast pipeline, symbol kept. */
+  def normalizeTagged(raw: DataFrame,
+      compatDoubleCast: Boolean = false): DataFrame = {
+    val ts =
+      if (compatDoubleCast) (col("t") / 1000).cast("timestamp")
+      else timestamp_millis(col("t"))
+    raw
+      .withColumn("ts", ts)
+      .select(col("ts"), col("symbol"),
+        col("o").as("open"), col("h").as("high"), col("l").as("low"),
+        col("c").as("close"),
+        col("v").cast("long").as("volume"),
+        col("vw").as("vwap"),
+        col("n").cast("long").as("trades"))
+  }
+
   /** A11+A12: ET event-time columns. Reference: `1m-seesion-pipeline/utils.py:3-5`. */
   def withEastern(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     val et = from_utc_timestamp(col(tsCol), "America/New_York")

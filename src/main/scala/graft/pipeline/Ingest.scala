@@ -56,6 +56,38 @@ object Ingest {
     }.toMap
   }
 
+  /** E1 through the DSv2 source: the whole symbol universe extracts
+    * concurrently (one InputPartition per symbol — sources/BarsSource),
+    * normalizes, watermark-dedups, and appends in ONE distributed job
+    * instead of the reference's per-symbol driver loop. Same lake layout
+    * and watermark semantics as [[historicalBackfill]]; rows never visit
+    * the driver. Returns rows appended. */
+  def historicalBackfillParallel(spark: SparkSession, baseUrl: String,
+      symbols: Seq[String], lakePath: String, fullLoad: Boolean,
+      userWindow: Option[(String, String)] = None,
+      granularity: Windows.Granularity = Windows.OneMinute,
+      transportKey: Option[String] = None,
+      interPageDelaySec: Double = 12.0): Long = {
+    val lakeExists = Lake.exists(spark, lakePath)
+    val maxTs =
+      if (lakeExists) BarOps.maxTs(Lake.read(spark, lakePath)) else None
+    val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
+    var reader = spark.read.format("graft-bars")
+      .option("symbols", symbols.mkString(","))
+      .option("baseUrl", baseUrl)
+      .option("start", window.start).option("end", window.end)
+      .option("interPageDelaySec", interPageDelaySec.toString)
+    transportKey.foreach(k => reader = reader.option("transportKey", k))
+    val normalized = BarOps.normalizeTagged(reader.load())
+    val deduped = (if (fullLoad) None else maxTs) match {
+      case Some(wm) => BarOps.newerThan(normalized, wm)
+      case None     => normalized
+    }
+    val n = deduped.count()
+    if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"), sortCols = Seq("ts"))
+    n
+  }
+
   /** E2: per-session pipeline — regular bars arrive server-side filtered
     * (session=regular request param); premarket/afterhours are carved out
     * of the full feed with the same Spark predicate, unifying the dual

@@ -125,6 +125,32 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(lake.schema("symbol").dataType.typeName == "string") // partition col back
   }
 
+  test("E1 parallel (DSv2) backfill matches the serial path's semantics") {
+    val lakeDir = Files.createTempDirectory("graft-lake-par").toString + "/bars"
+    graft.sources.BarsSource.transports.put("ingest-par", new Rest.Http {
+      def get(url: String, params: Map[String, String]) = {
+        // two symbols served from one stub; rows differ per symbol
+        val off = if (url.contains("/AAPL/")) 0 else 10
+        Rest.HttpResponse(200, page((off to off + 2).map(minuteMs(_)), None))
+      }
+    })
+    val n1 = Ingest.historicalBackfillParallel(spark, "http://x",
+      Seq("AAPL", "MSFT"), lakeDir, fullLoad = true,
+      userWindow = Some(("2024-01-01", "2024-01-02")),
+      transportKey = Some("ingest-par"), interPageDelaySec = 0)
+    assert(n1 == 6)
+    val lake = Lake.read(spark, lakeDir)
+    assert(lake.count() == 6)
+    assert(lake.select("symbol").distinct().count() == 2)
+    // incremental run over the same feed: everything <= watermark drops
+    val n2 = Ingest.historicalBackfillParallel(spark, "http://x",
+      Seq("AAPL", "MSFT"), lakeDir, fullLoad = false,
+      transportKey = Some("ingest-par"), interPageDelaySec = 0)
+    assert(n2 == 0)
+    // schema matches the serial path's lake (declared AGG contract)
+    assert(lake.schema("volume").dataType.typeName == "long")
+  }
+
   test("E2 session ingest: three tables, disjoint by ET session") {
     val root = Files.createTempDirectory("graft-sessions").toString
     // full day of minutes at 14:30 UTC (regular 09:30 ET) and 09:00 UTC
