@@ -93,4 +93,23 @@ object Sessionize {
     snapshots.groupBy(col("user_id"), col("session_start"))
       .agg(max(col("session_end")).as("session_end"), max(col("n")).as("n"))
       .orderBy("user_id", "session_start")
+
+  /** The built-in `session_window` formulation — per the extension
+    * preference order (compose existing ops first), this is the variant
+    * to reach for when the output can be "one row per closed session":
+    * Spark manages merge/state natively in both batch and streaming.
+    * [[streaming]]'s flatMapGroupsWithState exists for the semantics the
+    * built-in can't express (mid-session snapshots in Update mode).
+    * Columns match [[batch]]. Boundary note: the built-in merges an event
+    * into a session while `next < prev + gap` (half-open), whereas
+    * [[batch]] keeps it while `next - prev <= gap` — they differ only
+    * when a gap equals the threshold exactly, which µs-precision event
+    * data never hits. */
+  def sessionWindow(events: DataFrame, gapMinutes: Int): DataFrame =
+    events.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n"))
+      .drop("session_window")
+      .orderBy("user_id", "session_start")
 }

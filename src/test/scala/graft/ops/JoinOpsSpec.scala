@@ -44,6 +44,37 @@ class JoinOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == Set(101L))
   }
 
+  test("bandedRangeJoin equals naive across randomized offsets and bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBA4D5EED)
+    val base = 1700000000000L
+    val left = (1 to 120).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(86400000))))
+      .toDF("k", "lid", "lts")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(86400000))))
+      .toDF("k", "rid", "rts")
+    // (loMs, hiMs, bandMs): lookback, lookahead, asymmetric, odd band size
+    val cases = Seq(
+      (-3600000L, 0L, 3600000L),
+      (0L, 1800000L, 900000L),
+      (-7200000L, 3600000L, 5400000L),
+      (-1234567L, 765432L, 999999L))
+    cases.foreach { case (lo, hi, band) =>
+      val banded = graft.ops.RangeJoin
+        .bandedRangeJoin(left, right, "k", "lts", "rts", lo, hi, band)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val naive = left.join(right, Seq("k"))
+        .filter(unix_millis($"rts") >= unix_millis($"lts") + lo &&
+          unix_millis($"rts") < unix_millis($"lts") + hi)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(banded == naive, s"case (lo=$lo, hi=$hi, band=$band)")
+      assert(naive.nonEmpty, s"degenerate case (lo=$lo, hi=$hi, band=$band)")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"))

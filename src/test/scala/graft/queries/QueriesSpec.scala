@@ -52,6 +52,16 @@ class QueriesSpec extends AnyFunSuite with SparkTest {
     assert(streamed.nonEmpty)
   }
 
+  test("built-in session_window equals the window-function formulation") {
+    val ev = Queries.table(spark, sf0001, "events")
+    val viaBuiltin = graft.streaming.Sessionize.sessionWindow(ev, gapMinutes = 30)
+      .collect().map(_.toSeq).toSeq
+    val viaWindowFns = graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuiltin == viaWindowFns)
+    assert(viaBuiltin.nonEmpty)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
