@@ -63,13 +63,41 @@ object Similarity {
     * query, brute-force only inside the probed cells.
     *
     * The coarse quantizer here takes the first `nCells` corpus vectors as
-    * centroids — a deterministic stand-in for a k-means codebook (the
-    * trained path is MLlib KMeans; the plumbing is identical). */
+    * centroids — a deterministic stand-in for a k-means codebook (declared
+    * queries need oracle-replayable centroids). [[ivfTopKKMeans]] is the
+    * trained-codebook variant; both share [[ivfTopKWith]]. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int): DataFrame = {
     val e = withNorm(emb)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfTopKWith(e, cents, queryPred, k, nProbe)
+  }
+
+  /** IVF with an MLlib KMeans codebook (seeded, so runs are reproducible):
+    * the production quantizer — centroids adapt to the data distribution,
+    * so cells are balanced and recall at a given nProbe is higher than any
+    * fixed-sample codebook. Centroids are tiny (nCells × dim doubles) and
+    * broadcast; training is one MLlib job over the corpus. */
+  def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
+      nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val e = withNorm(emb)
+    val feat = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).fit(feat)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("cid", "cv")
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    ivfTopKWith(e, cents, queryPred, k, nProbe)
+  }
+
+  /** Shared IVF pipeline over a given (cid, cv, cnrm) codebook. */
+  private def ivfTopKWith(e: DataFrame, cents: DataFrame, queryPred: Column,
+      k: Int, nProbe: Int): DataFrame = {
     // index-time assignment: nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))

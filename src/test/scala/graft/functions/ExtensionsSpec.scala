@@ -32,7 +32,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
       .getMethod("registerFunctions", classOf[FunctionRegistry])
       .invoke(ext, FunctionRegistry.builtin.clone())
       .asInstanceOf[FunctionRegistry]
-    Seq("graft_dot", "graft_minhash", "graft_simhash", "graft_word_ngrams")
+    Seq("graft_dot", "graft_minhash", "graft_simhash", "graft_simhash60",
+      "graft_word_ngrams")
       .foreach { name =>
         assert(reg.functionExists(FunctionIdentifier(name)), name)
       }

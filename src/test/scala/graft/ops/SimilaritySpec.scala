@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(ivf == brute)
   }
 
+  test("KMeans-codebook IVF: exhaustive probe equals brute force; partial probe recalls") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val e = Similarity.withNorm(fixture)
+    val brute = pairs(Similarity.bruteForceTopK(
+      e.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm")),
+      e.filter(pred).select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")),
+      5))
+    // probing every cell is exhaustive search: must match exactly
+    val allCells = pairs(Similarity.ivfTopKKMeans(fixture, pred, k = 5,
+      nCells = 8, nProbe = 8))
+    assert(allCells == brute)
+    // partial probe: bounded work, useful recall (measured 0.36 @ 2/16)
+    val partial = pairs(Similarity.ivfTopKKMeans(fixture, pred, k = 5,
+      nCells = 16, nProbe = 2))
+    val recall = (partial & brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall@5 = $recall")
+  }
+
   test("dot is an exact left fold (matches manual computation)") {
     val d = emb.select(
       Similarity.dot(
