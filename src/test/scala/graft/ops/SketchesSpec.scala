@@ -42,6 +42,20 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       .foreach(k => assert(kept.contains(k), s"heavy item $k evicted"))
   }
 
+  test("built-in sketches: HLL++ distinct count and t-digest percentile tolerances") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    import org.apache.spark.sql.functions._
+    val exactD = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approxD = ev.select(approx_count_distinct(col("user_id"), 0.02)).head.getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL++ $approxD vs exact $exactD")
+    val exactP = ev.stat.approxQuantile("value", Array(0.5), 0.0).head
+    val approxP = ev.stat.approxQuantile("value", Array(0.5), 0.01).head
+    val spread = ev.select(max(col("value")) - min(col("value"))).head.getDouble(0)
+    assert(math.abs(approxP - exactP) / spread < 0.05,
+      s"approx median $approxP vs exact $exactP")
+  }
+
   test("merge is a valid sketch combine (bounds hold across partitions)") {
     val agg = new SpaceSaving(8)
     val (s1, s2) = stream.splitAt(stream.size / 3)
