@@ -31,3 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 
 // Spark tests share one local SparkSession; run suites sequentially.
 Test / parallelExecution := false
+ThisBuild / scalacOptions += "-deprecation"

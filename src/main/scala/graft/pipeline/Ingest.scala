@@ -115,7 +115,7 @@ object Ingest {
         start, end, interPageDelaySec = interPageDelaySec, sleep = sleep))
       Seq("premarket", "afterhours").foreach { sess =>
         val part = BarOps.filterSession(full, sess)
-          .select(full.columns.map(org.apache.spark.sql.functions.col): _*)
+          .select(full.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
         if (!part.isEmpty) {
           Lake.append(part, s"$tableRoot/$sess", Seq("symbol"))
           appended += part.count()
