@@ -153,12 +153,15 @@ object CatalystExpressions {
         val t = arr.getUTF8String(s).toString
         var h1 = 0L
         var h2 = 0L
+        // iterate Unicode code points, not UTF-16 code units: the DuckDB
+        // twin folds per character (string_split + ascii = code point), so
+        // surrogate pairs must hash as one value on both sides
         var i = 0
         while (i < t.length) {
-          val c = t.charAt(i).toLong
+          val c = t.codePointAt(i).toLong
           h1 = (h1 * 31 + c) % 1000000007L
           h2 = (h2 * 37 + c) % 998244353L
-          i += 1
+          i += Character.charCount(c.toInt)
         }
         h1 = (h1 * 1103515245L + 12345L) % 1000000007L
         h2 = (h2 * 69069L + 1L) % 998244353L

@@ -30,21 +30,8 @@ object BarOps {
     * path bit-for-bit.
     */
   def normalizeRaw(raw: DataFrame, symbol: String,
-      compatDoubleCast: Boolean = false): DataFrame = {
-    val ts =
-      if (compatDoubleCast) (col("t") / 1000).cast("timestamp")
-      else timestamp_millis(col("t"))
-    raw
-      .withColumn("symbol", lit(symbol))
-      .withColumn("ts", ts)
-      .select(col("ts"), col("symbol"),
-        col("o").as("open"), col("h").as("high"), col("l").as("low"),
-        col("c").as("close"),
-        col("v").cast("long").as("volume"),     // enforce declared AGG_SCHEMA
-        col("vw").as("vwap"),
-        col("n").cast("long").as("trades"))
-  }
-
+      compatDoubleCast: Boolean = false): DataFrame =
+    normalizeTagged(raw.withColumn("symbol", lit(symbol)), compatDoubleCast)
 
   /** [[normalizeRaw]] for pre-tagged wire rows (the DSv2 source emits the
     * symbol column itself): same rename/cast pipeline, symbol kept. */
@@ -58,7 +45,7 @@ object BarOps {
       .select(col("ts"), col("symbol"),
         col("o").as("open"), col("h").as("high"), col("l").as("low"),
         col("c").as("close"),
-        col("v").cast("long").as("volume"),
+        col("v").cast("long").as("volume"),     // enforce declared AGG_SCHEMA
         col("vw").as("vwap"),
         col("n").cast("long").as("trades"))
   }

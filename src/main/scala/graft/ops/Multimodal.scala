@@ -62,7 +62,9 @@ object Multimodal {
   }
 
   /** Batched resize over the payload column (same mapPartitions shape as
-    * [[extractFeatures]]). */
+    * [[extractFeatures]]). Returns (doc_id, payload); re-derive or re-join
+    * metadata downstream — the payload change invalidates size-dependent
+    * meta anyway. */
   def resize(spark: SparkSession, payloaded: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     payloaded.select(col("doc_id"), col("payload"))

@@ -34,15 +34,21 @@ object RangeJoin {
       bandMs: Long): DataFrame = {
     require(hiMs > loMs, s"empty interval [$loMs, $hiMs)")
     require(bandMs > 0, "band width must be positive")
-    def bucketOf(tsMs: Column): Column = floor(tsMs / bandMs)
-    val lMs = unix_millis(col(leftTs))
-    val rMs = unix_millis(col(rightTs))
+    // all arithmetic in microseconds — Spark timestamps are µs-precision,
+    // and a millisecond-truncated residual filter would silently drop or
+    // add pairs whose true bound falls inside the truncated millisecond
+    val loUs = loMs * 1000L
+    val hiUs = hiMs * 1000L
+    val bandUs = bandMs * 1000L
+    def bucketOf(tsUs: Column): Column = floor(tsUs / bandUs)
+    val lUs = unix_micros(col(leftTs))
+    val rUs = unix_micros(col(rightTs))
     // [lo, hi) half-open: the last covered bucket is the one holding hi-1
     val probe = left.withColumn("__bucket",
-      explode(sequence(bucketOf(lMs + loMs), bucketOf(lMs + hiMs - 1))))
-    val build = right.withColumn("__bucket", bucketOf(rMs))
+      explode(sequence(bucketOf(lUs + loUs), bucketOf(lUs + hiUs - 1))))
+    val build = right.withColumn("__bucket", bucketOf(rUs))
     probe.join(build, Seq(equiKey, "__bucket"))
-      .filter(rMs >= lMs + loMs && rMs < lMs + hiMs)
+      .filter(rUs >= lUs + loUs && rUs < lUs + hiUs)
       .drop("__bucket")
   }
 }

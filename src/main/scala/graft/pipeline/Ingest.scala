@@ -83,9 +83,15 @@ object Ingest {
       case Some(wm) => BarOps.newerThan(normalized, wm)
       case None     => normalized
     }
-    val n = deduped.count()
-    if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"), sortCols = Seq("ts"))
-    n
+    // materialize once: without the persist, count() would run the whole
+    // REST extract and the append job would run it AGAIN (double API
+    // quota, and a live feed could change between the two fetches)
+    deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = deduped.count()
+      if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"), sortCols = Seq("ts"))
+      n
+    } finally deduped.unpersist()
   }
 
   /** E2: per-session pipeline — regular bars arrive server-side filtered

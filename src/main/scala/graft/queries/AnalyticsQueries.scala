@@ -148,21 +148,16 @@ object AnalyticsQueries {
     * distinct count. */
   private val q39 = Q(
     (s, dir) => {
-      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q39-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // dropDuplicatesWithinWatermark, not plain dropDuplicates: with the
+      // event-time column absent from the keys, plain dropDuplicates
+      // retains state for every key forever — the watermark only bounds
+      // state with the WithinWatermark variant, which is what makes this
+      // runnable indefinitely. (All fixture events arrive inside one
+      // watermark window, so the oracle equals the global distinct.)
+      val deduped = Queries.stagedEventStream(s, dir, "q39")
         .withWatermark("ts", "1 day")
-        .dropDuplicates("user_id", "event_type")
-      val sink = s"q39_out_${System.nanoTime()}"
-      val sq = stream.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try sq.processAllAvailable() finally sq.stop()
-      s.table(sink)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      Queries.runToMemorySink(deduped, "q39", "append")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -179,27 +174,17 @@ object AnalyticsQueries {
     * Oracle = the same batch range-join aggregation as q37. */
   private val q40 = Q(
     (s, dir) => {
-      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q40-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream() = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val p = stream().filter(col("event_type") === "purchase")
+      val p = Queries.stagedEventStream(s, dir, "q40")
+        .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
         .withWatermark("pts", "1 day")
-      val c = stream().filter(col("event_type") === "click")
+      val c = Queries.stagedEventStream(s, dir, "q40")
+        .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("cval"))
         .withWatermark("cts", "1 day")
       val joined = p.join(c, expr(
         "user_id = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts < pts"))
-      val sink = s"q40_out_${System.nanoTime()}"
-      val sq = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try sq.processAllAvailable() finally sq.stop()
-      s.table(sink)
+      Queries.runToMemorySink(joined, "q40", "append")
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"),
           graft.ops.BarOps.moneySum(col("cval")).as("click_val"))
@@ -253,8 +238,10 @@ object AnalyticsQueries {
 
   /** Frame sampling over the opaque media payload (64-byte frames every
     * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
-    * The corpus payload is UTF-8 text, so the oracle replays the byte
-    * slicing with substr. */
+    * Oracle note: the engine slices BYTES (the right semantics for media
+    * payloads); DuckDB has no blob substring, so the oracle slices text
+    * CHARACTERS — equivalent only because the corpus is pure ASCII
+    * (verified; a non-ASCII corpus would need a byte-capable oracle). */
   private val q43 = Q(
     (s, dir) => graft.ops.Multimodal.frameSample(
         graft.ops.Multimodal.withPayload(table(s, dir, "documents")),

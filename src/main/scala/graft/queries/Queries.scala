@@ -46,6 +46,31 @@ object Queries {
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
     else "/tmp/graft-scratch"
 
+  /** Shared streaming-query scaffold: stage the events table into a
+    * landing dir (file-stream sources need a directory), open a schema'd
+    * parquet readStream with the ns→µs ts floor applied. Used by every
+    * streaming query (q19/q32/q39/q40). */
+  def stagedEventStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a uniquely-named memory
+    * sink and return the sink table. */
+  def runToMemorySink(df: DataFrame, name: String, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val sink = s"${name}_out_${System.nanoTime()}"
+    val sq = df.writeStream.outputMode(mode).format("memory").queryName(sink).start()
+    try sq.processAllAvailable() finally sq.stop()
+    s.table(sink)
+  }
+
   /** DuckDB-side events view with ts floored to Spark's microsecond domain. */
   val EV: String =
     "WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, " +
@@ -392,25 +417,11 @@ object Queries {
 
   private val q19 = Q(
     (s, dir) => {
-      // file-stream sources require a directory: stage the table file
-      // into a scratch dir (stands in for the landing dir of a real feed)
-      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q19-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = stream
+      val agg = Queries.stagedEventStream(s, dir, "q19")
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
-      val sink = s"q19_out_${System.nanoTime()}"
-      val sq = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      try sq.processAllAvailable() finally sq.stop()
-      s.table(sink)
+      Queries.runToMemorySink(agg, "q19", "complete")
         .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("val_sum"))
         .orderBy("bucket", "event_type")
     },

@@ -223,22 +223,12 @@ object TrainingDataQueries {
   private val q32 = Q(
     (s, dir) => {
       import s.implicits._
-      // stage the table file into a landing dir (file-stream source)
-      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q32-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      val stream = Queries.stagedEventStream(s, dir, "q32")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
         .as[graft.streaming.Sessionize.Ev]
       val sessions = graft.streaming.Sessionize.streaming(stream, gapMinutes = 30)
-      val sink = s"q32_out_${System.nanoTime()}"
-      val sq = sessions.writeStream.outputMode("update")
-        .format("memory").queryName(sink).start()
-      try sq.processAllAvailable() finally sq.stop()
-      graft.streaming.Sessionize.latestSnapshot(s.table(sink))
+      graft.streaming.Sessionize.latestSnapshot(
+        Queries.runToMemorySink(sessions.toDF(), "q32", "update"))
     },
     Some("WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts, user_id, event_id FROM events), " +
       "g AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER " +

@@ -70,11 +70,18 @@ final class BarsTable(options: CaseInsensitiveStringMap)
 
 final class BarsScan(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch {
-  private val symbols = options.get("symbols").split(",").map(_.trim).filter(_.nonEmpty)
+  private def required(key: String): String = {
+    val v = options.get(key)
+    require(v != null && v.nonEmpty,
+      s"graft-bars requires option '$key' (symbols, baseUrl, start, end)")
+    v
+  }
+  private val symbols = required("symbols").split(",").map(_.trim).filter(_.nonEmpty)
+  require(symbols.nonEmpty, "graft-bars: 'symbols' must name at least one ticker")
   private val cfg = BarsReaderConfig(
-    baseUrl = options.get("baseUrl"),
-    start = options.get("start"),
-    end = options.get("end"),
+    baseUrl = required("baseUrl"),
+    start = required("start"),
+    end = required("end"),
     session = Option(options.get("session")),
     transportKey = Option(options.get("transportKey")),
     interPageDelaySec = Option(options.get("interPageDelaySec"))

@@ -21,12 +21,32 @@ class JoinOpsSpec extends AnyFunSuite with SparkTest {
       .select($"pid", $"cid").as[(Long, Long)].collect().toSet
 
     val naive = p.join(c, Seq("user_id"))
-      .filter(unix_millis($"cts") >= unix_millis($"pts") - 3600000L &&
-        unix_millis($"cts") < unix_millis($"pts"))
+      .filter(unix_micros($"cts") >= unix_micros($"pts") - 3600000000L &&
+        unix_micros($"cts") < unix_micros($"pts"))
       .select($"pid", $"cid").as[(Long, Long)].collect().toSet
 
     assert(naive.nonEmpty, "fixture must produce at least one in-range pair")
     assert(banded == naive)
+  }
+
+  test("bandedRangeJoin keeps microsecond precision at the interval bounds") {
+    import spark.implicits._
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val baseUs = 1700000000000000L
+    val l = Seq((1L, ts(baseUs + 900))).toDF("k", "lts") // +900µs past the ms
+    val r = Seq(
+      (1L, 201L, ts(baseUs + 100)), // 800µs before left: in [lo, hi)
+      (1L, 202L, ts(baseUs + 900)), // == left: excluded by hi (half-open)
+      (1L, 203L, ts(baseUs - 3600000000L + 899L)) // 1µs before lo: out
+    ).toDF("k", "rid", "rts")
+    val got = RangeJoin.bandedRangeJoin(l, r, "k", "lts", "rts",
+        -3600000L, 0L, 3600000L)
+      .select($"rid").as[Long].collect().toSet
+    assert(got == Set(201L))
   }
 
   test("bandedRangeJoin half-open bounds: hit at lo, miss at hi") {
@@ -67,8 +87,8 @@ class JoinOpsSpec extends AnyFunSuite with SparkTest {
         .bandedRangeJoin(left, right, "k", "lts", "rts", lo, hi, band)
         .select($"lid", $"rid").as[(Long, Long)].collect().toSet
       val naive = left.join(right, Seq("k"))
-        .filter(unix_millis($"rts") >= unix_millis($"lts") + lo &&
-          unix_millis($"rts") < unix_millis($"lts") + hi)
+        .filter(unix_micros($"rts") >= unix_micros($"lts") + lo * 1000 &&
+          unix_micros($"rts") < unix_micros($"lts") + hi * 1000)
         .select($"lid", $"rid").as[(Long, Long)].collect().toSet
       assert(banded == naive, s"case (lo=$lo, hi=$hi, band=$band)")
       assert(naive.nonEmpty, s"degenerate case (lo=$lo, hi=$hi, band=$band)")
