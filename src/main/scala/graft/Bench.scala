@@ -44,8 +44,10 @@ object Bench {
     queries.foreach { case (_, fn) => run(fn) }
 
     val results = queries.filterNot(q => notTimed(q._1)).map { case (name, fn) =>
-      val ts = Seq.fill(3)(run(fn)).sorted
-      name -> ts(1) // median of 3
+      val ts = Seq.fill(3)(run(fn))
+      // any failed rep marks the query failed (-1): a crashing rep must
+      // never bias the median toward the surviving (faster) runs
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

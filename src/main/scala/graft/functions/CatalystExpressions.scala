@@ -223,26 +223,23 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Register the expressions as SQL temp functions in a session (idempotent
-    * per session). Ops call Column-side via functions.call_function. */
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
+  /** Register the expressions as SQL temp functions in a session.
+    * createOrReplaceTempFunction is idempotent, so no session-identity
+    * guard is needed (an identityHashCode-keyed cache could collide after
+    * GC and silently skip a fresh session). Ops call Column-side via
+    * functions.call_function. */
   def register(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (registered.add(key)) {
-      val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("graft_dot",
-        es => DotProduct(es.head, es(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_minhash",
-        es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction("graft_simhash",
-        es => SimHash64(es.head), "built-in")
-      reg.createOrReplaceTempFunction("graft_simhash60",
-        es => SimHash60(es.head), "built-in")
-      reg.createOrReplaceTempFunction("graft_word_ngrams",
-        es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
-    }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_ngrams",
+      es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
 

@@ -44,10 +44,4 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % PolyMod)
 
-  /** Jaccard similarity of two pre-distinct shingle arrays, as an exact
-    * rational computed in double (bit-stable across engines). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
 }

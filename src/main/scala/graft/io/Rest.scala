@@ -62,13 +62,16 @@ object Rest {
           catch { case e: Exception => Left(e) }
         result match {
           case Right(r) if r.status == 429 && n < policy.maxRetries =>
-            // honor Retry-After when present, else exponential backoff
-            val wait = r.headers.get("Retry-After").flatMap(_.toDoubleOption)
+            // honor Retry-After when present (case-insensitive: HTTP/2
+            // transports deliver lowercase header names), else backoff
+            val wait = r.headers.collectFirst {
+                case (k, v) if k.equalsIgnoreCase("Retry-After") => v
+              }.flatMap(_.toDoubleOption)
               .getOrElse(policy.baseWaitSec * math.pow(policy.backoffFactor, n))
             sleep(wait); attempt(n + 1)
           case Right(r) if r.status >= 500 && n < policy.maxRetries =>
             sleep(policy.baseWaitSec * math.pow(policy.backoffFactor, n)); attempt(n + 1)
-          case Right(r) if r.status >= 400 && r.status != 429 =>
+          case Right(r) if r.status >= 400 && r.status < 500 && r.status != 429 =>
             throw new RuntimeException(s"HTTP ${r.status} for $url (fail fast)")
           case Right(r) if r.status >= 500 || r.status == 429 =>
             throw new RuntimeException(s"HTTP ${r.status} for $url after ${policy.maxRetries} retries")

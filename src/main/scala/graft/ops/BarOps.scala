@@ -103,7 +103,7 @@ object BarOps {
   def resampleOhlcv(df: DataFrame, key: Column, ts: Column, value: Column,
       tieBreak: Column, bucket: String = "hour"): DataFrame = {
     val ord = struct(ts, tieBreak)
-    df.groupBy(key.as("key"), date_trunc(bucket, ts).as("bucket"))
+    df.groupBy(key, date_trunc(bucket, ts).as("bucket"))
       .agg(
         min_by(value, ord).as("open"),
         max(value).as("high"),

@@ -56,6 +56,9 @@ object Dedup {
       shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     graft.functions.CatalystExpressions.register(docs.sparkSession)
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands, otherwise the last k%bands " +
+        "signature positions are silently excluded from banding")
     val r = k / bands
     val withSets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWidth).as("sh"))

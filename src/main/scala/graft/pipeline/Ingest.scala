@@ -37,9 +37,12 @@ object Ingest {
       granularity: Windows.Granularity = Windows.OneMinute,
       interPageDelaySec: Double = 12.0,
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Map[String, Long] = {
-    val lakeExists = Lake.exists(spark, lakePath)
-    val maxTs =
-      if (lakeExists) BarOps.maxTs(Lake.read(spark, lakePath)) else None
+    // lazy + by-name into the planner: the full-lake max(ts) scan only
+    // runs when something actually needs the watermark (fullLoad with a
+    // user window never does - on a 100 TB lake that is a big job)
+    lazy val maxTs =
+      if (Lake.exists(spark, lakePath)) BarOps.maxTs(Lake.read(spark, lakePath))
+      else None
     val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
     symbols.map { symbol =>
       val wire = Rest.fetchAggregates(http, baseUrl, symbol, window.start,
@@ -68,9 +71,9 @@ object Ingest {
       granularity: Windows.Granularity = Windows.OneMinute,
       transportKey: Option[String] = None,
       interPageDelaySec: Double = 12.0): Long = {
-    val lakeExists = Lake.exists(spark, lakePath)
-    val maxTs =
-      if (lakeExists) BarOps.maxTs(Lake.read(spark, lakePath)) else None
+    lazy val maxTs =
+      if (Lake.exists(spark, lakePath)) BarOps.maxTs(Lake.read(spark, lakePath))
+      else None
     val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
     var reader = spark.read.format("graft-bars")
       .option("symbols", symbols.mkString(","))

@@ -154,19 +154,10 @@ object Queries {
     "D5 partitioned parquet write + append + read-back round trip (A20/A21)")
 
   private val q06 = Q(
-    (s, dir) => {
-      val ord = struct(col("ts"), col("event_id"))
-      table(s, dir, "events")
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(
-          min_by(col("value"), ord).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          max_by(col("value"), ord).as("close"),
-          moneySum(col("value")).as("volume"),
-          count(lit(1)).as("n"))
-        .orderBy("user_id", "bucket")
-    },
+    (s, dir) => graft.ops.BarOps.resampleOhlcv(table(s, dir, "events"),
+        key = col("user_id"), ts = col("ts"), value = col("value"),
+        tieBreak = col("event_id"))
+      .orderBy("user_id", "bucket"),
     Some(EV + " SELECT user_id, date_trunc('hour', ts) AS bucket, " +
       s"arg_min(value, ${tsIdKey("ts", "event_id")}) AS open, max(value) AS high, " +
       s"min(value) AS low, arg_max(value, ${tsIdKey("ts", "event_id")}) AS close, " +
@@ -370,12 +361,7 @@ object Queries {
       val qv = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
       val cand = e.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor"))
-      cand.crossJoin(broadcast(qv))
-        .filter(col("neighbor") =!= col("qid"))
-        .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+      graft.ops.Similarity.bruteForceTopK(cand, qv, k = 5)
         .select(col("qid"), col("rnk"), col("neighbor"), round(col("sim"), 6).as("sim"))
         .orderBy("qid", "rnk")
     },

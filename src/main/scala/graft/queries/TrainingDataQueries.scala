@@ -84,8 +84,8 @@ object TrainingDataQueries {
       "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter), 6) AS jac " +
       "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
       "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.5 ORDER BY da, db"),
-    "Exact char-8-gram Jaccard near-dup pairs, blocked by lang, via " +
-      "inverted shingle-index join (never a cross join)")
+    "Exact word-5-gram Jaccard near-dup pairs, blocked by lang, via " +
+      "prefix-filtered inverted shingle-index join (never a cross join)")
 
   private val q23 = Q(
     (s, dir) => Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4),

@@ -63,7 +63,12 @@ object Sessionize {
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.ts_us - s.end <= gapUs =>
-          cur = Some(s.copy(end = e.ts_us, n = s.n + 1))
+          // min/max, not assignment: a late event from a previous
+          // micro-batch may fall inside the stored session, and moving
+          // `end` backwards would later split a session the batch twin
+          // (and oracle) keep whole
+          cur = Some(s.copy(start = math.min(s.start, e.ts_us),
+            end = math.max(s.end, e.ts_us), n = s.n + 1))
         case Some(s) => // close previous, open new
           out += SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
           cur = Some(SessionState(e.ts_us, e.ts_us, 1))
