@@ -53,7 +53,7 @@ object Sessionize {
       .orderBy("user_id", "session_start")
   }
 
-  private def sessionizeGroup(gapUs: Long)(
+  private[streaming] def sessionizeGroup(gapUs: Long)(
       userId: Long, events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     // state funcs see an unordered batch: order explicitly

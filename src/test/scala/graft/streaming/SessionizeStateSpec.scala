@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize.{Ev, SessionState}
+
+/** Unit tests of the keyed state-transition function itself, covering the
+  * cross-micro-batch cases a single-batch file stream cannot reach. */
+class SessionizeStateSpec extends AnyFunSuite {
+
+  /** Minimal in-memory GroupState (only the methods the function uses). */
+  private final class FakeState(var opt: Option[SessionState])
+      extends GroupState[SessionState] {
+    def exists: Boolean = opt.isDefined
+    def get: SessionState = opt.get
+    def getOption: Option[SessionState] = opt
+    def update(s: SessionState): Unit = opt = Some(s)
+    def remove(): Unit = opt = None
+    def hasTimedOut: Boolean = false
+    def setTimeoutDuration(ms: Long): Unit = ()
+    def setTimeoutDuration(d: String): Unit = ()
+    def setTimeoutTimestamp(ms: Long): Unit = ()
+    def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+    def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+    def getCurrentWatermarkMs(): Long = 0L
+    def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  private val gapUs = 30L * 60 * 1000000 // 30 min
+  private def min(m: Long): Long = m * 60 * 1000000
+
+  test("a late event inside the stored session never moves the end backwards") {
+    // batch 1: events at 0 and 1000s -> state end = 1000s
+    val st = new FakeState(None)
+    Sessionize.sessionizeGroup(gapUs)(1L,
+      Iterator(Ev(1L, 0L, 1L), Ev(1L, 1000L * 1000000, 2L)), st).toList
+    assert(st.get.end == 1000L * 1000000)
+    // batch 2: late event at 500s merges but must keep end = 1000s
+    Sessionize.sessionizeGroup(gapUs)(1L,
+      Iterator(Ev(1L, 500L * 1000000, 3L)), st).toList
+    assert(st.get.end == 1000L * 1000000, "late event moved session end backwards")
+    assert(st.get.n == 3)
+    // batch 3: event at 2400s is within 30min of the TRUE end (1000s ->
+    // gap 1400s < 1800s): must extend, not open a new session
+    val out = Sessionize.sessionizeGroup(gapUs)(1L,
+      Iterator(Ev(1L, 2400L * 1000000, 4L)), st).toList
+    assert(st.get.n == 4, "session was wrongly split after a late event")
+    assert(out.map(_.n).max == 4)
+  }
+
+  test("a late event before the stored start extends the start") {
+    val st = new FakeState(Some(SessionState(min(10), min(20), 2)))
+    Sessionize.sessionizeGroup(gapUs)(1L, Iterator(Ev(1L, min(5), 9L)), st).toList
+    assert(st.get.start == min(5) && st.get.end == min(20) && st.get.n == 3)
+  }
+}
