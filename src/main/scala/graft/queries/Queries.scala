@@ -80,6 +80,17 @@ object Queries {
   def dsum(sqlExpr: String): String =
     s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** DuckDB twin of Spark's `round(col, 6)` on DOUBLE. Spark's Round
+    * does `BigDecimal.valueOf(x)` (= Double.toString — the SHORTEST
+    * decimal representation) then HALF_UP; DuckDB's float round goes
+    * through x*1e6 whose binary value can land exactly on .5 and round
+    * the other way (hit at sf0.1: shortest repr 0.47531249999999997 →
+    * Spark 0.475312, DuckDB 0.475313). Casting DOUBLE→VARCHAR in DuckDB
+    * also produces the shortest round-trip representation, so
+    * VARCHAR→DECIMAL→round replays Spark's exact semantics. */
+  def dround6(sqlExpr: String): String =
+    s"CAST(round(CAST(CAST($sqlExpr AS VARCHAR) AS DECIMAL(28,18)), 6) AS DOUBLE)"
+
   // ---------------------------------------------------------------------
   // D1–D7: projection / casts / sessionization / watermark / write / agg
   // ---------------------------------------------------------------------
@@ -369,7 +380,7 @@ object Queries {
       duckDot + " / (q.nrm * c.nrm) AS sim " +
       "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id), " +
       "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM p) " +
-      "SELECT qid, rnk, neighbor, round(sim, 6) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+      "SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
     "D17 brute-force cosine top-5 for the vec_id%10=0 query set")
 
   private val q18 = Q(

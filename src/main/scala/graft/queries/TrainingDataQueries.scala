@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.Queries.{ddot, dsum, duckEmb, table, Q}
+import graft.queries.Queries.{ddot, dround6, dsum, duckEmb, table, Q}
 
 /** Training-data pipeline operator pack: deduplication, similarity search,
   * multimodal columns, text analysis (BASELINE.json north star, beyond the
@@ -30,7 +30,7 @@ object TrainingDataQueries {
       ", c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
       "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
-      "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter), 6) AS jac " +
+      "SELECT da, db, " + dround6("CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter)") + " AS jac " +
       "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
       "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8 ORDER BY da, db"),
     "MinHash+LSH near-dup detection (word 3-gram shingles, 128 hashes, " +
@@ -81,7 +81,7 @@ object TrainingDataQueries {
       "FROM s a JOIN s b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2), " +
       "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
-      "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter), 6) AS jac " +
+      "SELECT da, db, " + dround6("CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter)") + " AS jac " +
       "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
       "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.5 ORDER BY da, db"),
     "Exact word-5-gram Jaccard near-dup pairs, blocked by lang, via " +
@@ -90,7 +90,7 @@ object TrainingDataQueries {
   private val q23 = Q(
     (s, dir) => Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4),
     Some(duckEmb + " SELECT q.vec_id AS ida, c.vec_id AS idb, " +
-      s"round(${ddot("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS sim " +
+      dround6(s"${ddot("q.v", "c.v")} / (q.nrm * c.nrm)") + " AS sim " +
       "FROM n q JOIN n c ON q.vec_id < c.vec_id " +
       s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4 ORDER BY ida, idb"),
     "Embedding cosine near-dup pairs (threshold 0.4)")
@@ -117,11 +117,11 @@ object TrainingDataQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
       .orderBy("doc_id"),
-    Some("SELECT doc_id, round(" +
+    Some("SELECT doc_id, " + dround6(
       "0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE)/200.0, 1.0) + " +
       "0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) + " +
-      "0.3 * least(((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) / 8.0, 1.0)" +
-      ", 6) AS score FROM documents ORDER BY doc_id"),
+      "0.3 * least(((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) / 8.0, 1.0)") +
+      " AS score FROM documents ORDER BY doc_id"),
     "Document quality scoring: token count + type-token ratio + word length")
 
   private val q26 = Q(
@@ -130,7 +130,7 @@ object TrainingDataQueries {
       .orderBy("doc_id"),
     Some("SELECT doc_id, len(string_split(text, ' ')) AS ws_toks, " +
       "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_toks, " +
-      "round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_tok " +
+      dround6("CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))") + " AS chars_per_tok " +
       "FROM documents ORDER BY doc_id"),
     "Token counting: whitespace + regex tokenizer")
 
@@ -167,7 +167,7 @@ object TrainingDataQueries {
         "top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
         s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
         "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1) " +
-        "SELECT qid, rnk, neighbor, round(sim, 6) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+        "SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
       base
     }
     Q(
