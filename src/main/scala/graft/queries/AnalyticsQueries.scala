@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{RangeJoin, Skew}
-import graft.queries.Queries.{dsum, table, EV, Q}
+import graft.queries.Queries.{dround, dsum, table, EV, Q}
 
 /** Analytic operator pack beyond the D1–D19 declared surface: pivot,
   * cube/grouping sets, exact percentiles, semi-structured (JSON)
@@ -67,9 +67,9 @@ object AnalyticsQueries {
         round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
       .orderBy("l_returnflag"),
     Some("SELECT l_returnflag, " +
-      "round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
-      "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
-      "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 " +
+      dround("quantile_cont(l_extendedprice, 0.25)", 4) + " AS p25, " +
+      dround("quantile_cont(l_extendedprice, 0.5)", 4) + " AS p50, " +
+      dround("quantile_cont(l_extendedprice, 0.95)", 4) + " AS p95 " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "Exact interpolated percentiles per return flag")
 

@@ -88,8 +88,10 @@ object Queries {
     * Spark 0.475312, DuckDB 0.475313). Casting DOUBLE→VARCHAR in DuckDB
     * also produces the shortest round-trip representation, so
     * VARCHAR→DECIMAL→round replays Spark's exact semantics. */
-  def dround6(sqlExpr: String): String =
-    s"CAST(round(CAST(CAST($sqlExpr AS VARCHAR) AS DECIMAL(28,18)), 6) AS DOUBLE)"
+  def dround6(sqlExpr: String): String = dround(sqlExpr, 6)
+
+  def dround(sqlExpr: String, scale: Int): String =
+    s"CAST(round(CAST(CAST($sqlExpr AS VARCHAR) AS DECIMAL(28,18)), $scale) AS DOUBLE)"
 
   // ---------------------------------------------------------------------
   // D1–D7: projection / casts / sessionization / watermark / write / agg
