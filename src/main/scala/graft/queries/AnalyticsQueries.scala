@@ -275,7 +275,57 @@ object AnalyticsQueries {
     "SpaceSaving heavy-hitters sketch (typed Aggregator, mergeable for " +
       "map-side partial aggregation); exact at this capacity")
 
+  /** Time-range window frame: trailing 1-hour sum/count per user — the
+    * moving-aggregate class q11's row frames can't express (peers are
+    * "events within the last hour", not "the last k rows"). The frame sum
+    * accumulates in decimal so Spark's sliding-window incremental sum and
+    * DuckDB's recompute produce the identical exact value. */
+  private val q45 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L) // [ts - 1h, ts] in µs
+      table(s, dir, "events")
+        .select(col("event_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("val_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy("event_id")
+    },
+    Some(EV + " SELECT event_id, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS val_1h, " +
+      "count(*) OVER w AS n_1h FROM ev " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"),
+    "Trailing 1-hour range-frame window aggregates per user")
+
+  /** Unpivot (wide → long reshape): lineitem's three money columns as
+    * (metric, value) rows, aggregated per (returnflag, metric). */
+  private val q46 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("v")).as("sum_v"))
+      .orderBy("l_returnflag", "metric"),
+    Some("WITH u AS (" +
+      "SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem " +
+      "UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem " +
+      "UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) " +
+      "SELECT l_returnflag, metric, count(*) AS n, " + dsum("v") + " AS sum_v " +
+      "FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
+    "Unpivot (wide-to-long reshape) + grouped aggregation per metric")
+
   val all: Map[String, Q] = Map(
+    "q45_window_range" -> q45,
+    "q46_unpivot" -> q46,
     "q44_heavy_hitters" -> q44,
     "q43_frame_sample" -> q43,
     "q41_json_roundtrip" -> q41,
