@@ -6,9 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[cpus], prints ONE JSON line
   * {"metric","value","unit","queries","sf"}.
   *
+  * The same line is also written to a file (SPARK_GRAFT_BENCH_OUT, default
+  * ./BENCH_LOCAL.json): sbt prefixes stdout with [info] and interleaves
+  * WARN noise, which once made the driver's artifact record "parsed":null
+  * — the file copy can never be misparsed.
+  *
   * Protocol per BASELINE.md: warm JVM (one untimed pass), then median of 3
   * timed runs per query. q19 (streaming) is verified for batch-equivalence
-  * in Verify but not timed, per the BENCH definition.
+  * in Verify but not timed, per the BENCH definition. Host 1-min load
+  * average is recorded before/after so a contended-host run is visible in
+  * the artifact instead of standing as the round's official number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,6 +47,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    val load0 = loadAvg
     // warm-up pass: JIT, codegen cache, file listing
     queries.foreach { case (_, fn) => run(fn) }
 
@@ -52,7 +63,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","load_start":$load0,"load_end":$loadAvg}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $outFile: $e") }
     spark.stop()
   }
 }

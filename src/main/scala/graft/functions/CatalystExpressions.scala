@@ -179,6 +179,42 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Polynomial rolling hash over the BYTES of a binary column:
+    * Σ b·31^i mod 1e9+7, left-to-right — the binary twin of
+    * TextFunctions.polyHash (equal on pure-ASCII payloads), codegen'd so
+    * binary feature extraction stays a plain Project (no object
+    * deserialization boundary). */
+  case class BytePolyHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bytehash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      var acc = 0L
+      var i = 0
+      while (i < bytes.length) {
+        acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $b.length; $i++) {
+           |  $acc = ($acc * 31L + ($b[$i] & 0xff)) % 1000000007L;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of a single-space-separated string, in
     * first-occurrence order — the compiled form of the transform/slice/
     * concat_ws/array_distinct HOF chain (which costs ~16µs per shingle
@@ -240,6 +276,8 @@ object CatalystExpressions {
       es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_word_ngrams",
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_bytehash",
+      es => BytePolyHash(es.head), "built-in")
   }
 }
 
@@ -272,5 +310,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "_FUNC_(text, n) - distinct word n-gram shingles"),
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_bytehash"),
+      info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
+      es => BytePolyHash(es.head)))
   }
 }

@@ -130,8 +130,10 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the dedup shuffle then carries only pairs
+      // that survive the Hamming cut, not every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -154,11 +156,15 @@ object Dedup {
       shingle(col(textCol)).as("sh"))
     val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
-    // document frequency as a window over the posting list: one shuffle on
-    // (blk, g) instead of groupBy + re-join (two shuffles of the same rows)
-    val dfreq = count(lit(1)).over(Window.partitionBy(col("blk"), col("g")))
+    // document frequency via groupBy + broadcast join-back: the shingle
+    // vocabulary is small relative to the posting list (bounded vocab), so
+    // the partial-aggregated (blk, g, df) map broadcasts — the full posting
+    // list is never shuffled for the df computation, leaving the per-doc
+    // prefix window as the only posting-list shuffle
+    val dfreq = broadcast(inv.groupBy(col("blk"), col("g"))
+      .agg(count(lit(1)).as("df")))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
-    val prefix = inv.withColumn("df", dfreq)
+    val prefix = inv.join(dfreq, Seq("blk", "g"))
       .withColumn("pos", row_number().over(wOrd))
       .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select(col("id"), col("blk"), col("g"))

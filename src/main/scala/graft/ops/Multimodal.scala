@@ -39,8 +39,29 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
       struct(lit("text/plain").as("mime"), length(col("text")).as("n_chars")).as("meta"))
 
+  /** Feature extraction over the binary column as pure column expressions
+    * (the [[decodeStub]] features are all expressible declaratively):
+    * stays inside whole-stage codegen, no encoder/object boundary, no
+    * shuffle. `first_byte` reads the payload's first octet unsigned via
+    * substr→hex→conv (all codegen'd, O(1)); the checksum is the compiled
+    * BytePolyHash expression. This is the default path; [[extractFeatures]]
+    * keeps the mapPartitions shape for real codecs that force imperative
+    * per-batch decode. */
+  def extractFeaturesDeclarative(docs: DataFrame): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    withPayload(docs).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      when(length(col("payload")) === 0, lit(-1))
+        .otherwise(conv(hex(col("payload").substr(1, 1)), 16, 10).cast("int"))
+        .as("first_byte"),
+      call_function("graft_bytehash", col("payload")).as("checksum"))
+  }
+
   /** Distributed feature extraction over the binary column: mapPartitions
-    * keeps decode batched per task (the Scala analogue of mapInPandas). */
+    * keeps decode batched per task (the Scala analogue of mapInPandas) —
+    * the shape a real codec needs; for stub-expressible features prefer
+    * [[extractFeaturesDeclarative]]. */
   def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     withPayload(docs)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,9 +14,23 @@ import org.apache.spark.sql.functions._
   * the corpus once — linear, shuffle-free except the final per-query top-k.
   * `ivfTopK` adds an inverted-file coarse quantizer: vectors are bucketed
   * by nearest centroid at index time; queries probe only `nProbe` buckets,
-  * cutting the scan by ~|buckets|/nProbe at 100 TB.
+  * cutting the scan by ~|buckets|/nProbe at 100 TB. The codebook is tiny
+  * (nCells × dim doubles), so it is collected once and baked into the plan
+  * as a literal array: cell assignment is a per-row argmax *projection* —
+  * no crossJoin row expansion, no shuffle, the whole assignment stays in
+  * the scan stage.
+  *
+  * `cosinePairsBlocked` turns the all-pairs near-dup search into an exact
+  * cell-blocked join: the same IVF assignment plus a triangle-inequality
+  * admissibility matrix over cell pairs (computed from measured cell radii)
+  * bounds which cell pairs can possibly hold a qualifying pair, so
+  * candidate generation is an equi-join on the partner cell — never a
+  * nested-loop — while the output provably equals the brute-force answer.
   */
 object Similarity {
+
+  /** Driver-side codebook entry (nCells × dim doubles — always tiny). */
+  final case class Centroid(cid: Long, cv: Array[Double], cnrm: Double)
 
   /** vec_id + v (double array) + nrm (L2 norm, left-fold). */
   def withNorm(embeddings: DataFrame, idCol: String = "vec_id",
@@ -46,12 +60,78 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** All pairs (ida < idb) with cosine >= threshold — embedding near-dup.
-    * Quadratic by definition; at scale, gate behind LSH/IVF blocking. */
+  /** All pairs (ida < idb) with cosine >= threshold, via explicit all-pairs
+    * comparison. Quadratic by construction — kept only as the tiny-N
+    * reference implementation and spec oracle for [[cosinePairsBlocked]],
+    * which computes the identical answer with a linear-shuffle plan. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm(emb).select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
     val b = withNorm(emb).select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ida") < col("idb"))
+      .withColumn("sim", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
+      .orderBy("ida", "idb")
+  }
+
+  /** Exact embedding near-dup pairs with a blocked (never nested-loop)
+    * plan. Steps:
+    *
+    *  1. assign every vector to its nearest of `nCells` centroids — a
+    *     per-row argmax projection over the broadcast codebook (no
+    *     expansion, no shuffle);
+    *  2. measure each cell's angular radius r(c) = max angle(member, c)
+    *     (one tiny groupBy over ≤ nCells keys);
+    *  3. on the driver, mark cell pair (ca, cb) admissible iff
+    *     angle(ca, cb) − r(ca) − r(cb) ≤ θ_t (θ_t = arccos(threshold)):
+    *     by the spherical triangle inequality, any pair (a, b) with
+    *     angle(a, b) ≤ θ_t satisfies
+    *     angle(ca, cb) ≤ r(ca) + angle(a, b) + r(cb), so every qualifying
+    *     pair lives inside an admissible cell pair — the blocking is
+    *     LOSSLESS and the output equals [[cosinePairs]] exactly;
+    *  4. candidate generation = equi-join on the partner cell over the
+    *     (tiny, broadcast) admissibility table; exact-cosine verify.
+    *
+    * The admissibility table contains both orderings of each pair plus the
+    * diagonal; the `ida < idb` predicate then emits every unordered pair
+    * exactly once, so no distinct pass is needed. Worst case (one dense
+    * blob) degrades to all admissible pairs — still an equi-join, and data
+    * with any cluster structure prunes most of the nCells² combinations. */
+  def cosinePairsBlocked(emb: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val e = withNorm(emb)
+    val cents = collectCentroids(e, nCells)
+    val assigned = assignCells(e, cents)
+      .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
+    val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    def angle(a: Centroid, b: Centroid): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < math.min(a.cv.length, b.cv.length)) { d += a.cv(i) * b.cv(i); i += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, d / (a.cnrm * b.cnrm))))
+    }
+    // ε absorbs acos rounding near ±1; it can only ADD candidate cell
+    // pairs, never lose a qualifying pair
+    val eps = 1e-6
+    val admissible = for {
+      a <- cents
+      b <- cents
+      ra <- radii.get(a.cid).toSeq
+      rb <- radii.get(b.cid).toSeq
+      if angle(a, b) - ra - rb <= thetaT + eps
+    } yield (a.cid, b.cid)
+    import spark.implicits._
+    val adm = broadcast(admissible.toDF("ca", "cb"))
+    val left = assigned
+      .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"), col("cell"))
+      .join(adm, col("cell") === col("ca"))
+    val right = assigned
+      .select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
+        col("cell").as("cellb"))
+    left.join(right, col("cb") === col("cellb") && col("ida") < col("idb"))
       .withColumn("sim", cosine(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
@@ -69,53 +149,85 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int): DataFrame = {
     val e = withNorm(emb)
-    val cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    ivfTopKWith(e, cents, queryPred, k, nProbe)
+    ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe)
   }
 
   /** IVF with an MLlib KMeans codebook (seeded, so runs are reproducible):
     * the production quantizer — centroids adapt to the data distribution,
     * so cells are balanced and recall at a given nProbe is higher than any
-    * fixed-sample codebook. Centroids are tiny (nCells × dim doubles) and
-    * broadcast; training is one MLlib job over the corpus. */
+    * fixed-sample codebook. Training is one MLlib job over the corpus; the
+    * centroids come back driver-side, exactly where [[ivfTopKWith]] wants
+    * them. */
   def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
     val e = withNorm(emb)
     val feat = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).fit(feat)
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
-      .toDF("cid", "cv")
-      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val cents = model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+      val arr = c.toArray
+      var acc = 0.0
+      var j = 0
+      while (j < arr.length) { acc += arr(j) * arr(j); j += 1 }
+      Centroid(i.toLong, arr, math.sqrt(acc))
+    }
     ivfTopKWith(e, cents, queryPred, k, nProbe)
   }
 
-  /** Shared IVF pipeline over a given (cid, cv, cnrm) codebook. */
-  private def ivfTopKWith(e: DataFrame, cents: DataFrame, queryPred: Column,
+  /** First-nCells deterministic codebook, collected driver-side (nCells ×
+    * dim doubles — the same scale as any broadcast variable). */
+  private def collectCentroids(e: DataFrame, nCells: Int): Seq[Centroid] =
+    e.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid)
+      .toSeq
+
+  /** Literal array<struct<cv,cnrm>> of the codebook, cid-ascending. */
+  private def centLiteral(cents: Seq[Centroid]): Column =
+    array(cents.map(c =>
+      struct(typedLit(c.cv.toSeq).as("cv"), lit(c.cnrm).as("cnrm"))): _*)
+
+  /** Per-row cosine to every centroid: an nCells-element array computed in
+    * one projection (compiled dot inside the HOF lambda). */
+  private def cellSims(centArr: Column, v: Column, nrm: Column): Column =
+    transform(centArr, c => dot(v, c("cv")) / (nrm * c("cnrm")))
+
+  /** Nearest-centroid assignment as a pure projection: argmax of the
+    * per-row sim array; first max position = lowest cid on ties, matching
+    * the (csim DESC, cid ASC) order the oracle replays. Adds
+    * `cell` and `best_sim`; carries vec_id, v, nrm. */
+  private def assignCells(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val cidArr = typedLit(cents.map(_.cid))
+    e.withColumn("csims", cellSims(centLiteral(cents), col("v"), col("nrm")))
+      .withColumn("best_sim", array_max(col("csims")))
+      .withColumn("cell", element_at(cidArr,
+        array_position(col("csims"), col("best_sim")).cast("int")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("best_sim"))
+  }
+
+  /** Shared IVF pipeline over a driver-side codebook. Assignment and probe
+    * are both shuffle-free projections; the only wide operations left are
+    * the cell join (probe side broadcast — the corpus never moves) and the
+    * final per-query top-k. */
+  private def ivfTopKWith(e: DataFrame, cents: Seq[Centroid], queryPred: Column,
       k: Int, nProbe: Int): DataFrame = {
-    // index-time assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("nrm"), col("cv"), col("cnrm")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    // query-time: probe top-nProbe cells
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val cidArr = typedLit(cents.map(_.cid))
+    val assigned = assignCells(e, cents).drop("best_sim")
+    // query-time: top-nProbe cells = sort of an nCells-element array per
+    // row — (−sim, cid) struct sort replays (csim DESC, cid ASC) exactly
     val probes = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("qv"), col("qnrm"), col("cv"), col("cnrm")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("qid"), col("qv"), col("qnrm"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        explode(transform(
+          slice(array_sort(zip_with(
+            cellSims(centLiteral(cents), col("qv"), col("qnrm")), cidArr,
+            (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
+          x => x("cid"))).as("cell"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    probes.join(assigned, "cell")
+    assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("qnrm"), col("v"), col("nrm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))

@@ -279,11 +279,21 @@ object Queries {
 
   private val q13 = Q(
     (s, dir) => {
-      val ok = table(s, dir, "orders").select(col("o_orderkey").as("okey"))
-      val lk = table(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
-      val both = ok.intersect(lk).withColumn("tag", lit("both"))
-      val only = ok.except(lk).withColumn("tag", lit("orders_only"))
-      both.union(only).orderBy("okey", "tag")
+      // one-pass INTERSECT/EXCEPT: union the keysets with a source flag and
+      // derive both tags from one groupBy — a single keyed shuffle (with
+      // map-side partial agg) instead of the two distinct-shuffle pairs
+      // that separate intersect + except plans cost over the same inputs
+      val ok = table(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), lit(true).as("is_o"))
+      val lk = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), lit(false).as("is_o"))
+      ok.unionAll(lk)
+        .groupBy(col("okey"))
+        .agg(max(col("is_o")).as("in_o"), max(!col("is_o")).as("in_l"))
+        .filter(col("in_o"))
+        .select(col("okey"),
+          when(col("in_l"), lit("both")).otherwise(lit("orders_only")).as("tag"))
+        .orderBy("okey", "tag")
     },
     Some("SELECT okey, 'both' AS tag FROM " +
       "(SELECT o_orderkey AS okey FROM orders INTERSECT SELECT l_orderkey FROM lineitem) " +
@@ -307,13 +317,17 @@ object Queries {
 
   private val q15 = Q(
     (s, dir) => {
-      val c = table(s, dir, "customer")
-      val o = table(s, dir, "orders")
-      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
-      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
-      semi.union(anti).orderBy("c_custkey", "tag")
+      // semi + anti in one pass: a left join against the distinct order
+      // custkeys with a presence flag derives both tags — one distinct
+      // shuffle + one join, instead of semi and anti joins each shuffling
+      // customer AND orders (AQE broadcasts the distinct side when small)
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val oc = table(s, dir, "orders").select(col("o_custkey")).distinct()
+        .withColumn("has", lit(true))
+      c.join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          when(col("has"), lit("has_orders")).otherwise(lit("no_orders")).as("tag"))
+        .orderBy("c_custkey", "tag")
     },
     Some("SELECT c_custkey, 'has_orders' AS tag FROM customer " +
       "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +

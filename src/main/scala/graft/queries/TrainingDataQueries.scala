@@ -88,12 +88,14 @@ object TrainingDataQueries {
       "prefix-filtered inverted shingle-index join (never a cross join)")
 
   private val q23 = Q(
-    (s, dir) => Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4),
+    (s, dir) => Similarity.cosinePairsBlocked(table(s, dir, "embeddings"),
+      threshold = 0.4, nCells = 16),
     Some(duckEmb + " SELECT q.vec_id AS ida, c.vec_id AS idb, " +
       dround6(s"${ddot("q.v", "c.v")} / (q.nrm * c.nrm)") + " AS sim " +
       "FROM n q JOIN n c ON q.vec_id < c.vec_id " +
       s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4 ORDER BY ida, idb"),
-    "Embedding cosine near-dup pairs (threshold 0.4)")
+    "Embedding cosine near-dup pairs (threshold 0.4) via lossless IVF-cell " +
+      "blocking — equi-join on admissible cell pairs, never a nested loop")
 
   private val duckLangCase = {
     def cnt(m: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$m'))"
@@ -147,14 +149,15 @@ object TrainingDataQueries {
     "Document fingerprint: polynomial rolling hash over characters")
 
   private val q28 = Q(
-    (s, dir) => Multimodal.extractFeatures(s, table(s, dir, "documents"))
+    (s, dir) => Multimodal.extractFeaturesDeclarative(table(s, dir, "documents"))
       .orderBy("doc_id"),
     // corpus is pure ASCII, so byte features == char features in the oracle
     Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
       "ascii(substr(text, 1, 1)) AS first_byte, " +
       s"$duckCharFold AS checksum FROM documents ORDER BY doc_id"),
-    "Multimodal plumbing: opaque binary payload + mapPartitions feature " +
-      "extraction (decode step stubbed; see Multimodal.decodeStub)")
+    "Multimodal plumbing: opaque binary payload + declarative byte-feature " +
+      "extraction (compiled BytePolyHash; codec decode stays stubbed in " +
+      "Multimodal.decodeStub behind the mapPartitions variant)")
 
   private val q29 = {
     val probeSql = {

@@ -43,4 +43,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       .as[Multimodal.MediaFeatures].head()
     assert(f.n_bytes == 64 && f.first_byte == 'b'.toInt)
   }
+
+  test("declarative features equal the mapPartitions stub, incl. empty payload") {
+    val withEmpty = docs.union(Seq((4L, "")).toDF("doc_id", "text"))
+    val imperative = Multimodal.extractFeatures(spark, withEmpty)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val declarative = Multimodal.extractFeaturesDeclarative(withEmpty)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(declarative == imperative)
+  }
+
+  test("declarative features stay in codegen: no object boundary, no shuffle below sort") {
+    val plan = Multimodal.extractFeaturesDeclarative(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+  }
 }

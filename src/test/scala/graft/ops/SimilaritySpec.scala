@@ -73,6 +73,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.25, s"recall@5 = $recall")
   }
 
+  test("cosinePairsBlocked equals brute-force cosinePairs (lossless blocking)") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    for (t <- Seq(0.4, 0.7, 0.9)) {
+      val brute = Similarity.cosinePairs(fixture, t).collect().map(_.toSeq).toSeq
+      val blocked = Similarity.cosinePairsBlocked(fixture, t, nCells = 16)
+        .collect().map(_.toSeq).toSeq
+      assert(blocked == brute, s"threshold $t")
+    }
+  }
+
+  test("cosinePairsBlocked plans as equi-join: no nested loop, no cartesian") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("ivfTopK corpus assignment is shuffle-free (no Exchange below the cell join)") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // concrete (non-adaptive) plan so the join node is directly collectable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try Similarity.ivfTopK(fixture, col("vec_id") % 10 === 0,
+      k = 5, nCells = 16, nProbe = 2).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the corpus side of the BroadcastHashJoin must be scan+project only:
+    // any Exchange under the join means assignment shuffled the corpus
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a broadcast cell join\n" + plan.toString)
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val streamedSide =
+      if (joins.head.buildSide == BuildRight) joins.head.left else joins.head.right
+    assert(!streamedSide.toString.contains("Exchange"),
+      "corpus side shuffled before cell join:\n" + streamedSide.toString)
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dot is an exact left fold (matches manual computation)") {
     val d = emb.select(
       Similarity.dot(
