@@ -88,12 +88,18 @@ object Rest {
   private val mapper = new ObjectMapper()
 
   /** A4: paginated aggregate-bars extract. Returns raw wire rows
-    * (t,o,h,l,c,v,vw,n) as a list of JsonNodes for the typed decode step. */
+    * (t,o,h,l,c,v,vw,n) as a list of JsonNodes for the typed decode step.
+    * `timespan` selects the bar granularity path segment — `minute` (1m)
+    * or `day` (1d), the two the reference supports
+    * (polygon_client.py:57-69; anything else raised ValueError there). */
   def fetchAggregates(http: Http, baseUrl: String, symbol: String,
       start: String, end: String, session: Option[String] = None,
+      timespan: String = "minute",
       pageLimit: Int = 50000, interPageDelaySec: Double = 12.0,
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Seq[JsonNode] = {
-    val first = s"$baseUrl/v2/aggs/ticker/$symbol/range/1/minute/$start/$end"
+    require(timespan == "minute" || timespan == "day",
+      s"Unsupported timespan: $timespan (expected 'minute' or 'day')")
+    val first = s"$baseUrl/v2/aggs/ticker/$symbol/range/1/$timespan/$start/$end"
     val baseParams = Map("adjusted" -> "true", "sort" -> "asc",
       "limit" -> pageLimit.toString) ++ session.map("session" -> _)
     val out = Seq.newBuilder[JsonNode]

@@ -29,24 +29,35 @@ object Ingest {
     spark.createDataFrame(rows.toDF().rdd, Schemas.raw)
   }
 
+  /** The reference keys the raw lake by granularity one level above the
+    * symbol partitions: `<root>/source=minute|daily/symbol=.../`
+    * (ingest_massive.py:90-92) — reads of the root discover `source` as a
+    * partition column, and the incremental watermark scan stays scoped to
+    * the granularity being loaded. */
+  private def sourcePath(lakePath: String, g: Windows.Granularity): String =
+    s"$lakePath/source=${g.sourceName}"
+
   /** E1: historical backfill — per-symbol fetch → normalize → watermark
-    * dedup → partitioned append. Returns rows appended per symbol. */
+    * dedup → partitioned append under `source=minute|daily`. Returns rows
+    * appended per symbol. */
   def historicalBackfill(spark: SparkSession, http: Rest.Http, baseUrl: String,
       symbols: Seq[String], lakePath: String, fullLoad: Boolean,
       userWindow: Option[(String, String)] = None,
       granularity: Windows.Granularity = Windows.OneMinute,
       interPageDelaySec: Double = 12.0,
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Map[String, Long] = {
+    val path = sourcePath(lakePath, granularity)
     // lazy + by-name into the planner: the full-lake max(ts) scan only
     // runs when something actually needs the watermark (fullLoad with a
     // user window never does - on a 100 TB lake that is a big job)
     lazy val maxTs =
-      if (Lake.exists(spark, lakePath)) BarOps.maxTs(Lake.read(spark, lakePath))
+      if (Lake.exists(spark, path)) BarOps.maxTs(Lake.read(spark, path))
       else None
     val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
     symbols.map { symbol =>
       val wire = Rest.fetchAggregates(http, baseUrl, symbol, window.start,
-        window.end, interPageDelaySec = interPageDelaySec, sleep = sleep)
+        window.end, timespan = granularity.timespan,
+        interPageDelaySec = interPageDelaySec, sleep = sleep)
       val raw = toDf(spark, Rest.decodeRaw(wire))
       val normalized = BarOps.normalizeRaw(raw, symbol)
       val deduped = (if (fullLoad) None else maxTs) match {
@@ -54,7 +65,7 @@ object Ingest {
         case None     => normalized
       }
       val n = deduped.count()
-      if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"))
+      if (n > 0) Lake.append(deduped, path, Seq("symbol"))
       symbol -> n
     }.toMap
   }
@@ -71,14 +82,16 @@ object Ingest {
       granularity: Windows.Granularity = Windows.OneMinute,
       transportKey: Option[String] = None,
       interPageDelaySec: Double = 12.0): Long = {
+    val path = sourcePath(lakePath, granularity)
     lazy val maxTs =
-      if (Lake.exists(spark, lakePath)) BarOps.maxTs(Lake.read(spark, lakePath))
+      if (Lake.exists(spark, path)) BarOps.maxTs(Lake.read(spark, path))
       else None
     val window = Windows.determine(fullLoad, granularity, userWindow, maxTs)
     var reader = spark.read.format("graft-bars")
       .option("symbols", symbols.mkString(","))
       .option("baseUrl", baseUrl)
       .option("start", window.start).option("end", window.end)
+      .option("timespan", granularity.timespan)
       .option("interPageDelaySec", interPageDelaySec.toString)
     transportKey.foreach(k => reader = reader.option("transportKey", k))
     val normalized = BarOps.normalizeTagged(reader.load())
@@ -92,7 +105,7 @@ object Ingest {
     deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = deduped.count()
-      if (n > 0) Lake.append(deduped, lakePath, Seq("symbol"), sortCols = Seq("ts"))
+      if (n > 0) Lake.append(deduped, path, Seq("symbol"), sortCols = Seq("ts"))
       n
     } finally deduped.unpersist()
   }

@@ -13,9 +13,20 @@ import java.time.{Instant, LocalDate, ZoneOffset}
   */
 object Windows {
 
-  sealed trait Granularity { def defaultStart: String }
-  case object OneMinute extends Granularity { val defaultStart = "2015-01-01" }
-  case object OneDay extends Granularity { val defaultStart = "2000-01-01" }
+  /** Bar granularity: carries the REST path segment (`/range/1/<timespan>/`,
+    * polygon_client.py:57-69) and the lake's `source=` level
+    * (ingest_massive.py:90-92) alongside the default backfill start. */
+  sealed trait Granularity {
+    def defaultStart: String
+    def timespan: String
+    def sourceName: String
+  }
+  case object OneMinute extends Granularity {
+    val defaultStart = "2015-01-01"; val timespan = "minute"; val sourceName = "minute"
+  }
+  case object OneDay extends Granularity {
+    val defaultStart = "2000-01-01"; val timespan = "day"; val sourceName = "daily"
+  }
 
   final case class LoadWindow(start: String, end: String)
 

@@ -83,9 +83,12 @@ final class BarsScan(options: CaseInsensitiveStringMap)
     start = required("start"),
     end = required("end"),
     session = Option(options.get("session")),
+    timespan = Option(options.get("timespan")).getOrElse("minute"),
     transportKey = Option(options.get("transportKey")),
     interPageDelaySec = Option(options.get("interPageDelaySec"))
       .map(_.toDouble).getOrElse(12.0))
+  require(cfg.timespan == "minute" || cfg.timespan == "day",
+    s"graft-bars: unsupported timespan '${cfg.timespan}' (minute|day)")
 
   override def build(): Scan = this
   override def readSchema(): StructType = BarsSource.schema
@@ -102,7 +105,7 @@ final class BarsScan(options: CaseInsensitiveStringMap)
 final case class BarsPartition(symbol: String) extends InputPartition
 
 final case class BarsReaderConfig(baseUrl: String, start: String, end: String,
-    session: Option[String], transportKey: Option[String],
+    session: Option[String], timespan: String, transportKey: Option[String],
     interPageDelaySec: Double) extends Serializable
 
 final class BarsReaderFactory(cfg: BarsReaderConfig)
@@ -117,7 +120,7 @@ final class BarsReader(symbol: String, cfg: BarsReaderConfig)
     val http = cfg.transportKey.flatMap(BarsSource.transports.get).getOrElse(
       new Rest.RetryingHttp(new Rest.JavaHttp()))
     Rest.decodeRaw(Rest.fetchAggregates(http, cfg.baseUrl, symbol,
-      cfg.start, cfg.end, cfg.session,
+      cfg.start, cfg.end, cfg.session, cfg.timespan,
       interPageDelaySec = cfg.interPageDelaySec)).iterator
   }
   private var current: graft.model.RawBar = _

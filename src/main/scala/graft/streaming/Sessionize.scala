@@ -25,9 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
-  final case class SessionState(start: Long, end: Long, n: Long)
-  final case class SessionOut(user_id: Long, session_start: Timestamp,
-      session_end: Timestamp, n: Long)
+
+  /** `sessId` is the event_id of the event that OPENED the session — the
+    * session's stable identity. A late event may widen `start` between
+    * snapshots, so (user, start) is NOT stable; snapshots of one session
+    * always share `sessId`, which is what [[latestSnapshot]] collapses on. */
+  final case class SessionState(start: Long, end: Long, n: Long, sessId: Long)
+  final case class SessionOut(user_id: Long, sess_id: Long,
+      session_start: Timestamp, session_end: Timestamp, n: Long)
 
   private def tsFromMicros(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000L))
@@ -70,16 +75,16 @@ object Sessionize {
           cur = Some(s.copy(start = math.min(s.start, e.ts_us),
             end = math.max(s.end, e.ts_us), n = s.n + 1))
         case Some(s) => // close previous, open new
-          out += SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          out += SessionOut(userId, s.sessId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.event_id))
         case None =>
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.event_id))
       }
     }
     cur.foreach { s =>
       state.update(s)
       // snapshot of the (possibly still-open) session
-      out += SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
+      out += SessionOut(userId, s.sessId, tsFromMicros(s.start), tsFromMicros(s.end), s.n)
     }
     out.result().iterator
   }
@@ -92,11 +97,16 @@ object Sessionize {
         sessionizeGroup(gapMinutes * 60L * 1000000L))
   }
 
-  /** Collapse session snapshots to their final extent: one row per
-    * (user, session_start) keeping the furthest end. */
+  /** Collapse session snapshots to their final extent: one row per session
+    * IDENTITY (user, sess_id = opening event id). Keying on identity
+    * instead of (user, session_start) means a late event that WIDENS the
+    * stored start collapses both snapshots into one row — min(start) /
+    * max(end) pick each bound's furthest extent. */
   def latestSnapshot(snapshots: DataFrame): DataFrame =
-    snapshots.groupBy(col("user_id"), col("session_start"))
-      .agg(max(col("session_end")).as("session_end"), max(col("n")).as("n"))
+    snapshots.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"), max(col("n")).as("n"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
       .orderBy("user_id", "session_start")
 
   /** The built-in `session_window` formulation — per the extension

@@ -125,6 +125,59 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(lake.schema("symbol").dataType.typeName == "string") // partition col back
   }
 
+  test("E1 daily (1d) backfill: /range/1/day/ URL, source=daily layout, incremental dedup") {
+    val root = Files.createTempDirectory("graft-lake-1d").toString + "/bars"
+    def dayMs(i: Int): Long = base + i * 86400000L
+    var urls = Vector.empty[String]
+    def httpFor(ts: Seq[Long]) = new Rest.Http {
+      def get(url: String, params: Map[String, String]) = {
+        urls :+= url
+        Rest.HttpResponse(200, page(ts, None))
+      }
+    }
+    val r1 = Ingest.historicalBackfill(spark, httpFor((0 to 2).map(dayMs)),
+      "http://x", Seq("AAPL"), root, fullLoad = true,
+      userWindow = Some(("2024-01-01", "2024-02-01")),
+      granularity = Windows.OneDay, sleep = _ => ())
+    assert(r1("AAPL") == 3)
+    assert(urls.forall(_.contains("/range/1/day/")), urls.mkString(", "))
+    // reference layout: <root>/source=daily/symbol=.../ (ingest_massive.py:90-92)
+    assert(Lake.exists(spark, s"$root/source=daily"))
+    assert(!Lake.exists(spark, s"$root/source=minute"))
+    // incremental: overlap days 1-2 dedup against the watermark, 3-4 append
+    val r2 = Ingest.historicalBackfill(spark, httpFor((1 to 4).map(dayMs)),
+      "http://x", Seq("AAPL"), root, fullLoad = false,
+      granularity = Windows.OneDay, sleep = _ => ())
+    assert(r2("AAPL") == 2)
+    val lake = Lake.read(spark, root)
+    assert(lake.count() == 5)
+    // reading the lake ROOT discovers source as a partition column, so a
+    // 1m + 1d lake stays one logically-unioned table
+    assert(lake.schema.fieldNames.contains("source"))
+  }
+
+  test("DSv2 source honors the timespan option (day URLs, default minute)") {
+    graft.sources.BarsSource.transports.put("ingest-1d", new Rest.Http {
+      def get(url: String, params: Map[String, String]) = {
+        assert(url.contains("/range/1/day/"), url)
+        Rest.HttpResponse(200, page(Seq(base), None))
+      }
+    })
+    val df = spark.read.format("graft-bars")
+      .option("symbols", "AAPL").option("baseUrl", "http://x")
+      .option("start", "2024-01-01").option("end", "2024-01-02")
+      .option("timespan", "day").option("transportKey", "ingest-1d")
+      .option("interPageDelaySec", "0").load()
+    assert(df.count() == 1)
+    intercept[Exception] {
+      spark.read.format("graft-bars")
+        .option("symbols", "AAPL").option("baseUrl", "http://x")
+        .option("start", "2024-01-01").option("end", "2024-01-02")
+        .option("timespan", "hour").option("transportKey", "ingest-1d").load()
+        .count()
+    }
+  }
+
   test("E1 parallel (DSv2) backfill matches the serial path's semantics") {
     val lakeDir = Files.createTempDirectory("graft-lake-par").toString + "/bars"
     graft.sources.BarsSource.transports.put("ingest-par", new Rest.Http {

@@ -51,8 +51,32 @@ class SessionizeStateSpec extends AnyFunSuite {
   }
 
   test("a late event before the stored start extends the start") {
-    val st = new FakeState(Some(SessionState(min(10), min(20), 2)))
+    val st = new FakeState(Some(SessionState(min(10), min(20), 2, 1L)))
     Sessionize.sessionizeGroup(gapUs)(1L, Iterator(Ev(1L, min(5), 9L)), st).toList
     assert(st.get.start == min(5) && st.get.end == min(20) && st.get.n == 3)
+    assert(st.get.sessId == 1L, "late event must not change the session identity")
+  }
+
+  test("start-widening late event collapses to ONE session row in latestSnapshot") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    import spark.implicits._
+    // batch 1 opens the session at min(10); batch 2's late event widens the
+    // start to min(5): two snapshots with DIFFERENT session_start values
+    val st = new FakeState(None)
+    val snap1 = Sessionize.sessionizeGroup(gapUs)(1L,
+      Iterator(Ev(1L, min(10), 7L), Ev(1L, min(20), 8L)), st).toList
+    val snap2 = Sessionize.sessionizeGroup(gapUs)(1L,
+      Iterator(Ev(1L, min(5), 9L)), st).toList
+    val snaps = (snap1 ++ snap2).toDS().toDF()
+    assert(snaps.select("session_start").distinct().count() == 2,
+      "fixture must actually widen the start")
+    val collapsed = Sessionize.latestSnapshot(snaps).collect()
+    assert(collapsed.length == 1,
+      s"start-widening late event produced ${collapsed.length} session rows")
+    val r = collapsed.head
+    assert(r.getTimestamp(1).getTime == min(5) / 1000)
+    assert(r.getTimestamp(2).getTime == min(20) / 1000)
+    assert(r.getLong(3) == 3)
   }
 }
