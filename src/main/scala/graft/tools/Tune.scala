@@ -144,6 +144,27 @@ object Tune {
     time("q20 selfjoin pairs")(q20("selfjoin"))
     time("q20 collect_list pairs")(q20("collect"))
 
+    // ---- q05 write variants ---------------------------------------------
+    val scratch = graft.queries.Queries.scratchRoot + "/tune-q05"
+    def q05(shape: String): Long = {
+      val li0 = table("lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val li = shape match {
+        case "asis"    => li0
+        case "coalesce" => li0.coalesce(4)
+        case "repart"  => li0.repartition(col("l_returnflag"))
+      }
+      li.write.mode("overwrite").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
+      li.write.mode("append").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
+      spark.read.parquet(scratch)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")).count()
+    }
+    time("q05 as-is")(q05("asis"))
+    time("q05 coalesce(4)")(q05("coalesce"))
+    time("q05 repartition(flag)")(q05("repart"))
+
     spark.stop()
   }
 }

@@ -106,6 +106,27 @@ class JoinOpsSpec extends AnyFunSuite with SparkTest {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin left/semi/anti equal their plain counterparts; right-outer rejected") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      // shift half the keys out of range so outer/anti actually fire
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 2 === 0, col("l_orderkey") + 10000000L)
+          .otherwise(col("l_orderkey")))
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val salted = Skew.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), 8, jt)
+      val plain = li.join(o, Seq("l_orderkey"), jt)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"joinType $jt diverged")
+      assert(plain.count() > 0, s"degenerate fixture for $jt")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), 8, "right_outer")
+    }
+  }
+
   test("saltedJoin spreads a hot key over multiple partitions' sub-keys") {
     import spark.implicits._
     // one pathological key: 1000 rows on the left, 1 dim row on the right

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Executable twin of PLANS.md: asserts the plan properties that make the
+  * declared queries scale-safe, so a regression (a lost pushdown, a join
+  * degrading to a nested loop, a shuffle sneaking under a scan) fails CI
+  * instead of surfacing in a bench run. AQE is disabled inside the spec so
+  * the statically-planned shapes are directly inspectable; the properties
+  * asserted here (pushdown, pruning, join strategy class, Exchange counts)
+  * are decided before adaptive re-optimization.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTest {
+
+  /** Queries whose fn() performs eager work (writes, collects, stream
+    * runs) — planning them would execute, so the sweep skips them. */
+  private val eager = Set("q05_partitioned_write", "q30_table_counts",
+    "q41_json_roundtrip", "q42_csv_roundtrip", "q19_stream_tumbling",
+    "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join")
+
+  /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
+    * query set over the corpus scan by design; q04 joins a broadcast 1-row
+    * aggregate (the watermark scalar) to the scan — linear, not quadratic. */
+  private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark")
+
+  private def planOf(name: String): String = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Queries.all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("no query plans a cartesian product; nested loops only where intended") {
+    Queries.all.keys.filterNot(eager).toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!intendedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name degraded to a nested-loop join")
+    }
+  }
+
+  test("q01: projection prunes the scan to the selected columns") {
+    val plan = planOf("q01_project")
+    assert(plan.contains("ReadSchema"))
+    // 11-column lineitem, 3 read: unreferenced columns must not be scanned
+    Seq("l_partkey", "l_suppkey", "l_discount", "l_shipdate").foreach(c =>
+      assert(!plan.contains(c), s"q01 scan reads unneeded column $c"))
+  }
+
+  test("q08: date/segment filters reach the parquet scans as pushed filters") {
+    val plan = planOf("q08_join3_topk")
+    assert(plan.contains("LessThan(o_orderdate"), "orders date filter not pushed")
+    assert(plan.contains("GreaterThan(l_shipdate"), "lineitem date filter not pushed")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+  }
+
+  test("q09: dimension chain joins by broadcast, never sort-merge") {
+    val plan = planOf("q09_broadcast_dim_join")
+    assert(plan.count(_ == '\n') > 0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q13: one-pass set ops = single keyed shuffle + final sort") {
+    val plan = planOf("q13_setops")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected groupBy + sort exchanges only, got $exchanges:\n$plan")
+    assert(plan.contains("Union"), "expected unioned keysets")
+  }
+
+  test("q06/q34: aggregations are two-phase (map-side partial before the shuffle)") {
+    for (name <- Seq("q06_resample_ohlcv", "q34_cube_grouping")) {
+      val plan = planOf(name)
+      val aggs = "HashAggregate".r.findAllIn(plan).size +
+        "SortAggregate".r.findAllIn(plan).size +
+        "ObjectHashAggregate".r.findAllIn(plan).size
+      assert(aggs >= 2, s"$name shows no partial aggregation:\n$plan")
+    }
+  }
+
+  test("q18: as-of join is the sort-based union+window, not a range join") {
+    val plan = planOf("q18_asof_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"), "expected window-based as-of")
+  }
+
+  test("q37: range join is banded (hash join on band keys), not a nested loop") {
+    val plan = planOf("q37_range_join")
+    assert(plan.contains("Join"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "banded range join degraded to nested loop")
+  }
+}
