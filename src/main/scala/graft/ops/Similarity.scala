@@ -99,9 +99,25 @@ object Similarity {
     * with any cluster structure prunes most of the nCells² combinations. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
-    val spark = emb.sparkSession
     val e = withNorm(emb)
-    val cents = collectCentroids(e, nCells)
+    cosinePairsWithCells(e, collectCentroids(e, nCells), threshold)
+  }
+
+  /** [[cosinePairsBlocked]] with a seeded MLlib KMeans codebook — the
+    * production variant: trained cells align with the data's cluster
+    * structure, so the admissibility matrix prunes far more cell pairs
+    * than any fixed-sample codebook (near-dups live inside clusters).
+    * Same lossless guarantee — the admissibility bound holds for ANY
+    * codebook; training only improves pruning, never correctness. */
+  def cosinePairsBlockedKMeans(emb: DataFrame, threshold: Double,
+      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    val e = withNorm(emb)
+    cosinePairsWithCells(e, kmeansCentroids(e, nCells, seed), threshold)
+  }
+
+  private def cosinePairsWithCells(e: DataFrame, cents: Seq[Centroid],
+      threshold: Double): DataFrame = {
+    val spark = e.sparkSession
     val assigned = assignCells(e, cents)
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
     val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
@@ -160,19 +176,25 @@ object Similarity {
     * them. */
   def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, seed: Long = 42L): DataFrame = {
+    val e = withNorm(emb)
+    ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe)
+  }
+
+  /** Seeded MLlib KMeans codebook over the normalized frame; one MLlib
+    * job, centroids come back driver-side where the plan literal wants
+    * them. The norm fold matches [[dot]]'s left-to-right order. */
+  private def kmeansCentroids(e: DataFrame, nCells: Int, seed: Long): Seq[Centroid] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = withNorm(emb)
     val feat = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).fit(feat)
-    val cents = model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+    model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
       val arr = c.toArray
       var acc = 0.0
       var j = 0
       while (j < arr.length) { acc += arr(j) * arr(j); j += 1 }
       Centroid(i.toLong, arr, math.sqrt(acc))
     }
-    ivfTopKWith(e, cents, queryPred, k, nProbe)
   }
 
   /** First-nCells deterministic codebook, collected driver-side (nCells ×

@@ -26,6 +26,15 @@ object Sessionize {
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
+  /** Event with its TIMESTAMP column intact — [[streamingClosed]] needs
+    * the watermarked attribute to reach the stateful operator (Spark's
+    * event-time-timeout contract), so the µs conversion happens inside
+    * the state function instead of a projection that would drop it. */
+  final case class EvT(user_id: Long, ts: Timestamp, event_id: Long)
+
+  private def microsOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** `sessId` is the event_id of the event that OPENED the session — the
     * session's stable identity. A late event may widen `start` between
     * snapshots, so (user, start) is NOT stable; snapshots of one session
@@ -95,6 +104,66 @@ object Sessionize {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         sessionizeGroup(gapMinutes * 60L * 1000000L))
+  }
+
+  /** Closed-session transition function: same merge semantics as
+    * [[sessionizeGroup]], but rows are emitted only when a session is
+    * KNOWN complete — either a newer event broke the gap, or the event-
+    * time watermark passed session_end + gap (the timeout branch). State
+    * for a closed session is removed, so state size is bounded by the
+    * number of concurrently-open sessions regardless of stream length. */
+  private[streaming] def sessionizeClosedGroup(gapUs: Long)(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(
+        SessionOut(userId, s.sessId, tsFromMicros(s.start), tsFromMicros(s.end), s.n))
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = Seq.newBuilder[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.end <= gapUs =>
+            cur = Some(s.copy(start = math.min(s.start, e.ts_us),
+              end = math.max(s.end, e.ts_us), n = s.n + 1))
+          case Some(s) => // gap broken: the previous session is final
+            out += SessionOut(userId, s.sessId,
+              tsFromMicros(s.start), tsFromMicros(s.end), s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.event_id))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.event_id))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when the watermark passes end + gap; the max() guard keeps
+        // the timestamp legal (Spark rejects timeouts at/behind the
+        // current watermark) for sessions already older than the watermark
+        val endMs = Math.floorDiv(s.end, 1000L) + gapUs / 1000L
+        state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Production streaming sessionization: emits each session exactly once,
+    * when it CLOSES — by gap break or by event-time timeout once the
+    * watermark passes `session_end + gap`. Requires a watermark on the
+    * event stream (EventTimeTimeout contract). Append-mode semantics:
+    * downstream consumers never see a session twice, so no snapshot
+    * collapse is needed; [[streaming]] is the Update-mode variant for
+    * consumers that want live mid-session snapshots. */
+  def streamingClosed(events: Dataset[EvT], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[EvT], state: GroupState[SessionState]) =>
+          sessionizeClosedGroup(gapUs)(uid,
+            evs.map(e => Ev(e.user_id, microsOf(e.ts), e.event_id)), state))
   }
 
   /** Collapse session snapshots to their final extent: one row per session

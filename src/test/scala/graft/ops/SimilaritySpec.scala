@@ -83,6 +83,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("cosinePairsBlockedKMeans (trained codebook) also equals brute force") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq
+    val blocked = Similarity.cosinePairsBlockedKMeans(fixture, 0.4, nCells = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == brute)
+  }
+
   test("cosinePairsBlocked plans as equi-join: no nested loop, no cartesian") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val plan = Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16)

@@ -52,6 +52,39 @@ class QueriesSpec extends AnyFunSuite with SparkTest {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingClosed emits exactly the sessions the final watermark can close") {
+    import spark.implicits._
+    val gapMin = 30
+    val gapUs = gapMin * 60L * 1000000L
+    val stream = Queries.stagedEventStream(spark, sf0001, "closed-sess")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[graft.streaming.Sessionize.EvT]
+    val closed = Queries.runToMemorySink(
+      graft.streaming.Sessionize.streamingClosed(stream, gapMin).toDF(),
+      "closedsess", "append")
+      .select("user_id", "session_start", "session_end", "n")
+      .collect().map(_.toSeq).toSet
+
+    // expected: every batch session except each user's LAST one when the
+    // final watermark (max event ts, 0s delay, ms precision) has not yet
+    // passed its end + gap
+    val ev = Queries.table(spark, sf0001, "events")
+    val wmMs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L
+    val batch = graft.streaming.Sessionize.batch(ev, gapMin)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val expected = batch
+      .withColumn("is_last",
+        col("session_start") === max(col("session_start")).over(w))
+      .filter(!col("is_last") ||
+        lit(wmMs) > floor(unix_micros(col("session_end")) / 1000L) + gapUs / 1000L)
+      .select("user_id", "session_start", "session_end", "n")
+      .collect().map(_.toSeq).toSet
+
+    assert(closed.nonEmpty, "fixture must close at least one session")
+    assert(closed == expected)
+  }
+
   test("built-in session_window equals the window-function formulation") {
     val ev = Queries.table(spark, sf0001, "events")
     val viaBuiltin = graft.streaming.Sessionize.sessionWindow(ev, gapMinutes = 30)

@@ -9,22 +9,24 @@ import graft.streaming.Sessionize.{Ev, SessionState}
   * cross-micro-batch cases a single-batch file stream cannot reach. */
 class SessionizeStateSpec extends AnyFunSuite {
 
-  /** Minimal in-memory GroupState (only the methods the function uses). */
-  private final class FakeState(var opt: Option[SessionState])
+  /** Minimal in-memory GroupState (only the methods the functions use). */
+  private final class FakeState(var opt: Option[SessionState],
+      var timedOut: Boolean = false, var watermarkMs: Long = 0L)
       extends GroupState[SessionState] {
+    var timeoutTs: Long = -1L
     def exists: Boolean = opt.isDefined
     def get: SessionState = opt.get
     def getOption: Option[SessionState] = opt
     def update(s: SessionState): Unit = opt = Some(s)
     def remove(): Unit = opt = None
-    def hasTimedOut: Boolean = false
+    def hasTimedOut: Boolean = timedOut
     def setTimeoutDuration(ms: Long): Unit = ()
     def setTimeoutDuration(d: String): Unit = ()
-    def setTimeoutTimestamp(ms: Long): Unit = ()
+    def setTimeoutTimestamp(ms: Long): Unit = timeoutTs = ms
     def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
     def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
     def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
-    def getCurrentWatermarkMs(): Long = 0L
+    def getCurrentWatermarkMs(): Long = watermarkMs
     def getCurrentProcessingTimeMs(): Long = 0L
   }
 
@@ -55,6 +57,34 @@ class SessionizeStateSpec extends AnyFunSuite {
     Sessionize.sessionizeGroup(gapUs)(1L, Iterator(Ev(1L, min(5), 9L)), st).toList
     assert(st.get.start == min(5) && st.get.end == min(20) && st.get.n == 3)
     assert(st.get.sessId == 1L, "late event must not change the session identity")
+  }
+
+  test("closed-session fn: gap break emits the finished session only; timeout set at end+gap") {
+    val st = new FakeState(None)
+    // events: session A (0s, 10s), then 2500s (> 30min gap) opens session B
+    val out = Sessionize.sessionizeClosedGroup(gapUs)(1L,
+      Iterator(Ev(1L, 0L, 1L), Ev(1L, 10L * 1000000, 2L), Ev(1L, 2500L * 1000000, 3L)),
+      st).toList
+    assert(out.map(o => (o.sess_id, o.n)) == List((1L, 2L)), "only session A is closed")
+    assert(st.get.sessId == 3L && st.get.n == 1, "session B stays open in state")
+    assert(st.timeoutTs == 2500L * 1000 + gapUs / 1000, "timeout = end + gap (ms)")
+  }
+
+  test("closed-session fn: watermark timeout emits the final row and clears state") {
+    val st = new FakeState(Some(SessionState(min(10), min(20), 4, 7L)), timedOut = true)
+    val out = Sessionize.sessionizeClosedGroup(gapUs)(1L, Iterator.empty, st).toList
+    assert(out.map(o => (o.sess_id, o.n)) == List((7L, 4L)))
+    assert(out.head.session_start.getTime == min(10) / 1000)
+    assert(out.head.session_end.getTime == min(20) / 1000)
+    assert(st.opt.isEmpty, "closed session must leave no state behind")
+  }
+
+  test("closed-session fn: timeout timestamp stays ahead of the watermark") {
+    // a session already older than the watermark must still register a
+    // LEGAL timeout (Spark rejects timestamps at/behind the watermark)
+    val st = new FakeState(None, watermarkMs = min(100) / 1000)
+    Sessionize.sessionizeClosedGroup(gapUs)(1L, Iterator(Ev(1L, 0L, 1L)), st).toList
+    assert(st.timeoutTs > min(100) / 1000)
   }
 
   test("start-widening late event collapses to ONE session row in latestSnapshot") {
