@@ -96,7 +96,14 @@ object Similarity {
     * diagonal; the `ida < idb` predicate then emits every unordered pair
     * exactly once, so no distinct pass is needed. Worst case (one dense
     * blob) degrades to all admissible pairs — still an equi-join, and data
-    * with any cluster structure prunes most of the nCells² combinations. */
+    * with any cluster structure prunes most of the nCells² combinations.
+    *
+    * Cost note: this convenience form computes the cell assignment three
+    * times (the radii job plus each join side — the subtrees differ, so no
+    * exchange is reusable). At index scale the assignment IS the IVF
+    * index-build step: materialize `assignCells`' output once (persist or
+    * write) and run the blocking join over the materialized frame rather
+    * than paying the recompute per call. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
     val e = withNorm(emb)
@@ -118,6 +125,9 @@ object Similarity {
   private def cosinePairsWithCells(e: DataFrame, cents: Seq[Centroid],
       threshold: Double): DataFrame = {
     val spark = e.sparkSession
+    if (cents.isEmpty) // empty corpus ⇒ no pairs (and no codebook to block on)
+      return e.limit(0).select(col("vec_id").as("ida"), col("vec_id").as("idb"),
+        col("nrm").as("sim"))
     val assigned = assignCells(e, cents)
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
     val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
@@ -163,9 +173,9 @@ object Similarity {
     * queries need oracle-replayable centroids). [[ivfTopKKMeans]] is the
     * trained-codebook variant; both share [[ivfTopKWith]]. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
     val e = withNorm(emb)
-    ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe)
+    ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe, probeBroadcast)
   }
 
   /** IVF with an MLlib KMeans codebook (seeded, so runs are reproducible):
@@ -175,9 +185,10 @@ object Similarity {
     * centroids come back driver-side, exactly where [[ivfTopKWith]] wants
     * them. */
   def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int, seed: Long = 42L): DataFrame = {
+      nProbe: Int, seed: Long = 42L, probeBroadcast: Boolean = true): DataFrame = {
     val e = withNorm(emb)
-    ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe)
+    ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe,
+      probeBroadcast)
   }
 
   /** Seeded MLlib KMeans codebook over the normalized frame; one MLlib
@@ -197,10 +208,13 @@ object Similarity {
     }
   }
 
-  /** First-nCells deterministic codebook, collected driver-side (nCells ×
-    * dim doubles — the same scale as any broadcast variable). */
+  /** First-nCells deterministic codebook (lowest vec_ids — a top-K heap
+    * scan, not a global sort), collected driver-side (nCells × dim
+    * doubles — the same scale as any broadcast variable). Selecting by
+    * order instead of `vec_id < nCells` keeps the codebook non-empty for
+    * id spaces that don't start at 0 (e.g. a filtered corpus slice). */
   private def collectCentroids(e: DataFrame, nCells: Int): Seq[Centroid] =
-    e.filter(col("vec_id") < nCells)
+    e.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -235,7 +249,10 @@ object Similarity {
     * the cell join (probe side broadcast — the corpus never moves) and the
     * final per-query top-k. */
   private def ivfTopKWith(e: DataFrame, cents: Seq[Centroid], queryPred: Column,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
+    if (cents.isEmpty) // empty corpus ⇒ no neighbors
+      return e.limit(0).select(col("vec_id").as("qid"), col("vec_id").as("rnk"),
+        col("vec_id").as("neighbor"), col("nrm").as("sim"))
     val cidArr = typedLit(cents.map(_.cid))
     val assigned = assignCells(e, cents).drop("best_sim")
     // query-time: top-nProbe cells = sort of an nCells-element array per
@@ -249,7 +266,13 @@ object Similarity {
             (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
           x => x("cid"))).as("cell"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "cell")
+    // serving contract: the query set is a bounded working set, so
+    // broadcasting it keeps the corpus unshuffled. For BULK k-NN where
+    // queries are a large fraction of the corpus, pass
+    // probeBroadcast = false and let Spark size the join (broadcasting a
+    // corpus-sized probe set would OOM the driver at scale).
+    val probeSide = if (probeBroadcast) broadcast(probes) else probes
+    assigned.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("qnrm"), col("v"), col("nrm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))

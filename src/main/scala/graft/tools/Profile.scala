@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev utility: stage-level timing for operator pipelines (run manually,
@@ -43,7 +42,10 @@ object Profile {
       val prefix = sets.select(col("id"), col("blk"),
         explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
       t("prefix")(prefix.count())
-      val cand = prefix.as("x").join(prefix.as("y"),
+      // shuffle_hash hint mirrors Dedup.ngramJaccardPairs — Profile must
+      // time the plan production actually runs (exchange-reused shuffle,
+      // not a per-side-recomputing broadcast)
+      val cand = prefix.as("x").hint("shuffle_hash").join(prefix.as("y"),
           col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
           col("x.id") < col("y.id"))
         .select(col("x.id").as("da"), col("y.id").as("db"))

@@ -83,6 +83,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("blocked pairs handle id spaces not starting at 0, and empty corpora") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 100000L) // ids ≥ 100000
+    val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq
+    val blocked = Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == brute && brute.nonEmpty)
+    val empty = fixture.filter(col("vec_id") < 0)
+    assert(Similarity.cosinePairsBlocked(empty, 0.4).count() == 0)
+    assert(Similarity.ivfTopK(empty, col("vec_id") % 10 === 0, 5, 16, 2).count() == 0)
+  }
+
   test("cosinePairsBlockedKMeans (trained codebook) also equals brute force") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq
