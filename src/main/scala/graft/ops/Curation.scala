@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * splitting, per-group balanced downsampling, and token-budget packing.
+  *
+  * Everything here is a pure function of the row's key — no `rand()`, no
+  * monotonically_increasing_id — so assignments are reproducible across
+  * runs, stable under repartitioning, and replayable by the SQL oracle.
+  * The hash is a Knuth-style multiplicative mix in plain 64-bit integer
+  * arithmetic (products stay < 2^63 for ids < ~3.5e9; document ids are
+  * dataset-ordinal, far below that), NOT xxhash64, precisely so the same
+  * expression runs in any ANSI SQL engine.
+  *
+  * Scale notes:
+  *  - [[assignSplit]] is a stateless projection — embarrassingly parallel.
+  *  - [[balancedSample]] is one window shuffle on the group key; group
+  *    cardinality (lang, source, …) is the partition count, and the
+  *    per-group `keep` bound caps every partition's output.
+  *  - [[packBins]] deliberately packs WITHIN a shard column: a global
+  *    running token sum would order the whole corpus through one
+  *    partition (the classic non-scalable window). Real pipelines pack
+  *    per shard/file anyway — cross-shard bins don't exist on disk.
+  */
+object Curation {
+
+  /** Deterministic hash of an integer id into [0, 2^32): Knuth
+    * multiplicative mixing, replayable as
+    * `((id * 2654435761 + 2654435769) % 4294967296)` in any SQL. */
+  def idHash(id: Column): Column =
+    (id * lit(2654435761L) + lit(2654435769L)) % lit(4294967296L)
+
+  /** Stable train/val/test assignment: bucket = idHash(id) % 100, then
+    * `[0, trainPct) → train`, `[trainPct, trainPct+valPct) → val`,
+    * rest → test. Being hash-of-id (not row position), the split is
+    * stable under re-ingestion, shuffling, and corpus growth — a doc
+    * never migrates between splits when neighbors are added/removed. */
+  def assignSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages train=$trainPct val=$valPct")
+    val bucket = idHash(col(idCol)) % lit(100)
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-group balanced downsample: keep at most `keep` rows per group,
+    * chosen by hash order (deterministic, unbiased by ingestion order;
+    * ties broken by id). The canonical class-rebalance step before
+    * training — caps dominant groups without touching rare ones. */
+  def balancedSample(df: DataFrame, groupCol: String, idCol: String,
+      keep: Int): DataFrame = {
+    require(keep > 0, "keep must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .drop("__rn")
+  }
+
+  /** Token-budget packing: within each shard (ordered by id), assign row
+    * i to bin floor(prefix_tokens_before_i / budget) — the streaming
+    * sequence-packing approximation every LLM batch builder uses. Bin b
+    * holds the consecutive docs whose preceding-token offset falls in
+    * [b·budget, (b+1)·budget), which gives the provable bounds: a bin's
+    * token total never exceeds budget + its straddling doc, and the
+    * cumulative total through bin b reaches the next bin's start offset
+    * whenever a later bin exists. (A doc under-fills its bin exactly when
+    * the previous bin's straddler ate into this bin's window; a doc
+    * larger than the budget skips bin ids — both inherent to streaming
+    * packing.) Pure BIGINT arithmetic — exact and replayable. */
+  def packBins(df: DataFrame, shardCol: String, idCol: String,
+      tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__toks", tokenCol.cast("long"))
+      .withColumn("__cum", sum(col("__toks")).over(w))
+      .withColumn("bin", expr(s"(__cum - __toks) div $budget"))
+      .drop("__cum")
+      .withColumnRenamed("__toks", "toks")
+  }
+}

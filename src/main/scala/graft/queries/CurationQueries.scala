@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+import graft.queries.Queries.{table, Q}
+
+/** Dataset-curation query pack (q47–q49): deterministic splitting,
+  * balanced downsampling, token-budget packing — the steps between "clean
+  * corpus" and "training batches". All assignments are pure integer-hash
+  * functions of the document id, so every query is replayed exactly by
+  * its DuckDB oracle (no rand(), no position-dependence).
+  */
+object CurationQueries {
+
+  /** DuckDB twin of Curation.idHash. */
+  private def duckHash(id: String) =
+    s"(($id * 2654435761 + 2654435769) % 4294967296)"
+
+  private val q47 = Q(
+    (s, dir) => Curation.assignSplit(table(s, dir, "documents"), "doc_id",
+        trainPct = 80, valPct = 10)
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, lang, CASE " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "Deterministic 80/10/10 train/val/test split by multiplicative id " +
+      "hash — stable under re-ingestion and corpus growth")
+
+  private val q48 = Q(
+    (s, dir) => Curation.balancedSample(table(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", keep = 40)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+      s"(PARTITION BY lang ORDER BY ${duckHash("doc_id")}, doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 40 ORDER BY doc_id"),
+    "Per-language balanced downsample: keep 40 docs per lang by " +
+      "deterministic hash order (class rebalancing before training)")
+
+  private val q49 = Q(
+    (s, dir) => Curation.packBins(table(s, dir, "documents"),
+        shardCol = "lang", idCol = "doc_id",
+        tokenCol = size(split(col("text"), " ")), budget = 512L)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_toks"))
+      .orderBy("lang", "bin"),
+    Some("WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
+      "c AS (SELECT lang, toks, sum(toks) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+      "SELECT lang, CAST((cum - toks) // 512 AS BIGINT) AS bin, count(*) AS n_docs, " +
+      "CAST(sum(toks) AS BIGINT) AS bin_toks " +
+      "FROM c GROUP BY lang, bin ORDER BY lang, bin"),
+    "Token-budget sequence packing (512-token bins per lang shard): the " +
+      "streaming batch-builder assignment, packed within shards so no " +
+      "global single-partition window exists")
+
+  val all: Map[String, Q] = Map(
+    "q47_split_assign" -> q47,
+    "q48_balanced_sample" -> q48,
+    "q49_pack_bins" -> q49)
+}

@@ -467,7 +467,9 @@ object Queries {
     "q18_asof_join" -> q18,
     "q19_stream_tumbling" -> q19)
 
-  /** Full registry; extended by the training-data + analytics packs. */
+  /** Full registry; extended by the training-data, analytics, and
+    * curation packs. */
   def all: Map[String, Q] =
-    relational ++ TrainingDataQueries.all ++ AnalyticsQueries.all
+    relational ++ TrainingDataQueries.all ++ AnalyticsQueries.all ++
+      CurationQueries.all
 }

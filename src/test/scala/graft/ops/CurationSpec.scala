@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class CurationSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("assignSplit is exhaustive, deterministic, and stable under corpus growth") {
+    val split = Curation.assignSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    // roughly 80/10/10 (hash noise allowed)
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    // stability: the same doc keeps its split when the corpus is a subset
+    val subset = Curation.assignSplit(docs.filter($"doc_id" % 3 === 0), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id migrated") }
+  }
+
+  test("balancedSample caps every group at keep, keeps small groups whole") {
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val keep = 40
+    val sampled = Curation.balancedSample(docs, "lang", "doc_id", keep)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.min(n, keep.toLong), s"lang $lang")
+    }
+    // deterministic: same selection twice
+    val a = Curation.balancedSample(docs, "lang", "doc_id", keep)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.balancedSample(docs, "lang", "doc_id", keep)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("packBins: overshoot bounded by one straddler; cumulative totals reach each bin's window") {
+    val budget = 512L
+    val packed = Curation.packBins(docs, "lang", "doc_id",
+      size(split(col("text"), " ")), budget)
+    val bins = packed.groupBy("lang", "bin")
+      .agg(sum("toks").as("toks"), max("toks").as("max_doc"))
+      .select($"lang", $"bin".as[Long], $"toks".as[Long], $"max_doc".as[Long])
+      .as[(String, Long, Long, Long)].collect()
+    bins.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"$lang first bin must be 0")
+      // overshoot bound: a bin never exceeds budget + its largest doc
+      sorted.foreach { case (_, bin, toks, maxDoc) =>
+        assert(toks < budget + maxDoc, s"$lang bin $bin overshot by ≥ one doc")
+      }
+      // cumulative bound: tokens through bin b reach the NEXT nonempty
+      // bin's start offset (under-full bins only exist where a previous
+      // straddler ate their window — the cumulative view proves no
+      // budget capacity was skipped)
+      var cum = 0L
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, toks, _), (_, nextBin, _, _)) =>
+          cum += toks
+          assert(cum >= nextBin * budget,
+            s"$lang: cumulative $cum below bin $nextBin's window start")
+        case _ => ()
+      }
+    }
+    // total preservation: every doc lands in exactly one bin
+    assert(packed.count() == docs.count())
+  }
+}
