@@ -278,6 +278,16 @@ object CatalystExpressions {
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_bytehash",
       es => BytePolyHash(es.head), "built-in")
+    // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
+    // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
+    // exposed so it can be applied beyond the precision the rule
+    // auto-fires at (with the overflow precondition documented there)
+    reg.createOrReplaceTempFunction("graft_unscaled",
+      es => org.apache.spark.sql.catalyst.expressions.UnscaledValue(es.head),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_make_decimal_38_6",
+      es => org.apache.spark.sql.catalyst.expressions.MakeDecimal(es.head, 38, 6),
+      "built-in")
   }
 }
 

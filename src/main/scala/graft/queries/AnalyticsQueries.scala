@@ -290,7 +290,12 @@ object AnalyticsQueries {
         .rangeBetween(-3600000000L, 0L) // [ts - 1h, ts] in µs
       table(s, dir, "events")
         .select(col("event_id"),
-          sum(col("value").cast(DecimalType(18, 6))).over(w)
+          // trailing-1h-per-user frames are bounded groups: slide the
+          // frame sum over unscaled long micros (exact; see
+          // BarOps.moneySumFast) instead of per-row decimal arithmetic
+          call_function("graft_make_decimal_38_6",
+            sum(call_function("graft_unscaled",
+              col("value").cast(DecimalType(18, 6)))).over(w))
             .cast("double").as("val_1h"),
           count(lit(1)).over(w).as("n_1h"))
         .orderBy("event_id")

@@ -198,7 +198,9 @@ object Queries {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        // per-order revenue is a bounded group: unscaled-long fast path
+        .agg(graft.ops.BarOps.moneySumFast(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -227,17 +229,22 @@ object Queries {
     (s, dir) => {
       // pre-aggregate revenue per order before joining: replaces the
       // countDistinct expansion with a plain count, and shrinks the join
-      // probe side to one row per order (decimal partials stay exact, so
-      // the final double equals the single-pass oracle sum bit-for-bit)
+      // probe side to one row per order. Both aggregation levels carry
+      // the revenue as UNSCALED long micros (per-order and per-customer
+      // totals are bounded groups), so the exact integer total — and
+      // therefore the final double — equals the single-pass oracle sum
+      // bit-for-bit at half the decimal-accumulation cost
       import org.apache.spark.sql.types.DecimalType
       val perOrder = table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))).as("o_rev"))
+        .agg(sum(call_function("graft_unscaled",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)))).as("o_rev_u"))
       table(s, dir, "orders")
         .join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_rev")).cast("double").as("revenue"),
+        .agg(call_function("graft_make_decimal_38_6", sum(col("o_rev_u")))
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
         .filter(col("n_orders") > 5)
         .orderBy(col("revenue").desc, col("o_custkey"))

@@ -99,6 +99,27 @@ object Tune {
     }
     time("q10 as-is")(q10(false))
     time("q10 broadcast orders")(q10(true))
+    // stage decomposition: is the cost compute or AQE stage scheduling?
+    def q10PerOrderOnly(): Long = table("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).as("o_rev")).count()
+    def q10DoubleSum(): Long = {
+      // same shape, plain double sum (order-dependent, NOT oracle-safe):
+      // isolates what the exact decimal accumulation costs
+      val perOrder = table("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("o_rev"))
+      table("orders")
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_rev")).as("revenue"), count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 5)
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10).count()
+    }
+    time("q10 perOrder agg only")(q10PerOrderOnly())
+    time("q10 double-sum variant")(q10DoubleSum())
 
     // ---- q20 variants ---------------------------------------------------
     import graft.functions.TextFunctions._
