@@ -323,5 +323,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bytehash"),
       info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
       es => BytePolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_unscaled"),
+      info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal (fast-sum plumbing)"),
+      es => org.apache.spark.sql.catalyst.expressions.UnscaledValue(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_make_decimal_38_6"),
+      info("graft_make_decimal_38_6", "_FUNC_(long) - reattach decimal(38,6) scale to an unscaled long"),
+      es => org.apache.spark.sql.catalyst.expressions.MakeDecimal(es.head, 38, 6)))
   }
 }

@@ -27,11 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Deterministic hash of an integer id into [0, 2^32): Knuth
+  /** Deterministic hash of a non-negative id into [0, 2^32): Knuth
     * multiplicative mixing, replayable as
-    * `((id * 2654435761 + 2654435769) % 4294967296)` in any SQL. */
+    * `(((id % 2147483648) * 2654435761 + 2654435769) % 4294967296)` in
+    * any SQL. The id is reduced mod 2^31 BEFORE the multiply so the
+    * product peaks at ~5.7·10^18 < 2^63 — no silent 64-bit wrap for any
+    * non-negative long id (an unreduced multiply overflows, biasedly,
+    * from id ≈ 3.5·10^9, which a 100 TB corpus can reach). Ids ≥ 2^31
+    * alias with their low 31 bits — harmless for split/sample uniformity;
+    * order ties are always broken by the full id. */
   def idHash(id: Column): Column =
-    (id * lit(2654435761L) + lit(2654435769L)) % lit(4294967296L)
+    ((id % lit(2147483648L)) * lit(2654435761L) + lit(2654435769L)) % lit(4294967296L)
 
   /** Stable train/val/test assignment: bucket = idHash(id) % 100, then
     * `[0, trainPct) → train`, `[trainPct, trainPct+valPct) → val`,

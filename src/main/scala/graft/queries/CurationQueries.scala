@@ -13,9 +13,10 @@ import graft.queries.Queries.{table, Q}
   */
 object CurationQueries {
 
-  /** DuckDB twin of Curation.idHash. */
+  /** DuckDB twin of Curation.idHash (mod-2^31 reduction before the
+    * multiply keeps the product inside 64 bits on both engines). */
   private def duckHash(id: String) =
-    s"(($id * 2654435761 + 2654435769) % 4294967296)"
+    s"((($id % 2147483648) * 2654435761 + 2654435769) % 4294967296)"
 
   private val q47 = Q(
     (s, dir) => Curation.assignSplit(table(s, dir, "documents"), "doc_id",
@@ -53,7 +54,9 @@ object CurationQueries {
       "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
       "SELECT lang, CAST((cum - toks) // 512 AS BIGINT) AS bin, count(*) AS n_docs, " +
       "CAST(sum(toks) AS BIGINT) AS bin_toks " +
-      "FROM c GROUP BY lang, bin ORDER BY lang, bin"),
+      // NULLS FIRST matches Spark's ascending default (a NULL-text doc
+      // yields a NULL bin group; DuckDB alone would sort it last)
+      "FROM c GROUP BY lang, bin ORDER BY lang, bin NULLS FIRST"),
     "Token-budget sequence packing (512-token bins per lang shard): the " +
       "streaming batch-builder assignment, packed within shards so no " +
       "global single-partition window exists")

@@ -162,7 +162,9 @@ object TrainingDataQueries {
   private val q29 = {
     val probeSql = {
       val base = duckEmb +
-        ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n WHERE vec_id < 16)), " +
+        // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
+        // orderBy+limit, which stays correct for id spaces not starting at 0)
+        ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
         s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
         "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
         s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +

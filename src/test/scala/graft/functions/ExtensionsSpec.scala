@@ -23,7 +23,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     assert(sim != 0L)
   }
 
-  test("GraftExtensions injects all four functions at the extension point") {
+  test("GraftExtensions injects every registered function at the extension point") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // registerFunctions is private[sql] at the Scala level; the bytecode
@@ -32,8 +32,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
       .getMethod("registerFunctions", classOf[FunctionRegistry])
       .invoke(ext, FunctionRegistry.builtin.clone())
       .asInstanceOf[FunctionRegistry]
+    // must stay in lockstep with CatalystExpressions.register: a session
+    // built via the extensions path gets the same SQL surface
     Seq("graft_dot", "graft_minhash", "graft_simhash", "graft_simhash60",
-      "graft_word_ngrams")
+      "graft_word_ngrams", "graft_bytehash", "graft_unscaled",
+      "graft_make_decimal_38_6")
       .foreach { name =>
         assert(reg.functionExists(FunctionIdentifier(name)), name)
       }

@@ -25,6 +25,21 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id migrated") }
   }
 
+  test("idHash never overflows/goes negative for any non-negative long id") {
+    val huge = Seq(0L, 1L, 2147483647L, 2147483648L, 3470000000L,
+      4294967296L, Long.MaxValue).toDF("id")
+    val hashes = huge.select(Curation.idHash(col("id")).as("h"))
+      .as[Long].collect()
+    assert(hashes.forall(h => h >= 0L && h < 4294967296L),
+      s"hash left [0, 2^32): ${hashes.mkString(",")}")
+    // splits on a giant-id corpus stay valid (the pre-fix multiply
+    // wrapped negative from id ≈ 3.47e9 and routed everything to train)
+    val giant = Curation.assignSplit(
+      docs.withColumn("doc_id", col("doc_id") + 4000000000L), "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(giant.keySet.size == 3, s"expected all three splits, got $giant")
+  }
+
   test("balancedSample caps every group at keep, keeps small groups whole") {
     val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
     val keep = 40
