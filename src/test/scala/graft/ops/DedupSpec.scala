@@ -89,6 +89,39 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(naive.nonEmpty)
   }
 
+  test("ngram jaccard prefix filter is lossless on random corpora (seeded)") {
+    val rnd = new scala.util.Random(0x5EED1E55L)
+    val vocab = ('a' to 'p').map(_.toString)
+    val shingle = TextFunctions.wordShingles(_: org.apache.spark.sql.Column, 2)
+    for (trial <- 1 to 8) {
+      val threshold = Seq(0.2, 0.5, 0.8)(rnd.nextInt(3))
+      val nDocs = 10 + rnd.nextInt(30)
+      // near-dup structure: half the docs are noisy copies of a template
+      val template = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      val rows = (0 until nDocs).map { i =>
+        val words =
+          if (rnd.nextBoolean()) template.map(w =>
+            if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+          else Seq.fill(5 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), if (rnd.nextInt(4) == 0) "fr" else "en")
+      }
+      val df = rows.toDF("doc_id", "text", "lang")
+      val filtered = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang",
+        shingle, threshold)
+        .select("da", "db", "jac").as[(Long, Long, Double)].collect().toSet
+      val sets = df.select(col("doc_id"), col("lang"), shingle(col("text")).as("sh"))
+      val naive = sets.as("a").join(sets.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")), 6))
+        .filter(col("jac") >= threshold)
+        .select(col("a.doc_id"), col("b.doc_id"), col("jac"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(filtered == naive, s"trial $trial t=$threshold n=$nDocs")
+    }
+  }
+
   test("lang blocking keeps cross-block pairs out") {
     val mixed = Seq((1L, base, "en"), (2L, base, "fr")).toDF("doc_id", "text", "lang")
     val pairs = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "lang",
