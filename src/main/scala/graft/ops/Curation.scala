@@ -69,6 +69,24 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Benchmark decontamination: ids of `train` docs sharing at least one
+    * `width`-word shingle with the `bench` (held-out / eval) corpus — the
+    * overlap check every training pipeline runs before a benchmark can be
+    * trusted. Shape: inverted-index LEFT SEMI join on the shingle — the
+    * bench shingle set is distinct'd (and typically small enough that AQE
+    * broadcasts it), the train side streams once, and no doc×doc
+    * comparison ever exists. Callers drop contaminated docs with a
+    * left_anti join on the returned ids. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
+    graft.functions.CatalystExpressions.register(train.sparkSession)
+    val shingles = graft.functions.TextFunctions.wordShingles(_: Column, width)
+    val t = train.select(col(idCol),
+      explode(shingles(col(textCol))).as("g"))
+    val b = bench.select(explode(shingles(col(textCol))).as("g")).distinct()
+    t.join(b, Seq("g"), "left_semi").select(col(idCol)).distinct()
+  }
+
   /** Token-budget packing: within each shard (ordered by id), assign row
     * i to bin floor(prefix_tokens_before_i / budget) — the streaming
     * sequence-packing approximation every LLM batch builder uses. Bin b

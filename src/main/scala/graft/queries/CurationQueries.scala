@@ -61,8 +61,34 @@ object CurationQueries {
       "streaming batch-builder assignment, packed within shards so no " +
       "global single-partition window exists")
 
+  private val q50 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val withSplit = Curation.assignSplit(docs, "doc_id")
+      val train = withSplit.filter(col("split") === "train")
+      val bench = withSplit.filter(col("split") === "test")
+      Curation.decontaminate(train, bench, "doc_id", "text", width = 5)
+        .orderBy("doc_id")
+    },
+    // split replayed by hash, shingles as distinct word 5-grams, overlap
+    // via an EXISTS (the SQL form of the engine's left-semi shingle join)
+    Some("WITH sp AS (SELECT doc_id, text, CASE " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents), " +
+      "g AS (SELECT doc_id, split, " +
+      "unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] " +
+      "FOR i IN generate_series(1, greatest(len(ws)-4, 0))]) AS g " +
+      "FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)) " +
+      "SELECT DISTINCT tr.doc_id FROM g tr WHERE tr.split = 'train' AND EXISTS " +
+      "(SELECT 1 FROM g te WHERE te.split = 'test' AND te.g = tr.g) " +
+      "ORDER BY doc_id"),
+    "Benchmark decontamination: train docs sharing any word 5-gram with " +
+      "the held-out split, via an inverted-index semi join (never doc x doc)")
+
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
-    "q49_pack_bins" -> q49)
+    "q49_pack_bins" -> q49,
+    "q50_decontaminate" -> q50)
 }

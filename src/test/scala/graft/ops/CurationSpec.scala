@@ -56,6 +56,26 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("decontaminate flags exactly the train docs overlapping the bench set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated training text with fresh tokens only"),
+      (3L, "another clean document nothing shared with benchmarks here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "students saw the quick brown fox jumps over a fence")
+    ).toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(train, bench, "doc_id", "text", width = 5)
+      .as[Long].collect().toSet
+    // doc 1 shares the 5-gram "the quick brown fox jumps"; 2 and 3 are clean
+    assert(flagged == Set(1L))
+    // a clean pipeline drops flagged docs with a left_anti join
+    val clean = train.join(
+      Curation.decontaminate(train, bench, "doc_id", "text", 5),
+      Seq("doc_id"), "left_anti")
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("packBins: overshoot bounded by one straddler; cumulative totals reach each bin's window") {
     val budget = 512L
     val packed = Curation.packBins(docs, "lang", "doc_id",
