@@ -3,13 +3,15 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.Curation
-import graft.queries.Queries.{table, Q}
+import graft.queries.Queries.{duckWordGrams, table, Q}
 
-/** Dataset-curation query pack (q47–q49): deterministic splitting,
-  * balanced downsampling, token-budget packing — the steps between "clean
-  * corpus" and "training batches". All assignments are pure integer-hash
-  * functions of the document id, so every query is replayed exactly by
-  * its DuckDB oracle (no rand(), no position-dependence).
+/** Dataset-curation query pack (q47–q50): deterministic splitting,
+  * balanced downsampling, token-budget packing, and benchmark
+  * decontamination — the steps between "clean corpus" and "training
+  * batches". q47–q49's assignments are pure integer-hash functions of
+  * the document id; q50 is a shingle semi-join over the hash-derived
+  * splits. All are deterministic (no rand(), no position-dependence),
+  * so every query is replayed exactly by its DuckDB oracle.
   */
 object CurationQueries {
 
@@ -64,6 +66,9 @@ object CurationQueries {
   private val q50 = Q(
     (s, dir) => {
       val docs = table(s, dir, "documents")
+      // the split is re-derived on both scan branches here (cheap hash
+      // projection); a 100 TB pipeline materializes the split column once
+      // at curation time and both sides read it pre-filtered
       val withSplit = Curation.assignSplit(docs, "doc_id")
       val train = withSplit.filter(col("split") === "train")
       val bench = withSplit.filter(col("split") === "test")
@@ -77,8 +82,7 @@ object CurationQueries {
       s"WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' " +
       "ELSE 'test' END AS split FROM documents), " +
       "g AS (SELECT doc_id, split, " +
-      "unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] " +
-      "FOR i IN generate_series(1, greatest(len(ws)-4, 0))]) AS g " +
+      s"${duckWordGrams("ws", 5)} AS g " +
       "FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)) " +
       "SELECT DISTINCT tr.doc_id FROM g tr WHERE tr.split = 'train' AND EXISTS " +
       "(SELECT 1 FROM g te WHERE te.split = 'test' AND te.g = tr.g) " +

@@ -76,6 +76,16 @@ object Queries {
     "WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, " +
       "user_id, event_type, value, props FROM events)"
 
+  /** DuckDB word-n-gram comprehension over a string_split list `ws` —
+    * the single SQL twin of TextFunctions.wordShingles/WordNGrams, shared
+    * by every shingle-replaying oracle (q20/q22/q50) so a change to
+    * shingle semantics lands in exactly one fragment per side. */
+  def duckWordGrams(ws: String, n: Int): String = {
+    val terms = (0 until n)
+      .map(j => if (j == 0) s"$ws[i]" else s"$ws[i+$j]").mkString("||' '||")
+    s"unnest([$terms FOR i IN generate_series(1, greatest(len($ws)-${n - 1}, 0))])"
+  }
+
   /** cast(sum(cast(x as decimal))) — DuckDB twin of [[moneySum]]. */
   def dsum(sqlExpr: String): String =
     s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,6))) AS DOUBLE)"

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.Queries.{ddot, dround6, dsum, duckEmb, table, Q}
+import graft.queries.Queries.{ddot, dround6, dsum, duckEmb, duckWordGrams, table, Q}
 
 /** Training-data pipeline operator pack: deduplication, similarity search,
   * multimodal columns, text analysis (BASELINE.json north star, beyond the
@@ -17,8 +17,7 @@ object TrainingDataQueries {
   // DuckDB: distinct word-3gram shingles per doc
   private val duckWordShingles =
     "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-      "s AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
-      "FOR i IN generate_series(1, greatest(len(ws)-2, 0))]) AS sh FROM w)"
+      s"s AS (SELECT DISTINCT doc_id, ${duckWordGrams("ws", 3)} AS sh FROM w)"
 
   private val q20 = Q(
     (s, dir) => Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
@@ -74,8 +73,7 @@ object TrainingDataQueries {
     // corpus's 30-word vocabulary all collide, degenerating any exact
     // similarity join to all-pairs — see Dedup.ngramJaccardPairs notes)
     Some("WITH s AS (SELECT DISTINCT doc_id, lang, " +
-      "unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] " +
-      "FOR i IN generate_series(1, greatest(len(ws)-4, 0))]) AS g " +
+      s"${duckWordGrams("ws", 5)} AS g " +
       "FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)), " +
       "c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
       "FROM s a JOIN s b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id " +
