@@ -13,9 +13,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol per BASELINE.md: warm JVM (one untimed pass), then median of 3
   * timed runs per query. q19 (streaming) is verified for batch-equivalence
-  * in Verify but not timed, per the BENCH definition. Host 1-min load
-  * average is recorded before/after so a contended-host run is visible in
-  * the artifact instead of standing as the round's official number.
+  * in Verify but not timed, per the BENCH definition.
+  *
+  * Load gate: a contended host must never stand as the round's official
+  * number (round 1 and the round-2 driver artifact were both recorded at
+  * host load 4.5+/32 and read 2–3.6× while the same commit measured
+  * 1.6–1.7× quiet). Before the warm-up pass the bench samples the 1-min
+  * load average and, while it exceeds `SPARK_GRAFT_LOAD_GATE` (default
+  * cpus/8), sleeps `SPARK_GRAFT_LOAD_WAIT_MS` (default 45 s) up to
+  * `SPARK_GRAFT_LOAD_RETRIES` (default 10) times. Every sample lands in
+  * the artifact (`load_attempts`), along with the gate and whether the
+  * run finally proceeded contended (`load_gated_ok`) — so a bad number
+  * is self-describing even when the wait budget runs out.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,7 +59,25 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-    val load0 = loadAvg
+    // load gate (see scaladoc): wait for a quiet host before measuring,
+    // recording every load sample in the artifact
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
+      (cpus.toDouble / 8).toString).toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "10").toInt
+    val waitMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "45000").toLong
+    val attempts = scala.collection.mutable.ArrayBuffer(loadAvg)
+    while (attempts.last > loadGate && attempts.size <= maxRetries) {
+      System.err.println(f"bench: host load ${attempts.last}%.2f > gate " +
+        f"$loadGate%.2f, waiting ${waitMs / 1000}s " +
+        s"(attempt ${attempts.size}/$maxRetries)")
+      Thread.sleep(waitMs)
+      attempts += loadAvg
+    }
+    val load0 = attempts.last
+    val gatedOk = load0 <= loadGate
+    if (!gatedOk)
+      System.err.println(f"bench: proceeding CONTENDED at load $load0%.2f " +
+        f"after $maxRetries waits — treat this artifact's numbers as suspect")
     // warm-up pass: JIT, codegen cache, file listing
     queries.foreach { case (_, fn) => run(fn) }
 
@@ -64,7 +91,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","load_start":$load0,"load_end":$loadAvg}"""
+      s""""sf":"$sfDir","load_start":$load0,"load_end":$loadAvg,""" +
+      s""""load_gate":$loadGate,"load_attempts":${attempts.mkString("[", ",", "]")},""" +
+      s""""load_gated_ok":$gatedOk}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, RuntimeReplaceable, UnaryExpression, UnscaledValue, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -184,7 +186,9 @@ object CatalystExpressions {
     * TextFunctions.polyHash (equal on pure-ASCII payloads), codegen'd so
     * binary feature extraction stays a plain Project (no object
     * deserialization boundary). */
-  case class BytePolyHash(child: Expression) extends UnaryExpression {
+  case class BytePolyHash(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_bytehash"
 
@@ -259,6 +263,28 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [[UnscaledValue]] constrained to scale-6 decimals — the registered
+    * `graft_unscaled`. Catalyst's raw UnscaledValue is scale-blind:
+    * applied to a decimal whose scale is not 6 it silently mis-scales
+    * every downstream money total by a power of 10 (the partner
+    * `graft_make_decimal_38_6` always reattaches scale 6), so the
+    * library's SQL surface rejects other scales at analysis time. */
+  case class UnscaledMicros(child: Expression) extends RuntimeReplaceable
+      with UnaryLike[Expression] {
+    override lazy val replacement: Expression = UnscaledValue(child)
+    override def prettyName: String = "graft_unscaled"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case d: DecimalType if d.scale == 6 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_unscaled expects DECIMAL(p, 6) micros input, got " +
+          other.catalogString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Register the expressions as SQL temp functions in a session.
     * createOrReplaceTempFunction is idempotent, so no session-identity
     * guard is needed (an identityHashCode-keyed cache could collide after
@@ -283,8 +309,7 @@ object CatalystExpressions {
     // exposed so it can be applied beyond the precision the rule
     // auto-fires at (with the overflow precondition documented there)
     reg.createOrReplaceTempFunction("graft_unscaled",
-      es => org.apache.spark.sql.catalyst.expressions.UnscaledValue(es.head),
-      "built-in")
+      es => UnscaledMicros(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_make_decimal_38_6",
       es => org.apache.spark.sql.catalyst.expressions.MakeDecimal(es.head, 38, 6),
       "built-in")
@@ -324,8 +349,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
       es => BytePolyHash(es.head)))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
-      info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal (fast-sum plumbing)"),
-      es => org.apache.spark.sql.catalyst.expressions.UnscaledValue(es.head)))
+      info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
+      es => UnscaledMicros(es.head)))
     e.injectFunction((FunctionIdentifier("graft_make_decimal_38_6"),
       info("graft_make_decimal_38_6", "_FUNC_(long) - reattach decimal(38,6) scale to an unscaled long"),
       es => org.apache.spark.sql.catalyst.expressions.MakeDecimal(es.head, 38, 6)))

@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Hive-style `symbol=` partition dirs, append mode
   *    (`symbols(historical)/ingest_massive.py:155`,
   *    `1m-seesion-pipeline/ingest_1m_session.py:273-293`)
-  *  - `format ∈ {parquet, delta}` switch; Delta jars are not on this
-  *    environment's classpath, so `delta` routes to parquet with the
-  *    append+partitionBy semantics preserved (the reference uses no
-  *    Delta-only feature beyond `format("delta")` — SURVEY.md §7).
+  *  - `format ∈ {parquet, delta}` switch; `delta` is used verbatim when
+  *    the Delta jars are on the classpath (probed at first use) and
+  *    routes to parquet otherwise, with the append+partitionBy semantics
+  *    preserved (the reference uses no Delta-only feature beyond
+  *    `format("delta")` — SURVEY.md §7).
   *
   * Unlike the reference (explicit "NO coalesce" comment,
   * `ingest_massive.py:153`), the writer exposes `maxRecordsPerFile` so a
@@ -30,6 +31,28 @@ object Lake {
   def exists(spark: SparkSession, path: String): Boolean =
     Try(spark.read.parquet(path).schema).isSuccess
 
+  /** True iff Delta Lake's DataSource is loadable from `cl` — the
+    * classpath probe behind the `delta` format switch. Probed once
+    * (lazy) for the library's own classloader. */
+  private[io] lazy val deltaOnClasspath: Boolean = deltaProbe(getClass.getClassLoader)
+
+  private[io] def deltaProbe(cl: ClassLoader): Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource",
+        false, cl)
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** `delta` is honored when the Delta jars are actually present and
+    * falls back to parquet (append+partitionBy semantics preserved —
+    * everything the reference's delta writes rely on) when they are not,
+    * so the same pipeline code runs in both environments. */
+  private[io] def resolveFormat(format: String,
+      deltaAvailable: Boolean = deltaOnClasspath): String = format match {
+    case "delta" if !deltaAvailable => "parquet"
+    case other                      => other
+  }
+
   /** A20/A21: partitioned append.
     *
     * `sortCols` orders rows *within* each task before writing (no extra
@@ -40,10 +63,7 @@ object Lake {
   def append(df: DataFrame, path: String, partitionCols: Seq[String],
       format: String = "parquet", maxRecordsPerFile: Long = 0L,
       sortCols: Seq[String] = Nil): Unit = {
-    val fmt = format match {
-      case "delta" => "parquet" // no Delta jars in this environment; see above
-      case other   => other
-    }
+    val fmt = resolveFormat(format)
     val src = if (sortCols.nonEmpty)
       df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
     else df

@@ -107,11 +107,17 @@ object BarOps {
     * |Σ x| < 2⁶³/10⁶ ≈ 9.2·10¹² — guaranteed for bounded groups (per
     * order / customer / symbol-hour …) at any corpus size. For UNBOUNDED
     * groups (grand totals, rollup ALL buckets) stay on [[moneySum]]: at
-    * 100 TB a global money total can breach the long domain and a long
-    * sum would wrap silently where decimal raises. */
+    * 100 TB a global money total can breach the long domain. The long
+    * accumulation is `try_sum`, so a violated precondition surfaces as a
+    * NULL total (visible in any result diff) instead of a silently
+    * wrapped value. */
   def moneySumFast(c: Column): Column = {
+    // idempotent self-registration: standalone callers don't necessarily
+    // go through Queries.table/resampleOhlcv, which also register
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.CatalystExpressions.register)
     val unscaled = call_function("graft_unscaled", c.cast(DecimalType(18, 6)))
-    call_function("graft_make_decimal_38_6", sum(unscaled)).cast(DoubleType)
+    call_function("graft_make_decimal_38_6", try_sum(unscaled)).cast(DoubleType)
   }
 
   /** D6: OHLCV resample — first/last made deterministic with

@@ -27,17 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Deterministic hash of a non-negative id into [0, 2^32): Knuth
-    * multiplicative mixing, replayable as
+  /** Deterministic hash of an id into [0, 2^32): Knuth multiplicative
+    * mixing, replayable as
     * `(((id % 2147483648) * 2654435761 + 2654435769) % 4294967296)` in
-    * any SQL. The id is reduced mod 2^31 BEFORE the multiply so the
-    * product peaks at ~5.7·10^18 < 2^63 — no silent 64-bit wrap for any
-    * non-negative long id (an unreduced multiply overflows, biasedly,
-    * from id ≈ 3.5·10^9, which a 100 TB corpus can reach). Ids ≥ 2^31
-    * alias with their low 31 bits — harmless for split/sample uniformity;
-    * order ties are always broken by the full id. */
+    * any SQL (for the non-negative ids real corpora carry — see below).
+    * The id is reduced mod 2^31 BEFORE the multiply so the product peaks
+    * at ~5.7·10^18 < 2^63 — no silent 64-bit wrap for any long id (an
+    * unreduced multiply overflows, biasedly, from id ≈ 3.5·10^9, which a
+    * 100 TB corpus can reach). The reduction is `pmod`, so a NEGATIVE id
+    * also lands in [0, 2^31) and hashes uniformly — with plain `%` its
+    * negative remainder made every downstream bucket comparison
+    * (`bucket < trainPct`) silently true, routing all negative-id docs
+    * to 'train'. Ids outside [0, 2^31) alias with their low 31 bits —
+    * harmless for split/sample uniformity; order ties are always broken
+    * by the full id. */
   def idHash(id: Column): Column =
-    ((id % lit(2147483648L)) * lit(2654435761L) + lit(2654435769L)) % lit(4294967296L)
+    (pmod(id, lit(2147483648L)) * lit(2654435761L) + lit(2654435769L)) % lit(4294967296L)
 
   /** Stable train/val/test assignment: bucket = idHash(id) % 100, then
     * `[0, trainPct) → train`, `[trainPct, trainPct+valPct) → val`,

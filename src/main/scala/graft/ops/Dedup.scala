@@ -50,6 +50,14 @@ object Dedup {
     * Because the final filter is the *exact* Jaccard, the output is
     * deterministic and oracle-checkable; LSH only bounds the candidate
     * set (with k=128, bands=32×4 the miss probability at j≥0.8 is <1e-7).
+    *
+    * The (id, shingles) frame is materialized ONCE (eager
+    * `localCheckpoint`): the signature/band path and both sides of the
+    * exact-Jaccard verify join all read the materialized blocks instead
+    * of re-running the shingle projection per subtree (the band path's
+    * exchange reuse never covered the two verify sides). A cluster
+    * deployment at index scale writes the shingle frame to the lake —
+    * same plan shape, durable materialization.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
@@ -61,6 +69,7 @@ object Dedup {
     val r = k / bands
     val withSets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWidth).as("sh"))
+      .localCheckpoint()
     val withSig = withSets.withColumn("sig", minhashSignature(col("sh"), k))
     val bandsDf = lshBands(withSig, "sig", "id", bands, r)
     // shuffle_hash instead of the (size-eligible) broadcast: both sides of
@@ -172,8 +181,12 @@ object Dedup {
     * regardless of the prefix order chosen. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingle: Column => Column, threshold: Double = 0.5): DataFrame = {
+    // materialized once (eager checkpoint): the prefix-posting path and
+    // both verify-join sides read the same shingle computation — see
+    // minhashNearDups for the scale rationale
     val sets = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shingle(col(textCol)).as("sh"))
+      .localCheckpoint()
     val nsh = size(col("sh"))
     val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
     val prefix = sets.select(col("id"), col("blk"),

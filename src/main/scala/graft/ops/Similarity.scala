@@ -63,10 +63,17 @@ object Similarity {
   /** All pairs (ida < idb) with cosine >= threshold, via explicit all-pairs
     * comparison. Quadratic by construction — kept only as the tiny-N
     * reference implementation and spec oracle for [[cosinePairsBlocked]],
-    * which computes the identical answer with a linear-shuffle plan. */
+    * which computes the identical answer with a linear-shuffle plan.
+    *
+    * Zero-norm vectors are dropped (here AND in the blocked variants):
+    * cosine against them is 0/0 = NaN, and NaN's sort-greatest semantics
+    * would otherwise make the brute path keep NaN pairs while the blocked
+    * path's NaN radius drops their cells — the two paths stay exactly
+    * equal only when neither ever sees a degenerate vector. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(emb).select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm(emb).select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ida") < col("idb"))
       .withColumn("sim", cosine(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("sim") >= threshold)
@@ -98,15 +105,17 @@ object Similarity {
     * blob) degrades to all admissible pairs — still an equi-join, and data
     * with any cluster structure prunes most of the nCells² combinations.
     *
-    * Cost note: this convenience form computes the cell assignment three
-    * times (the radii job plus each join side — the subtrees differ, so no
-    * exchange is reusable). At index scale the assignment IS the IVF
-    * index-build step: materialize `assignCells`' output once (persist or
-    * write) and run the blocking join over the materialized frame rather
-    * than paying the recompute per call. */
+    * Cost note: the cell assignment is computed ONCE and materialized
+    * (eager `localCheckpoint`) — the radii job and both join sides read
+    * the materialized frame instead of re-deriving the argmax projection
+    * per subtree (the three subtrees differ, so exchange reuse could
+    * never fuse them). At index scale the assignment IS the IVF
+    * index-build step; a cluster deployment would write it to the lake
+    * (reliable storage) instead of executor-local checkpoint blocks,
+    * which is the same plan shape with a durable materialization. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
-    val e = withNorm(emb)
+    val e = withNorm(emb).filter(col("nrm") > 0)
     cosinePairsWithCells(e, collectCentroids(e, nCells), threshold)
   }
 
@@ -118,7 +127,7 @@ object Similarity {
     * codebook; training only improves pruning, never correctness. */
   def cosinePairsBlockedKMeans(emb: DataFrame, threshold: Double,
       nCells: Int = 16, seed: Long = 42L): DataFrame = {
-    val e = withNorm(emb)
+    val e = withNorm(emb).filter(col("nrm") > 0)
     cosinePairsWithCells(e, kmeansCentroids(e, nCells, seed), threshold)
   }
 
@@ -128,8 +137,14 @@ object Similarity {
     if (cents.isEmpty) // empty corpus ⇒ no pairs (and no codebook to block on)
       return e.limit(0).select(col("vec_id").as("ida"), col("vec_id").as("idb"),
         col("nrm").as("sim"))
+    // materialize the assignment ONCE (eager checkpoint = one job): the
+    // radii collect and both join sides below all read the materialized
+    // blocks instead of recomputing the argmax projection per subtree.
+    // Executor-local blocks are cleaned by the ContextCleaner when the
+    // frame is unreferenced; a cluster run materializes to the lake.
     val assigned = assignCells(e, cents)
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
+      .localCheckpoint()
     val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))

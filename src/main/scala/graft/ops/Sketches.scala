@@ -21,52 +21,178 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** counts: item -> (count, overestimate-error) */
-  type SSState = Map[String, (Long, Long)]
-
   case class HeavyHitter(item: String, cnt: Long, err: Long)
 
-  class SpaceSaving(capacity: Int)
-      extends Aggregator[String, SSState, Seq[HeavyHitter]] {
+  /** Mutable bounded counter table for SpaceSaving: an open-addressing
+    * hash map (linear probing + tombstones) over parallel primitive
+    * arrays, mutated in place. The `Aggregator` contract allows `reduce`
+    * and `merge` to mutate and return their buffer, which is what makes
+    * the per-item hot path allocation-free: the previous immutable-`Map`
+    * buffer allocated a fresh map per input row (`Map.updated`) and paid
+    * a boxed O(capacity) `minBy` per eviction — at a 100 TB token stream
+    * that per-row churn is exactly the cost the sketch exists to avoid.
+    *
+    * The table is the next power of two ≥ 4×capacity, so live entries
+    * occupy ≤ ~25% of slots and tombstones another ≤ 25% before a
+    * rehash — probe chains stay O(1). The hit path (existing key) is a
+    * probe + in-place `cnts(i) += 1`. Eviction — only reached when a NEW
+    * key meets a FULL table — keeps the original deterministic
+    * (count, key) argmin tie-break via one primitive-array scan.
+    */
+  final class SSBuffer(val capacity: Int) extends Serializable {
+    private[ops] val tableSize: Int = {
+      var t = 8; while (t < capacity * 4) t <<= 1; t
+    }
+    private val mask = tableSize - 1
+    private val keys = new Array[String](tableSize)
+    private val dead = new Array[Boolean](tableSize) // tombstones (key = null)
+    private val cnts = new Array[Long](tableSize)
+    private val errs = new Array[Long](tableSize)
+    private[ops] var used = 0
+    private var tombs = 0
 
-    override def zero: SSState = Map.empty
-
-    override def reduce(st: SSState, item: String): SSState =
-      st.get(item) match {
-        case Some((c, e)) => st.updated(item, (c + 1, e))
-        case None if st.size < capacity => st.updated(item, (1L, 0L))
-        case None =>
-          // evict the minimum counter; the newcomer inherits its count as
-          // upper-bound error (the SpaceSaving step)
-          val (minItem, (minC, _)) = st.minBy { case (k, (c, _)) => (c, k) }
-          (st - minItem).updated(item, (minC + 1, minC))
-      }
-
-    override def merge(a: SSState, b: SSState): SSState = {
-      // standard sketch merge: sum common counters; a key absent from one
-      // side could have been evicted there, so its floor error is that
-      // side's minimum counter (0 if that side never evicted / is empty)
-      def floor(st: SSState): Long =
-        if (st.size < capacity) 0L else st.values.map(_._1).min
-      val fa = floor(a)
-      val fb = floor(b)
-      val merged = (a.keySet ++ b.keySet).iterator.map { k =>
-        val (ca, ea) = a.getOrElse(k, (fa, fa))
-        val (cb, eb) = b.getOrElse(k, (fb, fb))
-        k -> (ca + cb, ea + eb)
-      }.toMap
-      if (merged.size <= capacity) merged
-      else merged.toSeq
-        .sortBy { case (k, (c, _)) => (-c, k) }
-        .take(capacity)
-        .toMap
+    private def slot(key: String): Int = {
+      // spread String.hashCode's low-entropy high bits before masking
+      val h = key.hashCode * 0x9E3779B9
+      (h ^ (h >>> 16)) & mask
     }
 
-    override def finish(st: SSState): Seq[HeavyHitter] =
-      st.toSeq.map { case (k, (c, e)) => HeavyHitter(k, c, e) }
-        .sortBy(h => (-h.cnt, h.item))
+    /** Slot of `key`, or -1. Probes past tombstones, stops at empty. */
+    private def find(key: String): Int = {
+      var i = slot(key)
+      while (keys(i) != null || dead(i)) {
+        if (key == keys(i)) return i
+        i = (i + 1) & mask
+      }
+      -1
+    }
 
-    override def bufferEncoder: Encoder[SSState] = Encoders.kryo[SSState]
+    /** Precondition: `key` absent. Reuses the first tombstone on the
+      * probe path, else the terminating empty slot. */
+    private[ops] def insert(key: String, c: Long, e: Long): Unit = {
+      var i = slot(key)
+      var target = -1
+      while (keys(i) != null || dead(i)) {
+        if (target < 0 && dead(i)) target = i
+        i = (i + 1) & mask
+      }
+      if (target < 0) target = i
+      if (dead(target)) { dead(target) = false; tombs -= 1 }
+      keys(target) = key
+      cnts(target) = c
+      errs(target) = e
+      used += 1
+    }
+
+    private def removeAt(i: Int): Unit = {
+      keys(i) = null
+      dead(i) = true
+      used -= 1
+      tombs += 1
+      if (tombs > capacity) rehash()
+    }
+
+    private def rehash(): Unit = {
+      val ks = keys.clone(); val cs = cnts.clone(); val es = errs.clone()
+      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(dead, false)
+      tombs = 0
+      used = 0
+      var i = 0
+      while (i < tableSize) {
+        if (ks(i) != null) insert(ks(i), cs(i), es(i))
+        i += 1
+      }
+    }
+
+    /** Deterministic eviction victim: min (count, key), one array scan. */
+    private def argmin: Int = {
+      var best = -1
+      var i = 0
+      while (i < tableSize) {
+        if (keys(i) != null &&
+            (best < 0 || cnts(i) < cnts(best) ||
+              (cnts(i) == cnts(best) && keys(i).compareTo(keys(best)) < 0)))
+          best = i
+        i += 1
+      }
+      best
+    }
+
+    /** The SpaceSaving step, in place. */
+    private[ops] def add(item: String): Unit = {
+      val i = find(item)
+      if (i >= 0) cnts(i) += 1
+      else if (used < capacity) insert(item, 1L, 0L)
+      else {
+        // evict the minimum counter; the newcomer inherits its count as
+        // upper-bound error
+        val m = argmin
+        val minC = cnts(m)
+        removeAt(m)
+        insert(item, minC + 1, minC)
+      }
+    }
+
+    /** A key absent from a FULL sketch could have been evicted at any
+      * count up to the current minimum — that minimum is its count/error
+      * floor in the merge. A non-full sketch never evicted: floor 0. */
+    private[ops] def floor: Long =
+      if (used < capacity) 0L
+      else {
+        var m = Long.MaxValue
+        var i = 0
+        while (i < tableSize) {
+          if (keys(i) != null && cnts(i) < m) m = cnts(i)
+          i += 1
+        }
+        m
+      }
+
+    private[ops] def entries: Iterator[(String, Long, Long)] =
+      keys.indices.iterator.filter(i => keys(i) != null)
+        .map(i => (keys(i), cnts(i), errs(i)))
+  }
+
+  class SpaceSaving(capacity: Int)
+      extends Aggregator[String, SSBuffer, Seq[HeavyHitter]] {
+
+    override def zero: SSBuffer = new SSBuffer(capacity)
+
+    override def reduce(b: SSBuffer, item: String): SSBuffer = {
+      b.add(item)
+      b
+    }
+
+    override def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
+      // standard sketch merge: sum common counters; a key absent from one
+      // side gets that side's floor added to both count and error (it
+      // could have been evicted there at up to the floor). Truncation
+      // back to capacity keeps the top counters, ties by key.
+      val fa = a.floor
+      val fb = b.floor
+      val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      a.entries.foreach { case (k, c, e) => m.update(k, (c + fb, e + fb)) }
+      b.entries.foreach { case (k, c, e) =>
+        m.get(k) match {
+          case Some((c0, e0)) => m.update(k, (c0 - fb + c, e0 - fb + e))
+          case None           => m.update(k, (fa + c, fa + e))
+        }
+      }
+      val all = m.iterator.map { case (k, (c, e)) => (k, c, e) }.toSeq
+      val kept =
+        if (all.size <= capacity) all
+        else all.sortBy { case (k, c, _) => (-c, k) }.take(capacity)
+      val out = new SSBuffer(capacity)
+      kept.foreach { case (k, c, e) => out.insert(k, c, e) }
+      out
+    }
+
+    override def finish(b: SSBuffer): Seq[HeavyHitter] =
+      b.entries.map { case (k, c, e) => HeavyHitter(k, c, e) }
+        .toSeq.sortBy(h => (-h.cnt, h.item))
+
+    override def bufferEncoder: Encoder[SSBuffer] = Encoders.kryo[SSBuffer]
     override def outputEncoder: Encoder[Seq[HeavyHitter]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHitter]]()
   }

@@ -38,7 +38,15 @@ object Sessionize {
   /** `sessId` is the event_id of the event that OPENED the session — the
     * session's stable identity. A late event may widen `start` between
     * snapshots, so (user, start) is NOT stable; snapshots of one session
-    * always share `sessId`, which is what [[latestSnapshot]] collapses on. */
+    * always share `sessId`, which is what [[latestSnapshot]] collapses on.
+    *
+    * STATE-SCHEMA BREAK (pre-1.0): adding `sessId`/`sess_id` changed both
+    * the flatMapGroupsWithState state encoder and the output schema — a
+    * streaming checkpoint written before this field existed fails (or
+    * misdecodes) on restart, and `latestSnapshot` requires the `sess_id`
+    * column pre-change snapshot data lacks. Deployments upgrading across
+    * this change must start from a NEW checkpoint location (and re-derive
+    * snapshots), not resume the old one. */
   final case class SessionState(start: Long, end: Long, n: Long, sessId: Long)
   final case class SessionOut(user_id: Long, sess_id: Long,
       session_start: Timestamp, session_end: Timestamp, n: Long)

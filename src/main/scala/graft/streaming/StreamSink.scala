@@ -12,13 +12,15 @@ import graft.io.Lake
   * batch-only ingest into a continuous one without changing the lake's
   * readers.
   *
-  * Semantics: at-least-once. `foreachBatch` replays a batch after a
-  * failure, and a plain parquet append cannot detect the replay, so a
-  * crash between write and checkpoint commit can duplicate rows — the
-  * same contract as the reference's re-runnable batch append, and the
-  * reason its watermark dedup (strict `ts >`) sits downstream. Upgrading
-  * to exactly-once needs a transactional table format (the Delta path
-  * Lake documents) or an idempotent overwrite keyed by `batchId`.
+  * Semantics: [[toLake]] is at-least-once. `foreachBatch` replays a
+  * batch after a failure, and a plain parquet append cannot detect the
+  * replay, so a crash between write and checkpoint commit can duplicate
+  * rows — the same contract as the reference's re-runnable batch append,
+  * and the reason its watermark dedup (strict `ts >`) sits downstream.
+  * [[toLakeIdempotent]] upgrades to effective exactly-once without a
+  * transactional format: each micro-batch lands in its own `batch=<id>`
+  * partition via staging dir + atomic rename, so a replay overwrites its
+  * own previous landing instead of appending twice.
   */
 object StreamSink {
 
@@ -36,4 +38,55 @@ object StreamSink {
         Lake.append(batch, path, partitionCols, sortCols = sortCols)
       }
       .start()
+
+  /** Exactly-once streaming→lake landing keyed by `batchId`: replaying a
+    * micro-batch (crash between write and checkpoint commit) re-lands
+    * the SAME `batch=<id>` directory instead of appending a duplicate.
+    * Readers see an extra `batch` partition column (drop it, or use it —
+    * it is also the natural incremental-processing cursor). Within-batch
+    * layout still supports Hive partitioning + within-task sort, same as
+    * [[toLake]]. */
+  def toLakeIdempotent(stream: DataFrame, path: String,
+      partitionCols: Seq[String], checkpoint: String,
+      sortCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, path, batchId, partitionCols, sortCols)
+      }
+      .start()
+
+  /** Idempotent micro-batch landing (exposed for direct replay testing):
+    * write the batch to a dot-prefixed staging dir — invisible to
+    * Spark's file index, so readers never see in-flight data — then
+    * atomically rename it to `batch=<id>`. A replay of batch N drops any
+    * previous `batch=N` landing before its rename, so the final state
+    * after any crash/replay interleaving equals exactly-once. The
+    * non-atomic delete+rename window exists only while batch N's
+    * checkpoint commit is missing, i.e. while N is not yet committed for
+    * any reader that keys off the checkpoint. On object stores without
+    * atomic rename, point `path` at a rename-capable layer (HDFS,
+    * cluster FS) or use a transactional table format instead. */
+  def landBatch(batch: DataFrame, path: String, batchId: Long,
+      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val staging = new Path(root, s".staging-batch-$batchId")
+    val target = new Path(root, s"batch=$batchId")
+    val src =
+      if (sortCols.nonEmpty)
+        batch.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else batch
+    var w = src.write.mode("overwrite").format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"streaming lake commit failed: rename $staging -> $target")
+  }
 }

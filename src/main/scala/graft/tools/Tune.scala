@@ -165,6 +165,38 @@ object Tune {
     time("q20 selfjoin pairs")(q20("selfjoin"))
     time("q20 collect_list pairs")(q20("collect"))
 
+    // ---- q44 SpaceSaving reduce-loop micro-bench -------------------------
+    // round-2 immutable-Map buffer (Map.updated per row, boxed minBy per
+    // eviction) vs the mutable open-addressing SSBuffer, driver-side over
+    // the real token stream. cap=64 is the q44 exact regime (no
+    // evictions); cap=16 forces the eviction-heavy regime.
+    val toks = table("documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(col("t").cast("string")).collect().map(_.getString(0))
+    println(s"[tune] q44 token stream: ${toks.length} items")
+    def ssOld(capacity: Int): Long = {
+      var st = Map.empty[String, (Long, Long)]
+      toks.foreach { item =>
+        st = st.get(item) match {
+          case Some((c, e)) => st.updated(item, (c + 1, e))
+          case None if st.size < capacity => st.updated(item, (1L, 0L))
+          case None =>
+            val (minItem, (minC, _)) = st.minBy { case (k, (c, _)) => (c, k) }
+            (st - minItem).updated(item, (minC + 1, minC))
+        }
+      }
+      st.size.toLong
+    }
+    def ssNew(capacity: Int): Long = {
+      val agg = new graft.ops.Sketches.SpaceSaving(capacity)
+      val b = toks.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(b).size.toLong
+    }
+    time("q44 reduce imm-Map cap=64")(ssOld(64))
+    time("q44 reduce SSBuffer cap=64")(ssNew(64))
+    time("q44 reduce imm-Map cap=16")(ssOld(16))
+    time("q44 reduce SSBuffer cap=16")(ssNew(16))
+
     // ---- q05 write variants ---------------------------------------------
     val scratch = graft.queries.Queries.scratchRoot + "/tune-q05"
     def q05(shape: String): Long = {

@@ -28,4 +28,19 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,0)]"), plan)
   }
+
+  test("delta format switches on the classpath probe, parquet fallback otherwise") {
+    // the switch itself, both probe outcomes
+    assert(Lake.resolveFormat("delta", deltaAvailable = true) == "delta")
+    assert(Lake.resolveFormat("delta", deltaAvailable = false) == "parquet")
+    assert(Lake.resolveFormat("parquet", deltaAvailable = true) == "parquet")
+    // this environment carries no Delta jars: the real probe must say so,
+    // and an actual delta-format append must land readable parquet
+    assert(!Lake.deltaOnClasspath, "environment unexpectedly has Delta jars")
+    val dir = s"/tmp/graft-test-lake/delta-${System.nanoTime()}"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+    Lake.append(ev, dir, partitionCols = Seq("event_type"), format = "delta")
+    assert(spark.read.parquet(dir).count() == ev.count())
+  }
 }

@@ -39,4 +39,40 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(lake).count() == ev.count(),
       "checkpointed restart must not re-append already-committed batches")
   }
+
+  test("toLakeIdempotent: a replayed batch overwrites its own landing (no duplicates)") {
+    val root = Files.createTempDirectory("graft-streamsink-ido").toString
+    val lake = s"$root/lake"
+    val ckpt = s"$root/ckpt"
+
+    val stream = Queries.stagedEventStream(spark, sf0001, "streamsink-ido")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val q1 = StreamSink.toLakeIdempotent(stream, lake, Seq("event_type"), ckpt,
+      sortCols = Seq("ts"))
+    q1.awaitTermination()
+
+    val ev = Queries.table(spark, sf0001, "events")
+    val landed = spark.read.parquet(lake)
+    assert(landed.count() == ev.count())
+    // batchId partition column + Hive layout inside each batch dir
+    assert(landed.schema.fieldNames.contains("batch"))
+    assert(new java.io.File(lake).listFiles().exists(_.getName.startsWith("batch=")))
+
+    assert(landed.select("batch").distinct().count() == 1,
+      "single staged file => single micro-batch (precondition for the replay below)")
+
+    // simulate the crash-replay: re-land batch 0 directly (the exact call
+    // foreachBatch would repeat after a failure before checkpoint commit)
+    val batch0 = Queries.table(spark, sf0001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    StreamSink.landBatch(batch0, lake, 0L, Seq("event_type"), Seq("ts"))
+    StreamSink.landBatch(batch0, lake, 0L, Seq("event_type"), Seq("ts"))
+    assert(spark.read.parquet(lake).count() == ev.count(),
+      "replaying a batch must overwrite its previous landing, not append")
+    // no staging leftovers visible or present
+    assert(!new java.io.File(lake).listFiles()
+      .exists(_.getName.startsWith(".staging")), "staging dir must be renamed away")
+  }
 }
