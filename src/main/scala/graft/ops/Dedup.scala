@@ -51,25 +51,29 @@ object Dedup {
     * deterministic and oracle-checkable; LSH only bounds the candidate
     * set (with k=128, bands=32×4 the miss probability at j≥0.8 is <1e-7).
     *
-    * The (id, shingles) frame is materialized ONCE (eager
-    * `localCheckpoint`): the signature/band path and both sides of the
-    * exact-Jaccard verify join all read the materialized blocks instead
-    * of re-running the shingle projection per subtree (the band path's
-    * exchange reuse never covered the two verify sides). A cluster
-    * deployment at index scale writes the shingle frame to the lake —
-    * same plan shape, durable materialization.
+    * The (id, shingles) frame is materialized ONCE (lazy persist, one
+    * cache slot per operator — [[Materialize]]): the signature/band path
+    * fills the cache and both sides of the exact-Jaccard verify join
+    * read it instead of re-running the shingle projection per subtree
+    * (the band path's exchange reuse never covered the two verify
+    * sides). A cluster deployment at index scale writes the shingle
+    * frame to the lake — same plan shape, durable materialization.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, mode: String = "persist"): DataFrame = {
     graft.functions.CatalystExpressions.register(docs.sparkSession)
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands, otherwise the last k%bands " +
         "signature positions are silently excluded from banding")
     val r = k / bands
-    val withSets = docs.select(col(idCol).as("id"),
+    val withSetsRaw = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWidth).as("sh"))
-      .localCheckpoint()
+    val withSets = mode match {
+      case "checkpoint" => withSetsRaw.localCheckpoint()
+      case "persist"    => Materialize.cachedSingleton("dedup-minhash-sets", withSetsRaw)
+      case _            => withSetsRaw
+    }
     val withSig = withSets.withColumn("sig", minhashSignature(col("sh"), k))
     val bandsDf = lshBands(withSig, "sig", "id", bands, r)
     // shuffle_hash instead of the (size-eligible) broadcast: both sides of
@@ -180,13 +184,18 @@ object Dedup {
     * result is identical to the naive all-pairs answer (and the oracle)
     * regardless of the prefix order chosen. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, shingle: Column => Column, threshold: Double = 0.5): DataFrame = {
-    // materialized once (eager checkpoint): the prefix-posting path and
-    // both verify-join sides read the same shingle computation — see
-    // minhashNearDups for the scale rationale
-    val sets = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      blockCol: String, shingle: Column => Column, threshold: Double = 0.5,
+      mode: String = "persist"): DataFrame = {
+    // materialized once: the prefix-posting path and both verify-join
+    // sides read the same shingle computation — see minhashNearDups for
+    // the scale rationale
+    val setsRaw = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shingle(col(textCol)).as("sh"))
-      .localCheckpoint()
+    val sets = mode match {
+      case "checkpoint" => setsRaw.localCheckpoint()
+      case "persist"    => Materialize.cachedSingleton("dedup-ngram-sets", setsRaw)
+      case _            => setsRaw
+    }
     val nsh = size(col("sh"))
     val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
     val prefix = sets.select(col("id"), col("blk"),

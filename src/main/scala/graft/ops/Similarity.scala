@@ -106,17 +106,25 @@ object Similarity {
     * with any cluster structure prunes most of the nCells² combinations.
     *
     * Cost note: the cell assignment is computed ONCE and materialized
-    * (eager `localCheckpoint`) — the radii job and both join sides read
-    * the materialized frame instead of re-deriving the argmax projection
-    * per subtree (the three subtrees differ, so exchange reuse could
-    * never fuse them). At index scale the assignment IS the IVF
-    * index-build step; a cluster deployment would write it to the lake
-    * (reliable storage) instead of executor-local checkpoint blocks,
+    * (lazy persist, one cache slot — [[Materialize]]) — the radii job
+    * fills the cache and both join sides read it instead of re-deriving
+    * the argmax projection per subtree (the three subtrees differ, so
+    * exchange reuse could never fuse them). At index scale the
+    * assignment IS the IVF index-build step; a cluster deployment would
+    * write it to the lake (reliable storage) instead of cache blocks,
     * which is the same plan shape with a durable materialization. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
     cosinePairsWithCells(e, collectCentroids(e, nCells), threshold)
+  }
+
+  /** A/B hook (tools): [[cosinePairsBlocked]] with an explicit
+    * materialization mode for the assignment frame. */
+  private[graft] def cosinePairsBlockedMode(emb: DataFrame, threshold: Double,
+      nCells: Int, mode: String): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    cosinePairsWithCells(e, collectCentroids(e, nCells), threshold, mode)
   }
 
   /** [[cosinePairsBlocked]] with a seeded MLlib KMeans codebook — the
@@ -132,21 +140,33 @@ object Similarity {
   }
 
   private def cosinePairsWithCells(e: DataFrame, cents: Seq[Centroid],
-      threshold: Double): DataFrame = {
+      threshold: Double, mode: String = "persist"): DataFrame = {
     val spark = e.sparkSession
     if (cents.isEmpty) // empty corpus ⇒ no pairs (and no codebook to block on)
       return e.limit(0).select(col("vec_id").as("ida"), col("vec_id").as("idb"),
         col("nrm").as("sim"))
-    // materialize the assignment ONCE (eager checkpoint = one job): the
-    // radii collect and both join sides below all read the materialized
-    // blocks instead of recomputing the argmax projection per subtree.
-    // Executor-local blocks are cleaned by the ContextCleaner when the
-    // frame is unreferenced; a cluster run materializes to the lake.
-    val assigned = assignCells(e, cents)
+    // materialize the assignment ONCE: the radii collect fills the cache
+    // and both join sides read it instead of recomputing the argmax
+    // projection per subtree. Lazy persist (not an eager checkpoint) so
+    // no extra job is scheduled — the radii action is the fill. The
+    // assignment IS the IVF index: repeated searches over the same
+    // corpus reuse the cached frame (plan-keyed), and a cluster run
+    // would write it to the lake instead.
+    val assignedRaw = assignCells(e, cents)
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
-      .localCheckpoint()
-    val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val assigned = mode match {
+      case "checkpoint" => assignedRaw.localCheckpoint()
+      case "persist"    => Materialize.cachedSingleton("similarity-assign", assignedRaw)
+      case _            => assignedRaw
+    }
+    // per-cell radii are part of the materialized index (an IVF index =
+    // codebook + assignment + radii): memoized plan-keyed alongside the
+    // cached assignment, so repeated searches over one corpus skip the
+    // driver round-trip. Same staleness contract as Dataset.persist —
+    // underlying data changes require a cache clear.
+    val radii =
+      if (mode == "persist") radiiOf(assigned)
+      else collectRadii(assigned)
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     def angle(a: Centroid, b: Centroid): Double = {
       var d = 0.0
@@ -223,12 +243,43 @@ object Similarity {
     }
   }
 
+  private def collectRadii(assigned: DataFrame): Map[Long, Double] =
+    assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Bounded plan-keyed memo for driver-side index state (codebooks,
+    * radii): keys are canonicalized plans (structural equality = Spark's
+    * sameResult), a handful of entries at most — cleared wholesale if it
+    * ever grows past 8 corpora. Same staleness contract as
+    * Dataset.persist: underlying data changes require a cache clear. */
+  private final class PlanMemo[K, V] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[(Any, K), V]()
+    def getOrElseUpdate(df: DataFrame, k: K)(build: => V): V = {
+      if (m.size > 8) m.clear()
+      m.computeIfAbsent((df.queryExecution.analyzed.canonicalized, k), _ => build)
+    }
+  }
+
+  private val radiiCache = new PlanMemo[Unit, Map[Long, Double]]
+
+  /** [[collectRadii]] memoized on the assignment's plan — the
+    * driver-side half of the persisted IVF index. */
+  private def radiiOf(assigned: DataFrame): Map[Long, Double] =
+    radiiCache.getOrElseUpdate(assigned, ())(collectRadii(assigned))
+
+  private val centCache = new PlanMemo[Int, Seq[Centroid]]
+
   /** First-nCells deterministic codebook (lowest vec_ids — a top-K heap
     * scan, not a global sort), collected driver-side (nCells × dim
     * doubles — the same scale as any broadcast variable). Selecting by
     * order instead of `vec_id < nCells` keeps the codebook non-empty for
-    * id spaces that don't start at 0 (e.g. a filtered corpus slice). */
+    * id spaces that don't start at 0 (e.g. a filtered corpus slice).
+    * Memoized on the corpus plan: the codebook is index state, rebuilt
+    * only when the corpus changes. */
   private def collectCentroids(e: DataFrame, nCells: Int): Seq[Centroid] =
+    centCache.getOrElseUpdate(e, nCells)(collectCentroidsUncached(e, nCells))
+
+  private def collectCentroidsUncached(e: DataFrame, nCells: Int): Seq[Centroid] =
     e.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect()
