@@ -196,17 +196,7 @@ object Dedup {
       case "persist"    => Materialize.cachedSingleton("dedup-ngram-sets", setsRaw)
       case _            => setsRaw
     }
-    val nsh = size(col("sh"))
-    val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
-    val prefix = sets.select(col("id"), col("blk"),
-      explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
-    // shuffle_hash: identical shuffles on both sides → exchange reuse
-    // computes the prefix postings once (see minhashNearDups)
-    val cand = prefix.as("x").hint("shuffle_hash").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"))
-      .distinct()
+    val cand = ngramCandidates(sets, threshold)
     cand
       .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
       .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
@@ -215,5 +205,22 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
       .orderBy("da", "db")
+  }
+
+  /** Candidate-pair generation of [[ngramJaccardPairs]] — the AllPairs
+    * prefix-posting equi-join, package-visible so the skew-evidence spec
+    * exercises the operator's own join stage. Input: (id, blk, sh). */
+  private[graft] def ngramCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    val nsh = size(col("sh"))
+    val prefixLen = (nsh - ceil(nsh * threshold) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("blk"),
+      explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"))
+    // shuffle_hash: identical shuffles on both sides → exchange reuse
+    // computes the prefix postings once (see minhashNearDups)
+    prefix.as("x").hint("shuffle_hash").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.blk") === col("y.blk") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
   }
 }

@@ -226,10 +226,18 @@ object Similarity {
       probeBroadcast)
   }
 
+  private val kmeansCache = new PlanMemo[(Int, Long), Seq[Centroid]]
+
   /** Seeded MLlib KMeans codebook over the normalized frame; one MLlib
     * job, centroids come back driver-side where the plan literal wants
-    * them. The norm fold matches [[dot]]'s left-to-right order. */
-  private def kmeansCentroids(e: DataFrame, nCells: Int, seed: Long): Seq[Centroid] = {
+    * them. The norm fold matches [[dot]]'s left-to-right order.
+    * Memoized on (corpus plan, nCells, seed) — training is the index
+    * build, not a per-search cost. */
+  private def kmeansCentroids(e: DataFrame, nCells: Int, seed: Long): Seq[Centroid] =
+    kmeansCache.getOrElseUpdate(e, (nCells, seed))(
+      kmeansCentroidsUncached(e, nCells, seed))
+
+  private def kmeansCentroidsUncached(e: DataFrame, nCells: Int, seed: Long): Seq[Centroid] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
@@ -241,6 +249,29 @@ object Similarity {
       while (j < arr.length) { acc += arr(j) * arr(j); j += 1 }
       Centroid(i.toLong, arr, math.sqrt(acc))
     }
+  }
+
+  /** Recall@k of the trained-codebook IVF path against the exact
+    * brute-force neighbors — the quality metric every ANN deployment
+    * tracks next to its latency. One row per query: hits/k. Fully
+    * deterministic for a fixed corpus (seeded KMeans, deterministic
+    * tie-breaks on both paths), but the codebook is not SQL-replayable,
+    * so the declared query (q54) runs under the driver's rows-only
+    * check; the recall floor itself is asserted in SimilaritySpec. */
+  def ivfRecallAtK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
+      nProbe: Int, seed: Long = 42L): DataFrame = {
+    val e = withNorm(emb)
+    val ivf = ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe)
+      .select(col("qid"), col("neighbor"), lit(1).as("hit"))
+    val qv = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = e
+      .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm"))
+    val bf = bruteForceTopK(cand, qv, k).select(col("qid"), col("neighbor"))
+    bf.join(ivf, Seq("qid", "neighbor"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / k).as("recall"))
+      .orderBy("qid")
   }
 
   private def collectRadii(assigned: DataFrame): Map[Long, Double] =

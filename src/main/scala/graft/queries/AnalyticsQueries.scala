@@ -328,7 +328,66 @@ object AnalyticsQueries {
       "FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     "Unpivot (wide-to-long reshape) + grouped aggregation per metric")
 
+  /** HLL++ approximate distinct counts, oracle-checked against the
+    * published error bound: Spark's dense HLL++ estimate is NOT exactly
+    * the true count even at small cardinality (measured: 1501 vs 1500 at
+    * rsd=0.005 — there is no sparse/exact small regime), so the declared
+    * check is the bound |est − true| ≤ 4·rsd·true as a deterministic
+    * boolean next to the exact count (HLL register-max merges are fully
+    * order-independent, so the estimate — and therefore the boolean — is
+    * run-stable). rsd=0.01 keeps the aggregation buffer at ~1.4k words;
+    * the sub-0.1%-rsd "exact" regime is unusable in practice because the
+    * buffer (2^p registers as plan attributes) explodes the plan. At
+    * 100 TB this is THE distinct-count path: one pass, fixed memory, no
+    * distinct shuffle — the exact column here exists only as the
+    * oracle's ground truth. */
+  private val q52 = Q(
+    (s, dir) => {
+      val rsd = 0.01
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), rsd).as("est"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("est") - col("n_users_exact")) <=
+            lit(4 * rsd) * col("n_users_exact")).as("hll_ok"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_users_exact, " +
+      "true AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
+    "HLL++ approximate distinct users per event type, oracle-checked " +
+      "against the 4-sigma error bound (register-max merge is order-" +
+      "independent, so the boolean is deterministic)")
+
+  /** Greenwald-Khanna approximate percentiles in the exact regime:
+    * accuracy 10^6 > any group size at test SF drives the rank error
+    * below one row, and the returned element sits at rank ceil(p·n)
+    * (1-indexed; probed at 3 SFs × 3 flags × both percentiles), which
+    * the oracle replays literally. Production keeps the default
+    * accuracy (memory is O(accuracy·log n)); this query pins the exact
+    * regime so the sketch is hash-checkable. Unlike q35's exact
+    * `percentile` (full sort per group), the sketch is one streaming
+    * pass with bounded memory — the 100 TB path q35's comment points
+    * at. */
+  private val q53 = Q(
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000000)).as("p95"))
+      .orderBy("l_returnflag"),
+    Some("WITH r AS (SELECT l_returnflag, l_extendedprice AS v, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) " +
+      "SELECT l_returnflag, " +
+      "max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS p50, " +
+      "max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95 " +
+      "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "Approximate percentiles (Greenwald-Khanna sketch) in the exact " +
+      "regime, oracle = the element at rank ceil(p*n)")
+
   val all: Map[String, Q] = Map(
+    "q52_approx_distinct" -> q52,
+    "q53_approx_quantile" -> q53,
     "q45_window_range" -> q45,
     "q46_unpivot" -> q46,
     "q44_heavy_hitters" -> q44,

@@ -63,21 +63,12 @@ object CurationQueries {
       "streaming batch-builder assignment, packed within shards so no " +
       "global single-partition window exists")
 
-  private val q50 = Q(
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      // the split is re-derived on both scan branches here (cheap hash
-      // projection); a 100 TB pipeline materializes the split column once
-      // at curation time and both sides read it pre-filtered
-      val withSplit = Curation.assignSplit(docs, "doc_id")
-      val train = withSplit.filter(col("split") === "train")
-      val bench = withSplit.filter(col("split") === "test")
-      Curation.decontaminate(train, bench, "doc_id", "text", width = 5)
-        .orderBy("doc_id")
-    },
-    // split replayed by hash, shingles as distinct word 5-grams, overlap
-    // via an EXISTS (the SQL form of the engine's left-semi shingle join)
-    Some("WITH sp AS (SELECT doc_id, text, CASE " +
+  // split replayed by hash, shingles as distinct word 5-grams, overlap
+  // via an EXISTS (the SQL form of the engine's left-semi shingle join).
+  // Shared by q50 (inline split) and q51 (materialized split): both
+  // compute the identical contamination set.
+  private val decontOracle =
+    "WITH sp AS (SELECT doc_id, text, CASE " +
       s"WHEN ${duckHash("doc_id")} % 100 < 80 THEN 'train' " +
       s"WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' " +
       "ELSE 'test' END AS split FROM documents), " +
@@ -86,13 +77,52 @@ object CurationQueries {
       "FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp)) " +
       "SELECT DISTINCT tr.doc_id FROM g tr WHERE tr.split = 'train' AND EXISTS " +
       "(SELECT 1 FROM g te WHERE te.split = 'test' AND te.g = tr.g) " +
-      "ORDER BY doc_id"),
+      "ORDER BY doc_id"
+
+  private val q50 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // the split is re-derived on both scan branches here (cheap hash
+      // projection); q51 below is the production shape that materializes
+      // the split column once and reads both sides pre-filtered
+      val withSplit = Curation.assignSplit(docs, "doc_id")
+      val train = withSplit.filter(col("split") === "train")
+      val bench = withSplit.filter(col("split") === "test")
+      Curation.decontaminate(train, bench, "doc_id", "text", width = 5)
+        .orderBy("doc_id")
+    },
+    Some(decontOracle),
     "Benchmark decontamination: train docs sharing any word 5-gram with " +
       "the held-out split, via an inverted-index semi join (never doc x doc)")
+
+  private val q51 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q51"
+      // production shape: the split column is materialized ONCE as a
+      // partition column at curation time; every downstream consumer
+      // (decontamination here) then reads its side partition-PRUNED —
+      // no split re-derivation, and the scan itself skips the other
+      // splits' files entirely (the thing that matters when 'documents'
+      // is 100 TB and 'test' is 10%)
+      Curation.assignSplit(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("text"), col("split"))
+        .write.mode("overwrite").option("compression", "none")
+        .partitionBy("split").parquet(scratch)
+      val mat = s.read.parquet(scratch)
+      val train = mat.filter(col("split") === "train")
+      val bench = mat.filter(col("split") === "test")
+      Curation.decontaminate(train, bench, "doc_id", "text", width = 5)
+        .orderBy("doc_id")
+    },
+    Some(decontOracle),
+    "Materialized-split decontamination round trip: split written once as " +
+      "a partition column, both sides read partition-pruned, same " +
+      "contamination set as q50")
 
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
     "q49_pack_bins" -> q49,
-    "q50_decontaminate" -> q50)
+    "q50_decontaminate" -> q50,
+    "q51_decontaminate_mat" -> q51)
 }

@@ -181,6 +181,18 @@ object TrainingDataQueries {
         "2-cell probe), the scale path for q17's brute force")
   }
 
+  /** No DuckDB oracle: the MLlib KMeans codebook is not SQL-replayable
+    * (q29 stays oracle-checked via the deterministic sample codebook);
+    * the driver records a rows-only check — one row per query vector —
+    * and SimilaritySpec asserts the recall semantics (exactly 1.0 when
+    * every cell is probed, floor under partial probing). */
+  private val q54 = Q(
+    (s, dir) => Similarity.ivfRecallAtK(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
+    None,
+    "Recall@5 of the KMeans-codebook IVF ANN path vs exact brute force, " +
+      "per query vector — the ANN quality metric, seeded + deterministic")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -257,6 +269,7 @@ object TrainingDataQueries {
     "q27_fingerprint" -> q27,
     "q28_multimodal_features" -> q28,
     "q29_ann_ivf" -> q29,
+    "q54_ann_recall" -> q54,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

@@ -128,4 +128,55 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       TextFunctions.wordShingles(_, 2), threshold = 0.1)
     assert(pairs.count() == 0)
   }
+
+  test("AQE skew-join split fires on a hot-shingle posting group (documented df-skew handoff)") {
+    // 1000 docs that all share their lexicographically-FIRST shingle, each
+    // with a unique tail: the hot shingle's posting list lands in one
+    // shuffle partition of the candidate join, several times the median —
+    // the exact frequent-shingle hotspot ngramJaccardPairs hands to AQE
+    val nDocs = 1000
+    val hot = (1 to nDocs).map { i =>
+      (i.toLong, s"aa aa aa aa aa u$i v$i w$i x$i y$i", "en")
+    }.toDF("doc_id", "text", "lang")
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      // test-scaled detection thresholds (production keeps the defaults —
+      // 256MB/5.0 — which a real hot posting list crosses the same way)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      // keep the shuffle_hash join a real shuffle join: AQE must not
+      // demote the small test corpus to broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the skew claim is about the CANDIDATE posting join specifically —
+      // run the operator's own candidate stage (ngramCandidates) and count
+      // it in one plan, so the hot-group pair explosion never reaches a
+      // driver collect
+      val sets = hot.select(col("doc_id").as("id"), col("lang").as("blk"),
+        TextFunctions.wordShingles(col("text"), 5).as("sh"))
+      val counted = Dedup.ngramCandidates(sets, 0.5).agg(count(lit(1)).as("n"))
+      // collect() on THIS Dataset (count() would build its own
+      // QueryExecution) so its adaptive plan executes and finalizes
+      val n = counted.collect().head.getLong(0)
+      assert(n == nDocs.toLong * (nDocs - 1) / 2,
+        "every hot-group pair must be a candidate exactly once")
+      // the candidate join executes inside nested query stages: flatten
+      // every materialized stage's plan before searching for the marker
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def planStrings(p: SparkPlan): Seq[String] =
+        p.toString +: p.collect { case s: QueryStageExec => s.plan }.flatMap(planStrings)
+      val plan = planStrings(counted.queryExecution.executedPlan).mkString("\n")
+      assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"expected an OptimizeSkewedJoin split (skew=true) on the posting join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -133,6 +133,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ivfRecallAtK: probing every cell recovers brute force exactly; partial probe is bounded + deterministic") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    // nProbe == nCells searches the whole corpus: identical result set
+    // (and tie-breaks) as brute force => recall exactly 1.0 everywhere
+    val full = Similarity.ivfRecallAtK(corpus, pred, k = 5, nCells = 8, nProbe = 8)
+    assert(full.agg(min(col("recall"))).head.getDouble(0) == 1.0)
+    // partial probing: one row per query, recall in [0,1], and the seeded
+    // codebook makes the whole frame reproducible call-to-call
+    val p1 = Similarity.ivfRecallAtK(corpus, pred, k = 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val nQueries = corpus.filter(pred).count()
+    assert(p1.size == nQueries)
+    assert(p1.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    val p2 = Similarity.ivfRecallAtK(corpus, pred, k = 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 == p2, "seeded recall query must be deterministic")
+  }
+
   test("dot is an exact left fold (matches manual computation)") {
     val d = emb.select(
       Similarity.dot(

@@ -56,6 +56,38 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       s"approx median $approxP vs exact $exactP")
   }
 
+  test("q52/q53 exact-regime contracts: HLL 4-sigma bound, GK element at rank ceil(p*n)") {
+    import org.apache.spark.sql.functions._
+    // known cardinality 5000, skewed multiplicities
+    val df = (1 to 5000).flatMap(i => Seq.fill(1 + i % 3)(i.toLong)).toDF("x")
+    Seq(0.01, 0.02, 0.05).foreach { rsd =>
+      val est = df.select(approx_count_distinct(col("x"), rsd)).head.getLong(0)
+      assert(math.abs(est - 5000.0) <= 4 * rsd * 5000,
+        s"HLL rsd=$rsd est=$est outside 4-sigma of 5000")
+    }
+    // GK at accuracy >= n: the returned element sits at rank ceil(p*n)
+    // (the convention q53's oracle replays)
+    val vals = df.select(col("x").cast("double")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    Seq(0.1, 0.25, 0.5, 0.9, 0.95).foreach { p =>
+      val got = df.select(
+        percentile_approx(col("x").cast("double"), lit(p), lit(1000000)))
+        .head.getDouble(0)
+      assert(got == vals(math.ceil(p * n).toInt - 1),
+        s"GK p=$p got $got, expected rank-ceil(p*n) element ${vals(math.ceil(p * n).toInt - 1)}")
+    }
+    // GK at coarse accuracy: rank error bounded by n/accuracy
+    val acc = 100
+    Seq(0.25, 0.5, 0.9).foreach { p =>
+      val got = df.select(
+        percentile_approx(col("x").cast("double"), lit(p), lit(acc)))
+        .head.getDouble(0)
+      val rank = vals.indexOf(got)
+      assert(rank >= 0 && math.abs(rank + 1 - p * n) <= 2.0 * n / acc,
+        s"GK acc=$acc p=$p rank ${rank + 1} vs target ${p * n}")
+    }
+  }
+
   test("merge is a valid sketch combine (bounds hold across partitions)") {
     val agg = new SpaceSaving(8)
     val (s1, s2) = stream.splitAt(stream.size / 3)

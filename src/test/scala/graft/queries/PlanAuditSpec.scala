@@ -17,12 +17,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
   /** Queries whose fn() performs eager work (writes, collects, stream
     * runs) — planning them would execute, so the sweep skips them.
     * q23/q29 collect their centroid codebook (and q23 its cell radii) at
-    * plan-build time; their plan properties are asserted in
-    * SimilaritySpec instead. */
+    * plan-build time, q54 additionally trains its KMeans codebook, and
+    * q51 writes the materialized split; their plan properties are
+    * asserted in SimilaritySpec / by the q50 sweep entry instead (q54
+    * also embeds q17's intended brute-force cross join as its ground
+    * truth). */
   private val eager = Set("q05_partitioned_write", "q30_table_counts",
     "q41_json_roundtrip", "q42_csv_roundtrip", "q19_stream_tumbling",
     "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join",
-    "q23_dedup_embedding", "q29_ann_ivf")
+    "q23_dedup_embedding", "q29_ann_ivf", "q51_decontaminate_mat",
+    "q54_ann_recall")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
