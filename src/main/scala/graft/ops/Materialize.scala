@@ -21,13 +21,32 @@ import org.apache.spark.storage.StorageLevel
 private[graft] object Materialize {
   private val slots = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Swap-and-persist atomically per slot: `compute` runs the remapping
+    * under the key's lock, so concurrent callers serialize and every
+    * displaced occupant is unpersisted exactly once — a lost-race caller
+    * can never leave an orphaned persisted frame behind. */
   def cachedSingleton(slot: String, df: DataFrame): DataFrame = {
-    val prev = slots.put(slot, df)
-    if (prev != null)
-      try {
-        if (!prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
-          prev.unpersist(blocking = false)
-      } catch { case _: Exception => () } // stopped session: nothing to drop
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    slots.compute(slot, (_, prev) => {
+      if (prev != null)
+        try {
+          if (!prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+            prev.unpersist(blocking = false)
+        } catch { case _: Exception => () } // stopped session: nothing to drop
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+    df
   }
+
+  /** Unpersist and release every slot — the invalidation hook for callers
+    * that rewrite data under a previously indexed path (pairs with
+    * [[graft.ops.Similarity.clearIndexCaches]]). */
+  def clearAll(): Unit =
+    slots.keySet.forEach { k =>
+      slots.computeIfPresent(k, (_, prev) => {
+        try prev.unpersist(blocking = false)
+        catch { case _: Exception => () }
+        null
+      })
+    }
 }

@@ -159,14 +159,17 @@ object Similarity {
       case "persist"    => Materialize.cachedSingleton("similarity-assign", assignedRaw)
       case _            => assignedRaw
     }
-    // per-cell radii are part of the materialized index (an IVF index =
-    // codebook + assignment + radii): memoized plan-keyed alongside the
-    // cached assignment, so repeated searches over one corpus skip the
-    // driver round-trip. Same staleness contract as Dataset.persist —
-    // underlying data changes require a cache clear.
-    val radii =
-      if (mode == "persist") radiiOf(assigned)
-      else collectRadii(assigned)
+    // per-cell radii are ALWAYS recomputed from the (possibly cached)
+    // assignment, never memoized independently of it: if the underlying
+    // data was rewritten and the cache cleared, the assignment recomputes
+    // over the new data and the radii follow — radii and assignment can
+    // never disagree, which is what the lossless-blocking proof needs.
+    // (A stale memoized codebook is harmless by contrast: the
+    // admissibility bound holds for ANY codebook as long as radii are
+    // measured against the same centroids the assignment used — staleness
+    // there only costs pruning quality, never pairs.) The collect is one
+    // tiny groupBy over ≤ nCells keys reading the cached frame.
+    val radii = collectRadii(assigned)
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     def angle(a: Centroid, b: Centroid): Double = {
       var d = 0.0
@@ -209,7 +212,7 @@ object Similarity {
     * trained-codebook variant; both share [[ivfTopKWith]]. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
-    val e = withNorm(emb)
+    val e = withNorm(emb).filter(col("nrm") > 0)
     ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe, probeBroadcast)
   }
 
@@ -221,7 +224,7 @@ object Similarity {
     * them. */
   def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, seed: Long = 42L, probeBroadcast: Boolean = true): DataFrame = {
-    val e = withNorm(emb)
+    val e = withNorm(emb).filter(col("nrm") > 0)
     ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe,
       probeBroadcast)
   }
@@ -260,7 +263,10 @@ object Similarity {
     * check; the recall floor itself is asserted in SimilaritySpec. */
   def ivfRecallAtK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, seed: Long = 42L): DataFrame = {
-    val e = withNorm(emb)
+    // zero-norm vectors produce NaN cosines, and NaN sorts greatest —
+    // degenerate neighbors would take rank 1 in BOTH paths, corrupting
+    // the recall ground truth. Drop them as the pairs paths do.
+    val e = withNorm(emb).filter(col("nrm") > 0)
     val ivf = ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe)
       .select(col("qid"), col("neighbor"), lit(1).as("hit"))
     val qv = e.filter(queryPred)
@@ -278,27 +284,37 @@ object Similarity {
     assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-  /** Bounded plan-keyed memo for driver-side index state (codebooks,
-    * radii): keys are canonicalized plans (structural equality = Spark's
+  /** Bounded plan-keyed memo for driver-side index state (codebooks):
+    * keys are canonicalized plans (structural equality = Spark's
     * sameResult), a handful of entries at most — cleared wholesale if it
-    * ever grows past 8 corpora. Same staleness contract as
-    * Dataset.persist: underlying data changes require a cache clear. */
+    * ever grows past 8 corpora, and externally via
+    * [[clearIndexCaches]] when data is rewritten under an indexed path
+    * (plan keys cannot see file contents, only the reading plan). */
   private final class PlanMemo[K, V] {
     private val m = new java.util.concurrent.ConcurrentHashMap[(Any, K), V]()
     def getOrElseUpdate(df: DataFrame, k: K)(build: => V): V = {
       if (m.size > 8) m.clear()
       m.computeIfAbsent((df.queryExecution.analyzed.canonicalized, k), _ => build)
     }
+    def clear(): Unit = m.clear()
   }
 
-  private val radiiCache = new PlanMemo[Unit, Map[Long, Double]]
-
-  /** [[collectRadii]] memoized on the assignment's plan — the
-    * driver-side half of the persisted IVF index. */
-  private def radiiOf(assigned: DataFrame): Map[Long, Double] =
-    radiiCache.getOrElseUpdate(assigned, ())(collectRadii(assigned))
-
   private val centCache = new PlanMemo[Int, Seq[Centroid]]
+
+  /** Drop all driver-side index state (codebook memos) and unpersist the
+    * materialized assignment slots. Call after rewriting data under a
+    * path that was previously indexed (alongside
+    * `spark.catalog.clearCache()`): the memos are keyed on the
+    * canonicalized plan, so a rewrite at the SAME path produces the same
+    * key and would otherwise return the old codebook. A stale codebook
+    * cannot lose pairs (see [[cosinePairsBlocked]] — radii are always
+    * recomputed from the live assignment), but it degrades pruning and
+    * IVF recall until cleared. */
+  def clearIndexCaches(): Unit = {
+    kmeansCache.clear()
+    centCache.clear()
+    Materialize.clearAll()
+  }
 
   /** First-nCells deterministic codebook (lowest vec_ids — a top-K heap
     * scan, not a global sort), collected driver-side (nCells × dim

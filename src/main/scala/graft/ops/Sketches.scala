@@ -160,7 +160,10 @@ object Sketches {
     override def zero: SSBuffer = new SSBuffer(capacity)
 
     override def reduce(b: SSBuffer, item: String): SSBuffer = {
-      b.add(item)
+      // null tokens carry no frequency information — skip them (the open
+      // addressing table hashes keys, so a null would NPE; the sketch's
+      // guarantees are over the non-null stream)
+      if (item != null) b.add(item)
       b
     }
 

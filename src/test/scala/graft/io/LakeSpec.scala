@@ -34,13 +34,14 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(Lake.resolveFormat("delta", deltaAvailable = true) == "delta")
     assert(Lake.resolveFormat("delta", deltaAvailable = false) == "parquet")
     assert(Lake.resolveFormat("parquet", deltaAvailable = true) == "parquet")
-    // this environment carries no Delta jars: the real probe must say so,
-    // and an actual delta-format append must land readable parquet
-    assert(!Lake.deltaOnClasspath, "environment unexpectedly has Delta jars")
+    // a delta-format append must land readable data under whichever
+    // format the real probe selects (parquet fallback in a Delta-less
+    // environment, actual Delta if jars ever appear on the classpath)
+    val landed = Lake.resolveFormat("delta", Lake.deltaOnClasspath)
     val dir = s"/tmp/graft-test-lake/delta-${System.nanoTime()}"
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select(col("event_id"), col("event_type"))
     Lake.append(ev, dir, partitionCols = Seq("event_type"), format = "delta")
-    assert(spark.read.parquet(dir).count() == ev.count())
+    assert(spark.read.format(landed).load(dir).count() == ev.count())
   }
 }

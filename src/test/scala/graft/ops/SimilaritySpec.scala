@@ -95,6 +95,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(Similarity.ivfTopK(empty, col("vec_id") % 10 === 0, 5, 16, 2).count() == 0)
   }
 
+  test("rewrite-at-same-path + cache clear stays lossless (radii follow the live assignment)") {
+    // The staleness trap: data under a path is REWRITTEN, the user clears
+    // the Spark cache (the documented persist remedy). The memoized
+    // codebook is keyed on the reading plan — same path, same key — so it
+    // stays stale; losslessness must survive that, because radii are
+    // always recomputed from the live assignment, never memoized apart.
+    val dir = s"/tmp/graft-test-sim/rewrite-${System.nanoTime()}"
+    val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    src.filter(col("vec_id") < 250).write.mode("overwrite").parquet(dir)
+    val read = () => spark.read.parquet(dir)
+    val first = Similarity.cosinePairsBlocked(read(), 0.4, nCells = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(first == Similarity.cosinePairs(read(), 0.4).collect().map(_.toSeq).toSeq)
+    // rewrite with a DIFFERENT corpus slice at the same path
+    src.filter(col("vec_id") >= 250).write.mode("overwrite").parquet(dir)
+    spark.catalog.clearCache()
+    val second = Similarity.cosinePairsBlocked(read(), 0.4, nCells = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(second == Similarity.cosinePairs(read(), 0.4).collect().map(_.toSeq).toSeq,
+      "blocked pairs after rewrite+clearCache must match brute force on the new data")
+    // explicit invalidation also refreshes the codebook itself
+    Similarity.clearIndexCaches()
+    val third = Similarity.cosinePairsBlocked(read(), 0.4, nCells = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(third == second)
+  }
+
   test("cosinePairsBlockedKMeans (trained codebook) also equals brute force") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq

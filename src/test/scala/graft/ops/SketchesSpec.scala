@@ -22,6 +22,14 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(hh.forall(_._3 == 0L), "no evictions -> no error")
   }
 
+  test("null tokens are skipped, not counted and not a crash") {
+    val hh = Sketches.heavyHitters(
+      (stream.map(Option(_)) ++ Seq.fill(10)(None)).toDF("item"),
+      "item", capacity = 64).as[(String, Long, Long)].collect()
+    assert(hh.map(h => h._1 -> h._2).toMap == exact,
+      "null rows must not perturb non-null counts")
+  }
+
   test("SpaceSaving bound: count overestimates by at most err, true <= reported") {
     val agg = new SpaceSaving(8)
     val st = stream.foldLeft(agg.zero)(agg.reduce)
