@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,9 +110,10 @@ object Similarity {
     * fills the cache and both join sides read it instead of re-deriving
     * the argmax projection per subtree (the three subtrees differ, so
     * exchange reuse could never fuse them). At index scale the
-    * assignment IS the IVF index-build step; a cluster deployment would
-    * write it to the lake (reliable storage) instead of cache blocks,
-    * which is the same plan shape with a durable materialization. */
+    * assignment IS the IVF index-build step; [[writeIndex]] is the
+    * durable variant — same plan shape, with the assignment persisted to
+    * the lake partitioned by cell and served back partition-pruned by
+    * [[cosinePairsBlockedFromIndex]]. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
@@ -159,6 +160,15 @@ object Similarity {
       case "persist"    => Materialize.cachedSingleton("similarity-assign", assignedRaw)
       case _            => assignedRaw
     }
+    pairsOverAssigned(assigned, cents, threshold)
+  }
+
+  /** Blocked-pairs join over an existing assignment frame
+    * (vec_id, v, nrm, cell, cang) — shared by the in-session cached path
+    * and the durable-index path ([[cosinePairsBlockedFromIndex]]). */
+  private def pairsOverAssigned(assigned: DataFrame, cents: Seq[Centroid],
+      threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
     // per-cell radii are ALWAYS recomputed from the (possibly cached)
     // assignment, never memoized independently of it: if the underlying
     // data was rewritten and the cache cleared, the assignment recomputes
@@ -187,12 +197,21 @@ object Similarity {
       rb <- radii.get(b.cid).toSeq
       if angle(a, b) - ra - rb <= thetaT + eps
     } yield (a.cid, b.cid)
+    // cells in no admissible pair can contribute nothing: drop them with a
+    // driver-side literal IN filter. Over the lake index this is a static
+    // partition filter — the scan never opens the excluded cell dirs.
+    // (For the FULL pair search every populated cell is admissible via its
+    // diagonal, so this prunes only empty/degenerate cells; the filter
+    // documents the serving shape, and [[ivfProbeJoin]]'s probed-cell
+    // prune is where real partition skipping happens.)
+    val liveCells = admissible.flatMap(p => Seq(p._1, p._2)).distinct
+    val live = assigned.filter(col("cell").isin(liveCells: _*))
     import spark.implicits._
     val adm = broadcast(admissible.toDF("ca", "cb"))
-    val left = assigned
+    val left = live
       .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"), col("cell"))
       .join(adm, col("cell") === col("ca"))
-    val right = assigned
+    val right = live
       .select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
         col("cell").as("cellb"))
     left.join(right, col("cb") === col("cellb") && col("ida") < col("idb"))
@@ -267,18 +286,127 @@ object Similarity {
     // degenerate neighbors would take rank 1 in BOTH paths, corrupting
     // the recall ground truth. Drop them as the pairs paths do.
     val e = withNorm(emb).filter(col("nrm") > 0)
-    val ivf = ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe)
-      .select(col("qid"), col("neighbor"), lit(1).as("hit"))
+    recallAgainstBruteForce(e,
+      ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe),
+      queryPred, k)
+  }
+
+  /** Recall@k of the *sample-codebook* IVF path (first-nCells centroids —
+    * [[collectCentroids]]) vs exact brute force. Unlike [[ivfRecallAtK]]'s
+    * KMeans codebook, every step here is SQL-replayable, so the declared
+    * query (q55) is fully hash-checked against the DuckDB oracle. */
+  def ivfRecallAtKSample(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
+      nProbe: Int): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    recallAgainstBruteForce(e,
+      ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe),
+      queryPred, k)
+  }
+
+  /** Per-query recall = |ivf ∩ brute-force top-k| / k, one row per query
+    * vector. `e` must already be norm-filtered. */
+  private def recallAgainstBruteForce(e: DataFrame, ivf: DataFrame,
+      queryPred: Column, k: Int): DataFrame = {
+    val hits = ivf.select(col("qid"), col("neighbor"), lit(1).as("hit"))
     val qv = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cand = e
       .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm"))
     val bf = bruteForceTopK(cand, qv, k).select(col("qid"), col("neighbor"))
-    bf.join(ivf, Seq("qid", "neighbor"), "left")
+    bf.join(hits, Seq("qid", "neighbor"), "left")
       .groupBy(col("qid"))
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / k).as("recall"))
       .orderBy("qid")
   }
+
+  // -- Durable (lake-materialized) index ----------------------------------
+
+  /** Write the IVF index to the lake: the cell assignment
+    * (vec_id, v, nrm, cang) PARTITIONED BY cell under `path/assignment`,
+    * plus the codebook as a tiny sidecar table at `path/codebook`. This is
+    * the reference's partitioned-lake layout applied to index state: at
+    * 100 TB an index that lives in session cache is rebuilt per job, while
+    * the lake copy is built once and every reader scans only the cell
+    * directories its query admits ([[cosinePairsBlockedFromIndex]],
+    * [[ivfTopKFromIndex]]). Deterministic sample codebook; see
+    * [[writeIndexKMeans]] for the trained variant. */
+  def writeIndex(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    writeIndexWith(e, collectCentroids(e, nCells), path)
+  }
+
+  /** [[writeIndex]] with a seeded MLlib KMeans codebook — the production
+    * index build: trained cells are balanced, so partition sizes are even
+    * and admissibility prunes more cell pairs. */
+  def writeIndexKMeans(emb: DataFrame, path: String, nCells: Int = 16,
+      seed: Long = 42L): Unit = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    writeIndexWith(e, kmeansCentroids(e, nCells, seed), path)
+  }
+
+  private def writeIndexWith(e: DataFrame, cents: Seq[Centroid], path: String): Unit = {
+    val spark = e.sparkSession
+    assignCells(e, cents)
+      .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
+      .drop("best_sim")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignment")
+    import spark.implicits._
+    cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm")
+      // nCells rows of index metadata: one file, one writer task
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Codebook read-back (nCells rows — driver-side by construction). */
+  def readIndexCodebook(spark: SparkSession, path: String): Seq[Centroid] =
+    spark.read.parquet(s"$path/codebook")
+      .select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid).toSeq
+
+  /** Assignment read-back. The partition column comes back as the
+    * directory-name integer type; restore long so downstream joins and
+    * literals line up with the in-session path. (The cast commutes with
+    * partition pruning: an IN filter over the cast column still reaches
+    * the scan as a partition filter.) */
+  private def readAssignment(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/assignment")
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** [[cosinePairsBlocked]] served from the durable index: codebook from
+    * the sidecar, assignment scanned partition-pruned to admissible cells
+    * (the IN filter in [[pairsOverAssigned]] is a driver-side literal, so
+    * it prunes the file listing itself). Identical output to the
+    * in-session path over the same corpus. */
+  def cosinePairsBlockedFromIndex(spark: SparkSession, path: String,
+      threshold: Double): DataFrame = {
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyPairs(spark)
+    pairsOverAssigned(readAssignment(spark, path), cents, threshold)
+  }
+
+  /** IVF top-k served from the durable index: queries are rows of the
+    * index matching `queryPred`; the corpus scan is pruned to the union
+    * of probed cells — a ≤nCells driver-side set pushed as a literal
+    * partition filter, so only the probed cell directories are read. */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, queryPred: Column,
+      k: Int, nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyTopK(spark)
+    val assigned = readAssignment(spark, path)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    ivfProbeJoin(assigned, queries, cents, k, nProbe, probeBroadcast,
+      pruneScan = true)
+  }
+
+  private def emptyPairs(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("ida"), col("id").as("idb"),
+      col("id").cast("double").as("sim"))
+
+  private def emptyTopK(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("qid"), col("id").as("rnk"),
+      col("id").as("neighbor"), col("id").cast("double").as("sim"))
 
   private def collectRadii(assigned: DataFrame): Map[Long, Double] =
     assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
@@ -366,18 +494,42 @@ object Similarity {
     if (cents.isEmpty) // empty corpus ⇒ no neighbors
       return e.limit(0).select(col("vec_id").as("qid"), col("vec_id").as("rnk"),
         col("vec_id").as("neighbor"), col("nrm").as("sim"))
-    val cidArr = typedLit(cents.map(_.cid))
     val assigned = assignCells(e, cents).drop("best_sim")
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    ivfProbeJoin(assigned, queries, cents, k, nProbe, probeBroadcast,
+      pruneScan = false)
+  }
+
+  /** The IVF serving join over an assignment frame (vec_id, v, nrm, cell)
+    * and a query frame (qid, qv, qnrm) — shared by the in-session path
+    * (assignment is a projection) and the durable-index path (assignment
+    * is a partitioned lake scan, `pruneScan = true`). */
+  private def ivfProbeJoin(assigned: DataFrame, queries: DataFrame,
+      cents: Seq[Centroid], k: Int, nProbe: Int, probeBroadcast: Boolean,
+      pruneScan: Boolean): DataFrame = {
+    val cidArr = typedLit(cents.map(_.cid))
     // query-time: top-nProbe cells = sort of an nCells-element array per
     // row — (−sim, cid) struct sort replays (csim DESC, cid ASC) exactly
-    val probes = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = queries
       .select(col("qid"), col("qv"), col("qnrm"),
         explode(transform(
           slice(array_sort(zip_with(
             cellSims(centLiteral(cents), col("qv"), col("qnrm")), cidArr,
             (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
           x => x("cid"))).as("cell"))
+    // durable-index serving: the union of probed cells is a ≤nCells
+    // driver-side set (one tiny job over the query frame) — pushing it as
+    // a literal IN makes the corpus read a static partition-pruned scan
+    // that never opens the unprobed cell directories. In-session the
+    // assignment is a projection with no files to skip, so the extra job
+    // would be pure overhead (pruneScan = false).
+    val corpus =
+      if (pruneScan) {
+        val cells = probes.select(col("cell")).distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq
+        assigned.filter(col("cell").isin(cells: _*))
+      } else assigned
     val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     // serving contract: the query set is a bounded working set, so
     // broadcasting it keeps the corpus unshuffled. For BULK k-NN where
@@ -385,7 +537,7 @@ object Similarity {
     // probeBroadcast = false and let Spark size the join (broadcasting a
     // corpus-sized probe set would OOM the driver at scale).
     val probeSide = if (probeBroadcast) broadcast(probes) else probes
-    assigned.join(probeSide, "cell")
+    corpus.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("qnrm"), col("v"), col("nrm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))

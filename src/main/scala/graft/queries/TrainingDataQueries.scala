@@ -157,29 +157,33 @@ object TrainingDataQueries {
       "extraction (compiled BytePolyHash; codec decode stays stubbed in " +
       "Multimodal.decodeStub behind the mapPartitions variant)")
 
-  private val q29 = {
-    val probeSql = {
-      val base = duckEmb +
-        // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
-        // orderBy+limit, which stays correct for id spaces not starting at 0)
-        ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
-        s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
-        "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
-        s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
-        "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2), " +
-        "top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
-        s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
-        "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1) " +
-        "SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
-      base
-    }
-    Q(
-      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
-        col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
-      Some(probeSql),
-      "IVF-bucketed approximate nearest neighbors (coarse quantizer + " +
-        "2-cell probe), the scale path for q17's brute force")
-  }
+  // DuckDB replay of the deterministic sample-codebook IVF pipeline
+  // (Similarity.collectCentroids + assignCells + 2-cell probe): shared CTE
+  // prefix ending in `r` = (qid, neighbor, sim, rnk). Used by q29 (top-k),
+  // q55 (recall vs brute force), q56 (top-k served from the lake index —
+  // the index round-trip reproduces the in-session answer exactly).
+  private val duckIvf = duckEmb +
+    // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
+    // orderBy+limit, which stays correct for id spaces not starting at 0)
+    ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
+    s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
+    "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
+    s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
+    "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2), " +
+    "top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
+    s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
+    "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1)"
+
+  private val duckIvfTopK = duckIvf +
+    " SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim " +
+    "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+
+  private val q29 = Q(
+    (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
+    Some(duckIvfTopK),
+    "IVF-bucketed approximate nearest neighbors (coarse quantizer + " +
+      "2-cell probe), the scale path for q17's brute force")
 
   /** No DuckDB oracle: the MLlib KMeans codebook is not SQL-replayable
     * (q29 stays oracle-checked via the deterministic sample codebook);
@@ -192,6 +196,55 @@ object TrainingDataQueries {
     None,
     "Recall@5 of the KMeans-codebook IVF ANN path vs exact brute force, " +
       "per query vector — the ANN quality metric, seeded + deterministic")
+
+  // q55: the same recall metric over the deterministic sample codebook —
+  // every step (codebook, assignment, probe, brute force) is SQL, so the
+  // whole recall computation is hash-checked, not just rows-only.
+  private val q55 = Q(
+    (s, dir) => Similarity.ivfRecallAtKSample(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
+    Some(duckIvf +
+      ", ivf AS (SELECT qid, neighbor FROM r WHERE rnk <= 5), " +
+      s"bf0 AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor, ${ddot("q.v", "c.v")}/(q.nrm*c.nrm) AS sim " +
+      "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id), " +
+      "bf AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM bf0) WHERE rnk <= 5) " +
+      "SELECT bf.qid, CAST(count(ivf.neighbor) AS DOUBLE)/5 AS recall " +
+      "FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.neighbor = ivf.neighbor " +
+      "GROUP BY bf.qid ORDER BY bf.qid"),
+    "Recall@5 of the sample-codebook IVF path vs exact brute force — the " +
+      "fully oracle-checked ANN quality metric (q54 keeps the KMeans " +
+      "diagnostic)")
+
+  // q56/q57: the durable-index round trip (q05-style write+read). The
+  // index is built to scratch each run — partitioned assignment + codebook
+  // sidecar — then served back with the scan pruned to probed/admissible
+  // cells. Results equal the in-session q29/q23 answers, so they share
+  // those oracles (which do not perform the write).
+  private val q56 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q56-index"
+      Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+      Similarity.ivfTopKFromIndex(s, scratch, col("vec_id") % 10 === 0,
+        k = 5, nProbe = 2)
+    },
+    Some(duckIvfTopK),
+    "Durable-index ANN round trip: IVF assignment written to the lake " +
+      "partitioned by cell (+ codebook sidecar), top-k served from the " +
+      "index with the corpus scan partition-pruned to probed cells")
+
+  private val q57 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q57-index"
+      Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+      Similarity.cosinePairsBlockedFromIndex(s, scratch, threshold = 0.4)
+    },
+    Some(duckEmb + " SELECT q.vec_id AS ida, c.vec_id AS idb, " +
+      dround6(s"${ddot("q.v", "c.v")} / (q.nrm * c.nrm)") + " AS sim " +
+      "FROM n q JOIN n c ON q.vec_id < c.vec_id " +
+      s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4 ORDER BY ida, idb"),
+    "Durable-index near-dup round trip: cosine pairs served from the lake " +
+      "index, scan pruned to admissible cells — same pair set as q23")
 
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
@@ -270,6 +323,9 @@ object TrainingDataQueries {
     "q28_multimodal_features" -> q28,
     "q29_ann_ivf" -> q29,
     "q54_ann_recall" -> q54,
+    "q55_ann_recall_sample" -> q55,
+    "q56_ann_index_roundtrip" -> q56,
+    "q57_pairs_index_roundtrip" -> q57,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

@@ -179,6 +179,63 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(p1 == p2, "seeded recall query must be deterministic")
   }
 
+  test("durable index round trip: served results equal the in-session paths") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/index-${System.nanoTime()}"
+    Similarity.writeIndex(fixture, dir, nCells = 16)
+    val pred = col("vec_id") % 10 === 0
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, pred, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    val inSession = Similarity.ivfTopK(fixture, pred, k = 5, nCells = 16, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    val pairsFromIndex = Similarity.cosinePairsBlockedFromIndex(spark, dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq
+    assert(pairsFromIndex.nonEmpty && pairsFromIndex == brute)
+  }
+
+  test("index serving prunes the corpus scan to the probed cells") {
+    // 3 orthogonal clusters -> 3 well-separated KMeans cells; a single
+    // query probing 1 cell must push a literal partition filter so the
+    // scan never opens the other cells' directories
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val v = Array(0.0f, 0.0f, 0.0f)
+      v(c) = 1.0f + i * 0.01f // same direction, varying magnitude
+      ((c * 100 + i).toLong, v)
+    }
+    val emb3 = rows.toDF("vec_id", "embedding")
+    val dir = s"/tmp/graft-test-sim/prune-${System.nanoTime()}"
+    Similarity.writeIndexKMeans(emb3, dir, nCells = 3, seed = 7L)
+    val served = Similarity.ivfTopKFromIndex(spark, dir, col("vec_id") === 0L,
+      k = 3, nProbe = 1)
+    // the corpus-side assignment scan must carry a partition filter over
+    // `cell` restricted to the single probed cell
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("assignment")) => f
+    }
+    val pruned = scans.filter(_.partitionFilters.exists(_.toString.contains("cell")))
+    assert(pruned.nonEmpty,
+      "no assignment scan carries a cell partition filter:\n" +
+        served.queryExecution.sparkPlan.toString)
+    // behavioral check: with orthogonal clusters and nProbe = 1, every
+    // neighbor of query 0 comes from cluster 0 (ids < 100)
+    val neighbors = served.select("neighbor").as[Long].collect().toSeq
+    assert(neighbors.nonEmpty && neighbors.forall(_ < 100L), neighbors.toString)
+  }
+
+  test("ivfRecallAtKSample: exhaustive probe = 1.0; deterministic under partial probe") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val full = Similarity.ivfRecallAtKSample(corpus, pred, k = 5, nCells = 8, nProbe = 8)
+    assert(full.agg(min(col("recall"))).head.getDouble(0) == 1.0)
+    val p1 = Similarity.ivfRecallAtKSample(corpus, pred, k = 5, nCells = 16, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1.size == corpus.filter(pred).count())
+    assert(p1.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+  }
+
   test("dot is an exact left fold (matches manual computation)") {
     val d = emb.select(
       Similarity.dot(
