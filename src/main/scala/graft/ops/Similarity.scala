@@ -115,9 +115,9 @@ object Similarity {
     * the lake partitioned by cell and served back partition-pruned by
     * [[cosinePairsBlockedFromIndex]]. */
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 0): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    cosinePairsWithCells(e, collectCentroids(e, nCells), threshold)
+    cosinePairsWithCells(e, collectCentroids(e, resolveCells(e, nCells)), threshold)
   }
 
   /** A/B hook (tools): [[cosinePairsBlocked]] with an explicit
@@ -135,9 +135,9 @@ object Similarity {
     * Same lossless guarantee — the admissibility bound holds for ANY
     * codebook; training only improves pruning, never correctness. */
   def cosinePairsBlockedKMeans(emb: DataFrame, threshold: Double,
-      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+      nCells: Int = 0, seed: Long = 42L): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    cosinePairsWithCells(e, kmeansCentroids(e, nCells, seed), threshold)
+    cosinePairsWithCells(e, kmeansCentroids(e, resolveCells(e, nCells), seed), threshold)
   }
 
   private def cosinePairsWithCells(e: DataFrame, cents: Seq[Centroid],
@@ -160,26 +160,30 @@ object Similarity {
       case "persist"    => Materialize.cachedSingleton("similarity-assign", assignedRaw)
       case _            => assignedRaw
     }
-    pairsOverAssigned(assigned, cents, threshold)
+    pairsOverAssigned(assigned, cents, threshold, memoRadii = mode == "persist")
   }
 
   /** Blocked-pairs join over an existing assignment frame
     * (vec_id, v, nrm, cell, cang) — shared by the in-session cached path
     * and the durable-index path ([[cosinePairsBlockedFromIndex]]). */
   private def pairsOverAssigned(assigned: DataFrame, cents: Seq[Centroid],
-      threshold: Double): DataFrame = {
+      threshold: Double, memoRadii: Boolean): DataFrame = {
     val spark = assigned.sparkSession
-    // per-cell radii are ALWAYS recomputed from the (possibly cached)
-    // assignment, never memoized independently of it: if the underlying
-    // data was rewritten and the cache cleared, the assignment recomputes
-    // over the new data and the radii follow — radii and assignment can
-    // never disagree, which is what the lossless-blocking proof needs.
-    // (A stale memoized codebook is harmless by contrast: the
+    // Per-cell radii must describe the SAME data incarnation as the
+    // assignment the join reads — that agreement is what the lossless-
+    // blocking proof needs. The in-session path memoizes them keyed on
+    // (canonicalized plan, Materialize generation): the generation bumps
+    // on clearIndexCaches AND on any observed external clearCache, so a
+    // rewrite-then-clear sequence recomputes radii alongside the
+    // re-materialized assignment and the memo can never serve stale
+    // radii. The lake path recomputes per call (memoRadii = false) —
+    // index files can be overwritten with no in-session signal, and the
+    // recompute is one column-pruned groupBy over ≤ nCells keys.
+    // (A stale memoized CODEBOOK is harmless by contrast: the
     // admissibility bound holds for ANY codebook as long as radii are
     // measured against the same centroids the assignment used — staleness
-    // there only costs pruning quality, never pairs.) The collect is one
-    // tiny groupBy over ≤ nCells keys reading the cached frame.
-    val radii = collectRadii(assigned)
+    // there only costs pruning quality, never pairs.)
+    val radii = collectRadii(assigned, memoRadii)
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     def angle(a: Centroid, b: Centroid): Double = {
       var d = 0.0
@@ -229,10 +233,11 @@ object Similarity {
     * centroids — a deterministic stand-in for a k-means codebook (declared
     * queries need oracle-replayable centroids). [[ivfTopKKMeans]] is the
     * trained-codebook variant; both share [[ivfTopKWith]]. */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
+      nProbe: Int = 2, probeBroadcast: Boolean = true): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe, probeBroadcast)
+    ivfTopKWith(e, collectCentroids(e, resolveCells(e, nCells)), queryPred, k,
+      nProbe, probeBroadcast)
   }
 
   /** IVF with an MLlib KMeans codebook (seeded, so runs are reproducible):
@@ -241,11 +246,11 @@ object Similarity {
     * fixed-sample codebook. Training is one MLlib job over the corpus; the
     * centroids come back driver-side, exactly where [[ivfTopKWith]] wants
     * them. */
-  def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int, seed: Long = 42L, probeBroadcast: Boolean = true): DataFrame = {
+  def ivfTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
+      nProbe: Int = 2, seed: Long = 42L, probeBroadcast: Boolean = true): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe,
-      probeBroadcast)
+    ivfTopKWith(e, kmeansCentroids(e, resolveCells(e, nCells), seed), queryPred,
+      k, nProbe, probeBroadcast)
   }
 
   private val kmeansCache = new PlanMemo[(Int, Long), Seq[Centroid]]
@@ -280,14 +285,15 @@ object Similarity {
     * tie-breaks on both paths), but the codebook is not SQL-replayable,
     * so the declared query (q54) runs under the driver's rows-only
     * check; the recall floor itself is asserted in SimilaritySpec. */
-  def ivfRecallAtK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int, seed: Long = 42L): DataFrame = {
+  def ivfRecallAtK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
+      nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     // zero-norm vectors produce NaN cosines, and NaN sorts greatest —
     // degenerate neighbors would take rank 1 in BOTH paths, corrupting
     // the recall ground truth. Drop them as the pairs paths do.
     val e = withNorm(emb).filter(col("nrm") > 0)
     recallAgainstBruteForce(e,
-      ivfTopKWith(e, kmeansCentroids(e, nCells, seed), queryPred, k, nProbe),
+      ivfTopKWith(e, kmeansCentroids(e, resolveCells(e, nCells), seed),
+        queryPred, k, nProbe),
       queryPred, k)
   }
 
@@ -295,11 +301,12 @@ object Similarity {
     * [[collectCentroids]]) vs exact brute force. Unlike [[ivfRecallAtK]]'s
     * KMeans codebook, every step here is SQL-replayable, so the declared
     * query (q55) is fully hash-checked against the DuckDB oracle. */
-  def ivfRecallAtKSample(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
-      nProbe: Int): DataFrame = {
+  def ivfRecallAtKSample(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 0, nProbe: Int = 2): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
     recallAgainstBruteForce(e,
-      ivfTopKWith(e, collectCentroids(e, nCells), queryPred, k, nProbe),
+      ivfTopKWith(e, collectCentroids(e, resolveCells(e, nCells)), queryPred,
+        k, nProbe),
       queryPred, k)
   }
 
@@ -330,18 +337,18 @@ object Similarity {
     * directories its query admits ([[cosinePairsBlockedFromIndex]],
     * [[ivfTopKFromIndex]]). Deterministic sample codebook; see
     * [[writeIndexKMeans]] for the trained variant. */
-  def writeIndex(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+  def writeIndex(emb: DataFrame, path: String, nCells: Int = 0): Unit = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    writeIndexWith(e, collectCentroids(e, nCells), path)
+    writeIndexWith(e, collectCentroids(e, resolveCells(e, nCells)), path)
   }
 
   /** [[writeIndex]] with a seeded MLlib KMeans codebook — the production
     * index build: trained cells are balanced, so partition sizes are even
     * and admissibility prunes more cell pairs. */
-  def writeIndexKMeans(emb: DataFrame, path: String, nCells: Int = 16,
+  def writeIndexKMeans(emb: DataFrame, path: String, nCells: Int = 0,
       seed: Long = 42L): Unit = {
     val e = withNorm(emb).filter(col("nrm") > 0)
-    writeIndexWith(e, kmeansCentroids(e, nCells, seed), path)
+    writeIndexWith(e, kmeansCentroids(e, resolveCells(e, nCells), seed), path)
   }
 
   private def writeIndexWith(e: DataFrame, cents: Seq[Centroid], path: String): Unit = {
@@ -381,7 +388,8 @@ object Similarity {
       threshold: Double): DataFrame = {
     val cents = readIndexCodebook(spark, path)
     if (cents.isEmpty) return emptyPairs(spark)
-    pairsOverAssigned(readAssignment(spark, path), cents, threshold)
+    pairsOverAssigned(readAssignment(spark, path), cents, threshold,
+      memoRadii = false)
   }
 
   /** IVF top-k served from the durable index: queries are rows of the
@@ -408,9 +416,20 @@ object Similarity {
     spark.range(0).select(col("id").as("qid"), col("id").as("rnk"),
       col("id").as("neighbor"), col("id").cast("double").as("sim"))
 
-  private def collectRadii(assigned: DataFrame): Map[Long, Double] =
-    assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
+  private val radiiCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, Long), Map[Long, Double]]()
+
+  private def collectRadii(assigned: DataFrame, memo: Boolean): Map[Long, Double] = {
+    def compute = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    if (!memo) compute
+    else {
+      if (radiiCache.size > 16) radiiCache.clear()
+      val key = (assigned.queryExecution.analyzed.canonicalized,
+        Materialize.generation(assigned.sparkSession))
+      radiiCache.computeIfAbsent(key, _ => compute)
+    }
+  }
 
   /** Bounded plan-keyed memo for driver-side index state (codebooks):
     * keys are canonicalized plans (structural equality = Spark's
@@ -429,6 +448,24 @@ object Similarity {
 
   private val centCache = new PlanMemo[Int, Seq[Centroid]]
 
+  private val countCache = new PlanMemo[Unit, Long]
+
+  /** Auto-sized cell count: nCells ≈ √n balances the per-row assignment
+    * cost (nCells dot products) against the average cell population
+    * (n/nCells) — both grow as √n, the classic IVF sizing. Floor 16 so
+    * tiny corpora keep replayable behavior; cap 4096 so the plan-literal
+    * codebook (nCells × dim doubles, constant-folded to a single
+    * Literal) stays far below broadcast/driver limits. The corpus count
+    * is memoized on the plan — sizing is an index-build cost, not a
+    * per-search one. Entry points take `nCells = 0` to mean "derive". */
+  private[graft] def autoCells(e: DataFrame): Int = {
+    val n = countCache.getOrElseUpdate(e, ())(e.count())
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  private def resolveCells(e: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells else autoCells(e)
+
   /** Drop all driver-side index state (codebook memos) and unpersist the
     * materialized assignment slots. Call after rewriting data under a
     * path that was previously indexed (alongside
@@ -441,6 +478,8 @@ object Similarity {
   def clearIndexCaches(): Unit = {
     kmeansCache.clear()
     centCache.clear()
+    countCache.clear()
+    radiiCache.clear()
     Materialize.clearAll()
   }
 

@@ -108,7 +108,12 @@ object CurationQueries {
         .select(col("doc_id"), col("text"), col("split"))
         .write.mode("overwrite").option("compression", "none")
         .partitionBy("split").parquet(scratch)
-      val mat = s.read.parquet(scratch)
+      // explicit schema on read-back: the curation job that wrote the
+      // split knows the layout, so the reader skips the footer-sampling
+      // schema-inference job (a fixed cost that at 100 TB would sample
+      // remote files for a schema the catalog already knows)
+      val mat = s.read.schema("doc_id BIGINT, text STRING, split STRING")
+        .parquet(scratch)
       val train = mat.filter(col("split") === "train")
       val bench = mat.filter(col("split") === "test")
       Curation.decontaminate(train, bench, "doc_id", "text", width = 5)

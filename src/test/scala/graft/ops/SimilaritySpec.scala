@@ -236,6 +236,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(p1.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
   }
 
+  test("repeated blocked-pairs calls serve radii/codebook from memos (zero jobs at plan build)") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16).count() // fill memos
+    Thread.sleep(300) // let async listener events from the fill drain
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // plan CONSTRUCTION only — with radii + codebook memoized, building
+      // the query must schedule no driver-side job at all
+      Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs == 0, s"$jobs jobs ran while building the repeated query")
+  }
+
+  test("autoCells derives ~sqrt(n) bounded to [16, 4096]") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val e = Similarity.withNorm(fixture).filter(col("nrm") > 0)
+    val n = e.count()
+    val k = Similarity.autoCells(e)
+    assert(k == math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)))
+    // tiny corpus floors at 16
+    assert(Similarity.autoCells(e.filter(col("vec_id") < 5)) == 16)
+  }
+
   test("dot is an exact left fold (matches manual computation)") {
     val d = emb.select(
       Similarity.dot(

@@ -26,12 +26,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q41_json_roundtrip", "q42_csv_roundtrip", "q19_stream_tumbling",
     "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join",
     "q23_dedup_embedding", "q29_ann_ivf", "q51_decontaminate_mat",
-    "q54_ann_recall")
+    "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
-    * aggregate (the watermark scalar) to the scan — linear, not quadratic. */
-  private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark")
+    * aggregate (the watermark scalar) to the scan — linear, not quadratic;
+    * q55 embeds q17's intended brute-force cross join as the recall
+    * ground truth (the IVF side under test stays equi-join). */
+  private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark",
+    "q55_ann_recall_sample")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
