@@ -62,9 +62,12 @@ object Queries {
   }
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory
-    * sink and return the sink table. */
+    * sink and return the sink table. Honors the
+    * `spark.graft.streaming.stateStore` provider switch (memory | rocksdb)
+    * for the stateful operators. */
   def runToMemorySink(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
+    graft.streaming.StateStores.configure(s)
     val sink = s"${name}_out_${System.nanoTime()}"
     val sq = df.writeStream.outputMode(mode).format("memory").queryName(sink).start()
     try sq.processAllAvailable() finally sq.stop()

@@ -87,6 +87,33 @@ class SessionizeStateSpec extends AnyFunSuite {
     assert(st.timeoutTs > min(100) / 1000)
   }
 
+  test("streaming sessionization is identical under memory and RocksDB state stores") {
+    val spark = graft.SharedSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(tag: String): Seq[(Long, Long, Long, Long)] = {
+      val stream = graft.queries.Queries
+        .stagedEventStream(spark, "/root/testdata/sf0.001", s"ssp_$tag")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[Ev]
+      val sessions = Sessionize.streaming(stream, gapMinutes = 30)
+      Sessionize.latestSnapshot(
+        graft.queries.Queries.runToMemorySink(sessions.toDF(), s"ssp_$tag", "update"))
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    // the friendly switch is what runToMemorySink honors at query start
+    spark.conf.set(StateStores.SwitchKey, "memory")
+    val mem = try run("mem") finally spark.conf.unset(StateStores.SwitchKey)
+    spark.conf.set(StateStores.SwitchKey, "rocksdb")
+    val rocks = try run("rocks") finally spark.conf.unset(StateStores.SwitchKey)
+    assert(spark.conf.getOption(StateStores.ProviderKey)
+      .contains(StateStores.RocksDBProvider), "switch did not reach providerClass")
+    assert(mem.nonEmpty && rocks == mem,
+      s"providers disagree: memory=${mem.size} rows, rocksdb=${rocks.size} rows")
+  }
+
   test("start-widening late event collapses to ONE session row in latestSnapshot") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").getOrCreate()
