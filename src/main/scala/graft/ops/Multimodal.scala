@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * a typed metadata struct; decode/feature-extract runs per partition so
   * batches amortize any codec setup cost.
   *
-  * The decode step is a clearly-marked deterministic STUB — this
-  * environment has no image/audio codecs, so "decoding" computes byte
-  * statistics. The Spark-side plumbing (schema, binary column, partition
-  * batching, feature output shape) is the real, tested part: a production
-  * deployment swaps `decodeStub` for a codec call without touching the
-  * plan shape.
+  * Two decode tiers:
+  *  - [[decodeImage]]/[[extractImageFeatures]] — a REAL codec path:
+  *    `javax.imageio` (JDK built-in, zero dependencies) decodes
+  *    PNG/JPEG/GIF/BMP payloads to pixels inside the mapPartitions batch,
+  *    exactly the shape a production image pipeline uses.
+  *  - [[decodeStub]]/[[resizeStub]] — deterministic byte-level stand-ins
+  *    for codecs the JDK does not ship (audio/video): they keep the
+  *    declared queries oracle-replayable while exercising the identical
+  *    plumbing (schema, binary column, partition batching, output shape).
   */
 object Multimodal {
 
@@ -68,6 +71,50 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+  }
+
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_luma: Double)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * no added dependencies): width/height plus mean Rec.601 luma over all
+    * pixels. Undecodable payloads return None — bad media is data to be
+    * filtered, not an exception to kill a 100-TB job. */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[ImageFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var luma = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(ImageFeatures(id, w, h, n, luma / n))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batched REAL-codec feature extraction: the [[extractFeatures]]
+    * mapPartitions shape instantiated with [[decodeImage]]. Rows whose
+    * payload does not decode as an image are dropped (flatMap) — the
+    * filter-bad-media step every multimodal curation pipeline starts
+    * with. Input: (doc_id, payload binary). */
+  def extractImageFeatures(spark: SparkSession, payloaded: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloaded.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeImage(id, bytes) })
       .toDF()
   }
 

@@ -59,4 +59,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("DeserializeToObject"), plan)
     assert(!plan.contains("MapPartitions"), plan)
   }
+
+  /** Encode a solid-color image to PNG bytes with the same JDK codec the
+    * operator decodes with. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real codec: decodes actual PNG pixels; undecodable payloads are dropped") {
+    // white 4x3, mid-gray 2x2, and a payload that is not an image at all
+    val payloads = Seq(
+      (10L, png(4, 3, 0xffffff)),
+      (11L, png(2, 2, 0x808080)),
+      (12L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractImageFeatures(spark, payloads)
+      .as[Multimodal.ImageFeatures].collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == Set(10L, 11L), "bad media must be dropped, good kept")
+    val white = feats(10L)
+    assert(white.width == 4 && white.height == 3 && white.n_pixels == 12)
+    assert(math.abs(white.mean_luma - 255.0) < 1e-9) // 0.299+0.587+0.114 = 1
+    val gray = feats(11L)
+    assert(gray.width == 2 && gray.height == 2)
+    assert(math.abs(gray.mean_luma - 128.0) < 1e-9)
+    // direct decode agrees with the distributed path
+    val direct = Multimodal.decodeImage(10L, png(4, 3, 0xffffff)).get
+    assert(direct == white)
+    assert(Multimodal.decodeImage(12L, Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
