@@ -218,6 +218,24 @@ object Tune {
     time("q05 coalesce(4)")(q05("coalesce"))
     time("q05 repartition(flag)")(q05("repart"))
 
+    // ---- IVF codebook size sweep (autoCells validation) ------------------
+    // cold end-to-end per size (caches cleared each call): the honest
+    // build+search comparison the auto-sizing default rests on
+    val emb = table("embeddings")
+    val eNorm = graft.ops.Similarity.withNorm(emb).filter(col("nrm") > 0)
+    val auto = graft.ops.Similarity.autoCells(eNorm)
+    println(s"[tune] autoCells(n=${eNorm.count()}) = $auto")
+    for (k <- Seq(16, 32, auto, 128).distinct.sorted) {
+      time(f"q23 pairs cold nCells=$k%-4d") {
+        graft.ops.Similarity.clearIndexCaches()
+        graft.ops.Similarity.cosinePairsBlocked(emb, 0.4, k).count()
+      }
+      time(f"q29 ivf cold nCells=$k%-4d") {
+        graft.ops.Similarity.clearIndexCaches()
+        graft.ops.Similarity.ivfTopK(emb, col("vec_id") % 10 === 0, 5, k, 2).count()
+      }
+    }
+
     spark.stop()
   }
 }
