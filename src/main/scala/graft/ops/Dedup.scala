@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -56,8 +56,10 @@ object Dedup {
     * fills the cache and both sides of the exact-Jaccard verify join
     * read it instead of re-running the shingle projection per subtree
     * (the band path's exchange reuse never covered the two verify
-    * sides). A cluster deployment at index scale writes the shingle
-    * frame to the lake — same plan shape, durable materialization.
+    * sides). [[writeShingleIndex]] is the durable form — shingles and
+    * posting lists persisted to the lake, served back by
+    * [[minhashNearDupsFromIndex]] / [[minhashNearDupsAgainstIndex]]
+    * with no recomputation.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
@@ -87,7 +89,14 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct()
-    val sets = withSets.select(col("id"), col("sh"))
+    jaccardVerify(cand, withSets.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * frame — the shared tail of every MinHash/n-gram dedup variant.
+    * Input: cand(da, db), sets(id, sh). */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
       .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
@@ -96,6 +105,115 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
       .orderBy("da", "db")
+
+  // -- Durable (lake-materialized) shingle/LSH index ----------------------
+
+  /** Write the MinHash-LSH dedup index to the lake:
+    *
+    *  - `path/shingles` — the (id, sh) shingle frame (verify-join side);
+    *  - `path/bands` — the (id, band, band_key) LSH posting lists,
+    *    PARTITIONED BY band (candidate-generation side; the layout lets a
+    *    band-subset probe or per-band compaction prune its scan);
+    *  - `path/meta` — one row (shingle_width, k, bands), so serving paths
+    *    band queries with exactly the parameters the index was built with.
+    *
+    * This is the durable form of the [[Materialize]] session cache the
+    * in-session pipeline uses: at corpus scale the signatures are computed
+    * once at index-build time, and every later dedup — full
+    * ([[minhashNearDupsFromIndex]]) or incremental
+    * ([[minhashNearDupsAgainstIndex]]) — reads them instead of re-running
+    * the shingle/signature projection over 100 TB of text. Bands are
+    * derived from the WRITTEN shingle files (read-back, not the in-memory
+    * frame), so the two tables can never disagree. */
+  def writeShingleIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text", shingleWidth: Int = 3, k: Int = 128,
+      bands: Int = 32): Unit = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands (see minhashNearDups)")
+    val spark = docs.sparkSession
+    docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val withSig = readShingles(spark, path)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    lshBands(withSig, "sig", "id", bands, k / bands)
+      // co-locate each band before the partitioned write: one writer task
+      // per band directory instead of (tasks × bands) small files — the
+      // file-count discipline a 100-TB posting table needs
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    import spark.implicits._
+    Seq((shingleWidth, k, bands)).toDF("shingle_width", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readShingles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/shingles")
+
+  private def readBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+      // the partition column comes back as the directory-name integer type
+      .withColumn("band", col("band").cast("int"))
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select(col("shingle_width"), col("k"), col("bands")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Full near-dup pair search served from the durable index: candidates
+    * from the lake posting lists, exact-Jaccard verify against the lake
+    * shingle frame — no signature or shingle recomputation. Identical
+    * output to [[minhashNearDups]] over the same corpus and parameters. */
+  def minhashNearDupsFromIndex(spark: SparkSession, path: String,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.CatalystExpressions.register(spark)
+    val b = readBands(spark, path)
+    val cand = b.as("x").hint("shuffle_hash").join(b.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
+    jaccardVerify(cand, readShingles(spark, path), threshold)
+  }
+
+  /** Incremental dedup: near-dup pairs of a NEW document batch against an
+    * indexed corpus, plus within the batch itself — the serving path every
+    * streaming-ingest pipeline runs before admitting documents. The
+    * corpus side is never recomputed: its posting lists and shingle sets
+    * come from the lake; only the (small) new batch is shingled and
+    * banded, with the parameters stored in the index meta. Returns
+    * (da, db, jac >= threshold), da < db, where at least one side is new. */
+  def minhashNearDupsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      path: String, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.CatalystExpressions.register(spark)
+    val (shingleWidth, k, bands) = readMeta(spark, path)
+    val newSets = newDocs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWidth).as("sh"))
+    val newBands = lshBands(newSets.withColumn("sig", minhashSignature(col("sh"), k)),
+      "sig", "id", bands, k / bands)
+    val idxBands = readBands(spark, path)
+    // new × indexed: id order is arbitrary across the two sets, so order
+    // each colliding pair explicitly; new × new: plain self-join. The new
+    // batch is the bounded side — AQE broadcasts it when it fits, and a
+    // large backfill batch degrades to a hash join instead of overflowing
+    // a forced broadcast.
+    val against = idxBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("da"),
+        greatest(col("x.id"), col("y.id")).as("db"))
+    val within = newBands.as("x").hint("shuffle_hash").join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+    val cand = against.unionAll(within).distinct()
+    val sets = readShingles(spark, path).unionByName(newSets)
+    jaccardVerify(cand, sets, threshold)
   }
 
   // -- SimHash ------------------------------------------------------------

@@ -246,6 +246,43 @@ object TrainingDataQueries {
     "Durable-index near-dup round trip: cosine pairs served from the lake " +
       "index, scan pruned to admissible cells — same pair set as q23")
 
+  // q58/q59: the durable shingle/LSH index (q05-style write+read). q58
+  // serves the FULL pair search from the lake index — same answer as q20,
+  // so it shares q20's exact-Jaccard oracle. q59 is the incremental path:
+  // docs with doc_id % 7 = 0 arrive as the "new" batch against an index
+  // of the rest; the oracle is the exact pair set where at least one side
+  // is new (LSH candidates lossless at j >= 0.8, exact verify).
+  private val q58 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q58-index"
+      Dedup.writeShingleIndex(table(s, dir, "documents"), scratch)
+      Dedup.minhashNearDupsFromIndex(s, scratch, threshold = 0.8)
+    },
+    q20.oracle,
+    "Durable dedup-index round trip: shingles + LSH posting lists written " +
+      "to the lake (bands partitioned), full near-dup search served with " +
+      "no signature recomputation — same pair set as q20")
+
+  private val q59 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q59-index"
+      val docs = table(s, dir, "documents")
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 7 =!= 0), scratch)
+      Dedup.minhashNearDupsAgainstIndex(s, docs.filter(col("doc_id") % 7 === 0),
+        scratch, threshold = 0.8)
+    },
+    Some(duckWordShingles +
+      ", c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0 GROUP BY 1, 2), " +
+      "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
+      "SELECT da, db, " + dround6("CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter)") + " AS jac " +
+      "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8 ORDER BY da, db"),
+    "Incremental dedup against the durable index: a new batch (doc_id%7=0) " +
+      "is shingled/banded with the index's stored parameters and joined " +
+      "against the lake posting lists — the corpus is never recomputed")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -326,6 +363,8 @@ object TrainingDataQueries {
     "q55_ann_recall_sample" -> q55,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
+    "q58_dedup_index_roundtrip" -> q58,
+    "q59_dedup_incremental" -> q59,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

@@ -50,6 +50,37 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(lsh == brute)
   }
 
+  test("durable shingle index: full search from the lake equals the in-session result") {
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/index-${System.nanoTime()}"
+    Dedup.writeShingleIndex(fixture, dir)
+    val fromIndex = Dedup.minhashNearDupsFromIndex(spark, dir, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    val inSession = Dedup.minhashNearDups(fixture, "doc_id", "text",
+      shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+  }
+
+  test("incremental dedup against the index finds exactly the pairs touching the new batch") {
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/incr-${System.nanoTime()}"
+    val newPred = col("doc_id") % 7 === 0
+    Dedup.writeShingleIndex(fixture.filter(!newPred), dir)
+    val incr = Dedup.minhashNearDupsAgainstIndex(spark, fixture.filter(newPred),
+      dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // expected = the full pair set restricted to pairs with >= 1 new side
+    // (LSH candidates are lossless at j >= 0.8; both paths verify exactly)
+    val full = Dedup.minhashNearDups(fixture, "doc_id", "text",
+      shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    assert(incr == expected && incr.nonEmpty)
+    // and nothing that is purely old x old
+    assert(incr.forall(p => p._1 % 7 == 0 || p._2 % 7 == 0))
+  }
+
   test("simhash: identical docs collide, near-dups within hamming budget") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq

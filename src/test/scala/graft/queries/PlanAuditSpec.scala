@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q41_json_roundtrip", "q42_csv_roundtrip", "q19_stream_tumbling",
     "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join",
     "q23_dedup_embedding", "q29_ann_ivf", "q51_decontaminate_mat",
-    "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip")
+    "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip",
+    "q58_dedup_index_roundtrip", "q59_dedup_incremental")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
