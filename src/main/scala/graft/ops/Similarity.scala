@@ -379,6 +379,42 @@ object Similarity {
     spark.read.parquet(s"$path/assignment")
       .withColumn("cell", col("cell").cast("long"))
 
+  /** Incremental index maintenance: assign NEW vectors with the index's
+    * STORED codebook and append them to the partitioned assignment — no
+    * rebuild, no rewrite of existing cell directories. Exactness is
+    * untouched: the admissibility bound holds for ANY codebook, and the
+    * serving paths always recompute radii from the live assignment, so
+    * pairs served after an append equal a from-scratch search over the
+    * union. (What drifts with the corpus is pruning/recall QUALITY —
+    * re-train via [[writeIndexKMeans]] when the distribution moves.) */
+  def appendToIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = readIndexCodebook(spark, path)
+    require(cents.nonEmpty, s"no codebook at $path — writeIndex first")
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    assignCells(e, cents)
+      .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
+      .drop("best_sim")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+  }
+
+  /** ANN serving for EXTERNAL query vectors (any (vec_id, embedding)
+    * frame — not required to be index members): probe the stored
+    * codebook, scan only the probed cell directories. A corpus row whose
+    * vec_id equals a query id is excluded, preserving the
+    * "neighbors of this document" contract when queries overlap the
+    * corpus id space. */
+  def ivfTopKFromIndexFor(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyTopK(spark)
+    val q = withNorm(queries).filter(col("nrm") > 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    ivfProbeJoin(
+      readAssignment(spark, path).select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+      q, cents, k, nProbe, probeBroadcast, pruneScan = true)
+  }
+
   /** [[cosinePairsBlocked]] served from the durable index: codebook from
     * the sidecar, assignment scanned partition-pruned to admissible cells
     * (the IN filter in [[pairsOverAssigned]] is a driver-side literal, so

@@ -283,6 +283,24 @@ object TrainingDataQueries {
       "is shingled/banded with the index's stored parameters and joined " +
       "against the lake posting lists — the corpus is never recomputed")
 
+  // q60: incremental index maintenance. Index built on vec_id % 7 != 0,
+  // the rest APPENDED with the stored codebook, pairs served from the
+  // combined assignment. Lossless blocking holds for any codebook, so the
+  // result equals q23's brute-force pair set over the full corpus even
+  // though the codebook never saw the appended vectors.
+  private val q60 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q60-index"
+      val emb = table(s, dir, "embeddings")
+      Similarity.writeIndex(emb.filter(col("vec_id") % 7 =!= 0), scratch, nCells = 16)
+      Similarity.appendToIndex(emb.filter(col("vec_id") % 7 === 0), scratch)
+      Similarity.cosinePairsBlockedFromIndex(s, scratch, threshold = 0.4)
+    },
+    q23.oracle,
+    "Incremental ANN-index append: new vectors assigned with the stored " +
+      "codebook and appended partition-wise; served pairs equal the " +
+      "from-scratch q23 answer (admissibility holds for any codebook)")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -365,6 +383,7 @@ object TrainingDataQueries {
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,
     "q59_dedup_incremental" -> q59,
+    "q60_ann_index_append" -> q60,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

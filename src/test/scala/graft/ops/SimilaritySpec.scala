@@ -225,6 +225,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(neighbors.nonEmpty && neighbors.forall(_ < 100L), neighbors.toString)
   }
 
+  test("appendToIndex: pairs served after an append equal a from-scratch search") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/append-${System.nanoTime()}"
+    // index built WITHOUT the appended slice: the codebook never saw it
+    Similarity.writeIndex(fixture.filter(col("vec_id") % 7 =!= 0), dir, nCells = 16)
+    Similarity.appendToIndex(fixture.filter(col("vec_id") % 7 === 0), dir)
+    val served = Similarity.cosinePairsBlockedFromIndex(spark, dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.cosinePairs(fixture, 0.4).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == brute,
+      "append must preserve exactness (admissibility holds for any codebook)")
+    // appending must not have rewritten the original cell files' content:
+    // the union of assignment rows covers exactly the full corpus
+    val n = spark.read.parquet(s"$dir/assignment").count()
+    assert(n == Similarity.withNorm(fixture).filter(col("nrm") > 0).count())
+  }
+
+  test("ivfTopKFromIndexFor serves external query vectors (member queries as the oracle)") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/extq-${System.nanoTime()}"
+    Similarity.writeIndex(fixture, dir, nCells = 16)
+    val pred = col("vec_id") % 10 === 0
+    // external frame carrying the same vectors: results must coincide with
+    // the member-query serving path
+    val external = fixture.filter(pred)
+    val viaExternal = Similarity.ivfTopKFromIndexFor(spark, dir, external,
+      k = 5, nProbe = 2).collect().map(_.toSeq).toSeq
+    val viaMembers = Similarity.ivfTopKFromIndex(spark, dir, pred,
+      k = 5, nProbe = 2).collect().map(_.toSeq).toSeq
+    assert(viaExternal.nonEmpty && viaExternal == viaMembers)
+  }
+
   test("ivfRecallAtKSample: exhaustive probe = 1.0; deterministic under partial probe") {
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pred = col("vec_id") % 10 === 0
