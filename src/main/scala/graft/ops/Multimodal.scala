@@ -118,6 +118,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image resize via the JDK: decode, scale so the longest side is
+    * `maxDim` (aspect preserved, bilinear; never upscales), re-encode as
+    * PNG. None for undecodable payloads — same bad-media-is-data contract
+    * as [[decodeImage]]. */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+        if (scale >= 1.0) Some(bytes) // already within budget: pass through
+        else {
+          val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+          val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batched real image resize — the [[resize]] mapPartitions shape with
+    * the JDK codec; undecodable payloads are dropped. */
+  def resizeImages(spark: SparkSession, payloaded: DataFrame,
+      maxDim: Int): DataFrame = {
+    import spark.implicits._
+    payloaded.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => resizeImage(b, maxDim).map((id, _)) })
+      .toDF("doc_id", "payload")
+  }
+
   /** STUB for media resize/downsample: keep every `stride`-th byte. A real
     * deployment swaps the body for an image scaler; the contract —
     * binary in, smaller binary out, schema unchanged — is what the

@@ -58,6 +58,27 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous maintenance of the durable ANN index
+    * ([[graft.ops.Similarity.writeIndex]] layout): each micro-batch of
+    * (vec_id, embedding) rows is assigned with the index's STORED
+    * codebook and appended partition-wise — the streaming form of
+    * [[graft.ops.Similarity.appendToIndex]], so a search served from the
+    * index stays exact as vectors stream in (admissibility holds for any
+    * codebook; radii are recomputed from the live assignment at serving
+    * time). Same at-least-once contract as [[toLake]]: a replayed batch
+    * appends its vectors twice — dedup upstream (stream `dropDuplicates`
+    * on vec_id with a watermark) or rebuild via `writeIndex` to compact. */
+  def toIndex(stream: DataFrame, indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Similarity.appendToIndex(batch, indexPath)
+      }
+      .start()
+
   /** Idempotent micro-batch landing (exposed for direct replay testing):
     * write the batch to a dot-prefixed staging dir — invisible to
     * Spark's file index, so readers never see in-flight data — then

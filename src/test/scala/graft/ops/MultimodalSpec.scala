@@ -92,4 +92,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(direct == white)
     assert(Multimodal.decodeImage(12L, Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("real resize: longest side scaled to budget, aspect kept, no upscale, bad media dropped") {
+    val payloads = Seq(
+      (20L, png(8, 4, 0x808080)),  // downscale to 4x2
+      (21L, png(2, 2, 0x808080)),  // already within budget: pass through
+      (22L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(spark, payloads, maxDim = 4)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(resized.keySet == Set(20L, 21L))
+    val f20 = Multimodal.decodeImage(20L, resized(20L)).get
+    assert(f20.width == 4 && f20.height == 2, s"${f20.width}x${f20.height}")
+    assert(math.abs(f20.mean_luma - 128.0) < 1.0) // solid gray survives scaling
+    assert(resized(21L).toSeq == png(2, 2, 0x808080).toSeq, "no upscale")
+  }
 }

@@ -40,6 +40,26 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       "checkpointed restart must not re-append already-committed batches")
   }
 
+  test("toIndex: streamed vectors keep the durable ANN index exact") {
+    val root = Files.createTempDirectory("graft-streamsink-idx").toString
+    val idx = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    val srcDir = s"$root/src"
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // index built on 6/7 of the corpus; the rest arrives as a stream
+    graft.ops.Similarity.writeIndex(emb.filter(col("vec_id") % 7 =!= 0), idx,
+      nCells = 16)
+    emb.filter(col("vec_id") % 7 === 0).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema).parquet(srcDir)
+    StreamSink.toIndex(stream, idx, ckpt).awaitTermination()
+    val served = graft.ops.Similarity.cosinePairsBlockedFromIndex(spark, idx, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val brute = graft.ops.Similarity.cosinePairs(emb, 0.4)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == brute,
+      "index must stay exact as vectors stream in")
+  }
+
   test("toLakeIdempotent: a replayed batch overwrites its own landing (no duplicates)") {
     val root = Files.createTempDirectory("graft-streamsink-ido").toString
     val lake = s"$root/lake"
