@@ -97,4 +97,115 @@ object Lake {
     sortCol.foreach(c => w = w.sortBy(c))
     w.saveAsTable(tableName)
   }
+
+  /** Before/after accounting returned by [[compact]]. */
+  final case class CompactStats(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long)
+
+  /** List leaf data files under `path` (recursive, Hadoop FS — works on
+    * any supported filesystem), skipping commit markers and hidden files.
+    * Returns (fileCount, totalBytes). */
+  def dataFileStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0L
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** Small-file compaction (the lake `OPTIMIZE` every streaming-ingest
+    * table eventually needs): rewrite `path` so data files land near
+    * `targetFileBytes`, preserving content, Hive partitioning, and —
+    * when `sortCols` is given — clustering rows so each file carries tight
+    * min/max footer stats on those columns (z-order-lite: range
+    * repartition + in-task sort).
+    *
+    * Scale shape: ONE shuffle sized `ceil(totalBytes / targetFileBytes)`
+    * tasks —
+    *  - unsorted + partitioned: hash on the partition columns, so a Hive
+    *    partition is rewritten by one task (parallelism = #partitions,
+    *    exactly the many-small-partitions regime compaction exists for);
+    *  - `sortCols` given: `repartitionByRange` over partitionCols ++
+    *    sortCols, which also SPLITS an oversized partition across tasks
+    *    by sort range — the giant-partition regime — while dynamic
+    *    partitioning still routes rows to the right dirs;
+    *  - unpartitioned: plain round-robin repartition.
+    * `maxRecordsPerFile` (derived from the observed on-disk bytes/row)
+    * caps any file a skewed task would otherwise write.
+    *
+    * The rewrite goes to `<path>__compact_tmp`, then swaps via two
+    * renames (old data parked at `<path>__compact_old`, removed last).
+    * Not atomic across the pair — a crash between renames leaves the
+    * parked copy recoverable by hand; readers never see a half-written
+    * mix because the tmp dir becomes visible only whole. [[vacuum]]
+    * clears parked/tmp leftovers from an interrupted run. */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): CompactStats = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (filesBefore, bytesBefore) = dataFileStats(spark, path)
+    val df = spark.read.parquet(path)
+    val rows = math.max(1L, df.count())
+    val avgRowBytes = math.max(1L, bytesBefore / rows)
+    val maxRecords = math.max(1L, targetFileBytes / avgRowBytes)
+    val nTasks = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    val clustered =
+      if (sortCols.nonEmpty) {
+        val keys = (partitionCols ++ sortCols).map(col)
+        df.repartitionByRange(nTasks, keys: _*).sortWithinPartitions(keys: _*)
+      } else if (partitionCols.nonEmpty)
+        df.repartition(nTasks, partitionCols.map(col): _*)
+      else df.repartition(nTasks)
+
+    val tmp = path + "__compact_tmp"
+    val old = path + "__compact_old"
+    var w = clustered.write.mode("overwrite").format("parquet")
+      .option("maxRecordsPerFile", maxRecords.toString)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(tmp)
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(hp(old), true)
+    if (!fs.rename(hp(path), hp(old)))
+      throw new java.io.IOException(s"compact: could not park $path")
+    if (!fs.rename(hp(tmp), hp(path))) {
+      fs.rename(hp(old), hp(path)) // roll back
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(hp(old), true)
+    val (filesAfter, bytesAfter) = dataFileStats(spark, path)
+    CompactStats(filesBefore, bytesBefore, filesAfter, bytesAfter)
+  }
+
+  /** Remove `__compact_tmp` / `__compact_old` leftovers an interrupted
+    * [[compact]] may have parked next to `path`. */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path + "__compact_tmp", path + "__compact_old").foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s), true)
+    }
+  }
+
+  /** Per-file min/max of `c` — the footer-stats view a data-skipping
+    * audit wants: after a sorted [[compact]], ranges are near-disjoint,
+    * which is what makes predicate scans skip whole files/row groups. */
+  def fileStats(spark: SparkSession, path: String, c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c)).as("min_" + c), max(col(c)).as("max_" + c),
+        count(lit(1)).as("rows"))
+  }
 }

@@ -29,6 +29,65 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,0)]"), plan)
   }
 
+  test("compact merges a small-file partitioned lake, preserving content") {
+    val dir = s"/tmp/graft-test-lake/compact-${System.nanoTime()}"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // simulate a streaming-ingest lake: many tiny files per partition
+    Lake.append(ev.repartition(16), dir, partitionCols = Seq("event_type"),
+      maxRecordsPerFile = 50)
+    val before = spark.read.parquet(dir).collect().toSet
+    val stats = Lake.compact(spark, dir, partitionCols = Seq("event_type"),
+      targetFileBytes = 64L << 20)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected fewer files: $stats")
+    // one task per partition at this size → one file per event_type
+    val types = ev.select("event_type").distinct().count()
+    assert(stats.filesAfter <= types, s"expected ≤$types files: $stats")
+    val after = spark.read.parquet(dir).collect().toSet
+    assert(after == before, "compaction must preserve content exactly")
+    // no tmp/parked leftovers after a clean swap
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
+
+  test("sorted compact yields near-disjoint per-file ranges (data skipping)") {
+    val dir = s"/tmp/graft-test-lake/compact-sort-${System.nanoTime()}"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("ts"), col("value"))
+    Lake.append(ev.repartition(16), dir, partitionCols = Nil,
+      maxRecordsPerFile = 200)
+    val stats = Lake.compact(spark, dir, partitionCols = Nil,
+      targetFileBytes = 16L << 10, sortCols = Seq("ts"))
+    assert(stats.filesAfter > 1, s"want multiple files to prove ranges: $stats")
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+    // range repartition + in-task sort ⇒ file [min,max] ts windows do not
+    // overlap (modulo range-boundary ties) — the property footer-stats
+    // skipping needs
+    val ranges = Lake.fileStats(spark, dir, "ts")
+      .orderBy(col("min_ts"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(lo2 >= hi1 - 1,
+        s"overlapping file ranges: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // content preserved
+    assert(spark.read.parquet(dir).count() == ev.count())
+  }
+
+  test("vacuum clears leftovers from an interrupted compact") {
+    val dir = s"/tmp/graft-test-lake/vacuum-${System.nanoTime()}"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").limit(100)
+    Lake.append(ev, dir, partitionCols = Nil)
+    Lake.overwrite(ev, dir + "__compact_tmp", Nil)
+    Lake.overwrite(ev, dir + "__compact_old", Nil)
+    Lake.vacuum(spark, dir)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+    assert(new java.io.File(dir).exists(), "vacuum must not touch live data")
+  }
+
   test("delta format switches on the classpath probe, parquet fallback otherwise") {
     // the switch itself, both probe outcomes
     assert(Lake.resolveFormat("delta", deltaAvailable = true) == "delta")
