@@ -114,7 +114,7 @@ object Dedup {
     *  - `path/bands` — the (id, band, band_key) LSH posting lists,
     *    PARTITIONED BY band (candidate-generation side; the layout lets a
     *    band-subset probe or per-band compaction prune its scan);
-    *  - `path/meta` — one row (shingle_width, k, bands), so serving paths
+    *  - `path/meta.tsv` — one line (shingle_width, k, bands), so serving paths
     *    band queries with exactly the parameters the index was built with.
     *
     * This is the durable form of the [[Materialize]] session cache the
@@ -142,9 +142,44 @@ object Dedup {
       // file-count discipline a 100-TB posting table needs
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    import spark.implicits._
-    Seq((shingleWidth, k, bands)).toDF("shingle_width", "k", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // one row of parameters: a driver-written sidecar file (tmp+rename),
+    // not a Spark job — serving reads it without scheduling a task
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"$shingleWidth\t$k\t$bands\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish index meta at $dst")
+  }
+
+  /** Incremental index maintenance: shingle + band a NEW document batch
+    * with the index's STORED parameters and append it partition-wise —
+    * no rebuild, no rewrite of existing band directories. The serving
+    * paths read the live tables, so pairs served after an append equal a
+    * from-scratch index over the union. Where [[writeShingleIndex]]
+    * re-reads the written shingles to derive bands (lineage may be
+    * non-deterministic), the append pins the batch with `persist` for
+    * the duration of its two writes — same guarantee, no corpus rescan
+    * (re-reading `path/shingles` to band one batch would scan the whole
+    * table). At-least-once under replay, like every plain parquet
+    * append: dedup upstream or rebuild to compact. */
+  def appendToShingleIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val (shingleWidth, k, bands) = readMeta(spark, path)
+    val newSets = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWidth).as("sh")).persist()
+    try {
+      newSets.write.mode("append").parquet(s"$path/shingles")
+      lshBands(newSets.withColumn("sig", minhashSignature(col("sh"), k)),
+        "sig", "id", bands, k / bands)
+        .repartition(col("band"))
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    } finally newSets.unpersist()
   }
 
   private def readShingles(spark: SparkSession, path: String): DataFrame =
@@ -156,9 +191,14 @@ object Dedup {
       .withColumn("band", col("band").cast("int"))
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta")
-      .select(col("shingle_width"), col("k"), col("bands")).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val line = try new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8")).readLine()
+    finally in.close()
+    val Array(w, k, b) = line.trim.split('\t')
+    (w.toInt, k.toInt, b.toInt)
   }
 
   /** Full near-dup pair search served from the durable index: candidates

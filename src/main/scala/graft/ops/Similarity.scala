@@ -330,7 +330,7 @@ object Similarity {
 
   /** Write the IVF index to the lake: the cell assignment
     * (vec_id, v, nrm, cang) PARTITIONED BY cell under `path/assignment`,
-    * plus the codebook as a tiny sidecar table at `path/codebook`. This is
+    * plus the codebook as a sidecar file at `path/codebook.tsv`. This is
     * the reference's partitioned-lake layout applied to index state: at
     * 100 TB an index that lives in session cache is rebuilt per job, while
     * the lake copy is built once and every reader scans only the cell
@@ -357,18 +357,59 @@ object Similarity {
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
       .drop("best_sim")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignment")
-    import spark.implicits._
-    cents.map(c => (c.cid, c.cv.toSeq, c.cnrm)).toDF("cid", "cv", "cnrm")
-      // nCells rows of index metadata: one file, one writer task
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writeCodebookSidecar(spark, path, cents)
   }
 
-  /** Codebook read-back (nCells rows — driver-side by construction). */
-  def readIndexCodebook(spark: SparkSession, path: String): Seq[Centroid] =
-    spark.read.parquet(s"$path/codebook")
-      .select(col("cid"), col("cv"), col("cnrm")).collect()
-      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_.cid).toSeq
+  /** The codebook is ≤ maxAutoCells rows of driver-side state — writing
+    * it through a Spark job (coalesce(1) parquet) costs a task round-trip
+    * at build AND a collect job at every serve. It is instead a plain
+    * sidecar FILE (Delta-commit-log style): one line per centroid,
+    * `cid \t cnrm \t v0,v1,...` with `Double.toString` (exact round-trip
+    * by definition), published by write-tmp-then-rename so readers never
+    * see a torn codebook. */
+  private def writeCodebookSidecar(spark: SparkSession, path: String,
+      cents: Seq[Centroid]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/codebook.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codebook.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      cents.foreach { c =>
+        sb.append(c.cid).append('\t').append(c.cnrm).append('\t')
+        var i = 0
+        while (i < c.cv.length) {
+          if (i > 0) sb.append(',')
+          sb.append(c.cv(i)); i += 1
+        }
+        sb.append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish codebook at $dst")
+  }
+
+  /** Codebook read-back — a driver-side sidecar file read, zero Spark
+    * jobs (the serving paths call this per query). */
+  def readIndexCodebook(spark: SparkSession, path: String): Seq[Centroid] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(cid, cnrm, vs) = line.split('\t')
+      Centroid(cid.toLong, vs.split(',').map(_.toDouble), cnrm.toDouble)
+    }.toSeq.sortBy(_.cid)
+  }
 
   /** Assignment read-back. The partition column comes back as the
     * directory-name integer type; restore long so downstream joins and

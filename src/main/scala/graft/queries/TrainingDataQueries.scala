@@ -283,6 +283,23 @@ object TrainingDataQueries {
       "is shingled/banded with the index's stored parameters and joined " +
       "against the lake posting lists — the corpus is never recomputed")
 
+  // q61: incremental dedup-index maintenance (the Dedup twin of q60).
+  // Index built on doc_id % 7 != 0, the rest APPENDED with the stored
+  // parameters, full pair search served from the combined tables — same
+  // answer as q20's from-scratch search, so it shares q20's oracle.
+  private val q61 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q61-index"
+      val docs = table(s, dir, "documents")
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 7 =!= 0), scratch)
+      Dedup.appendToShingleIndex(docs.filter(col("doc_id") % 7 === 0), scratch)
+      Dedup.minhashNearDupsFromIndex(s, scratch, threshold = 0.8)
+    },
+    q20.oracle,
+    "Incremental dedup-index append: new documents shingled/banded with " +
+      "the stored parameters and appended partition-wise; the served pair " +
+      "set equals the from-scratch q20 answer")
+
   // q60: incremental index maintenance. Index built on vec_id % 7 != 0,
   // the rest APPENDED with the stored codebook, pairs served from the
   // combined assignment. Lossless blocking holds for any codebook, so the
@@ -384,6 +401,7 @@ object TrainingDataQueries {
     "q58_dedup_index_roundtrip" -> q58,
     "q59_dedup_incremental" -> q59,
     "q60_ann_index_append" -> q60,
+    "q61_dedup_index_append" -> q61,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

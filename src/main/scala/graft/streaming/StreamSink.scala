@@ -79,6 +79,26 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous maintenance of the durable dedup index
+    * ([[graft.ops.Dedup.writeShingleIndex]] layout): each micro-batch of
+    * documents is shingled/banded with the index's stored parameters and
+    * appended — the streaming form of
+    * [[graft.ops.Dedup.appendToShingleIndex]]. Pair searches served from
+    * the index ([[graft.ops.Dedup.minhashNearDupsFromIndex]]) stay equal
+    * to a from-scratch build over everything that has streamed in. Same
+    * at-least-once contract as [[toIndex]]. */
+  def toShingleIndex(stream: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Dedup.appendToShingleIndex(batch, indexPath, idCol, textCol)
+      }
+      .start()
+
   /** Idempotent micro-batch landing (exposed for direct replay testing):
     * write the batch to a dot-prefixed staging dir — invisible to
     * Spark's file index, so readers never see in-flight data — then

@@ -62,6 +62,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(fromIndex.nonEmpty && fromIndex == inSession)
   }
 
+  test("appendToShingleIndex: full search after append equals a from-scratch index") {
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/append-${System.nanoTime()}"
+    val newPred = col("doc_id") % 7 === 0
+    Dedup.writeShingleIndex(fixture.filter(!newPred), dir)
+    Dedup.appendToShingleIndex(fixture.filter(newPred), dir)
+    val appended = Dedup.minhashNearDupsFromIndex(spark, dir, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    val scratch = Dedup.minhashNearDups(fixture, "doc_id", "text",
+      shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(appended.nonEmpty && appended == scratch,
+      "append must preserve the full pair set (no rebuild, no loss)")
+  }
+
   test("incremental dedup against the index finds exactly the pairs touching the new batch") {
     val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = s"/tmp/graft-test-dedup/incr-${System.nanoTime()}"

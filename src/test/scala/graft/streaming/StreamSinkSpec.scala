@@ -60,6 +60,26 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       "index must stay exact as vectors stream in")
   }
 
+  test("toShingleIndex: streamed documents keep the durable dedup index exact") {
+    val root = Files.createTempDirectory("graft-streamsink-shidx").toString
+    val idx = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    val srcDir = s"$root/src"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // index built on 6/7 of the corpus; the rest arrives as a stream
+    graft.ops.Dedup.writeShingleIndex(docs.filter(col("doc_id") % 7 =!= 0), idx)
+    docs.filter(col("doc_id") % 7 === 0).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    StreamSink.toShingleIndex(stream, idx, ckpt).awaitTermination()
+    val served = graft.ops.Dedup.minhashNearDupsFromIndex(spark, idx, 0.8)
+      .collect().map(_.toSeq).toSeq
+    val scratch = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == scratch,
+      "dedup index must stay exact as documents stream in")
+  }
+
   test("toLakeIdempotent: a replayed batch overwrites its own landing (no duplicates)") {
     val root = Files.createTempDirectory("graft-streamsink-ido").toString
     val lake = s"$root/lake"
