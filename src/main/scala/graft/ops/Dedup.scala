@@ -106,6 +106,72 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
       .orderBy("da", "db")
 
+  // -- Dedup clustering: components + survivor selection ------------------
+
+  /** Connected components over an undirected near-dup pair set — the step
+    * between "pairs found" (q20–q23) and "corpus deduplicated": returns
+    * (id, cluster) for every id appearing in at least one pair, where
+    * cluster = the minimum id reachable from it (including itself).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join + min-aggregate per round, both plain shuffles on the
+    * node id — and the loop stops when no label changed. Round count =
+    * the largest component's diameter, which for near-dup clusters
+    * (dense, tiny: mutually-similar doc groups) is 2–3; a worst-case
+    * long chain is bounded by `maxRounds`. (The large-star/small-star
+    * rewrite would cut chains to O(log n) rounds at two joins per round;
+    * GraphX ships the same algorithm RDD-side — not worth leaving the
+    * DataFrame/codegen path for the dedup regime.) Each round is
+    * `localCheckpoint`ed: lineage doubles per round otherwise, and the
+    * convergence count would replay every prior join. On a real cluster
+    * where executor loss mid-clustering must be survivable, use reliable
+    * `checkpoint()` with `spark.checkpoint.dir` instead — same plan
+    * shape. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "da",
+      bCol: String = "db", maxRounds: Int = 50): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .unionAll(pairs.select(b.as("src"), a.as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // every id has >= 1 edge by construction, so the inner join is total
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") < col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "a component chain longer than maxRounds; raise it")
+    labels
+  }
+
+  /** Survivor selection: drop every document that is a non-representative
+    * member of a near-dup cluster — keep each cluster's minimum id plus
+    * all unpaired documents. `pairs` is any (da, db) near-dup frame
+    * (q20-style); the non-survivors are a left-anti join away. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   // -- Durable (lake-materialized) shingle/LSH index ----------------------
 
   /** Write the MinHash-LSH dedup index to the lake:

@@ -300,6 +300,77 @@ object TrainingDataQueries {
       "the stored parameters and appended partition-wise; the served pair " +
       "set equals the from-scratch q20 answer")
 
+  // q62/q63: the step after pair detection — group near-dup pairs into
+  // clusters (connected components) and keep one representative per
+  // cluster. The oracle replays min-label clustering as a recursive CTE
+  // (reachability, then min over the reachable set) over q20's exact
+  // pair set, which the Spark side computes by iterative min-label
+  // propagation — same fixpoint, provably: both equal "min id reachable".
+  private val duckNearDupEdges = duckWordShingles.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    ", c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+    "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1), " +
+    "p AS (SELECT da, db FROM c JOIN z x ON c.da = x.doc_id " +
+    "JOIN z y ON c.db = y.doc_id " +
+    "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8), " +
+    "e AS (SELECT da AS src, db AS dst FROM p " +
+    "UNION ALL SELECT db AS src, da AS dst FROM p), " +
+    "r AS (SELECT src AS id, dst AS lbl FROM e " +
+    "UNION SELECT r.id, e.dst FROM r JOIN e ON r.lbl = e.src), " +
+    "comp AS (SELECT id, least(id, min(lbl)) AS cluster FROM r GROUP BY id)"
+
+  private val q62 = Q(
+    (s, dir) => {
+      val pairs = Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id",
+        "text", shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("lbl").as("cluster"))
+        .orderBy("id")
+    },
+    Some(duckNearDupEdges + " SELECT id, cluster FROM comp ORDER BY id"),
+    "Near-dup clustering: connected components over the q20 pair set by " +
+      "iterative min-label propagation — cluster = min reachable id")
+
+  private val q63 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      Dedup.dedupSurvivors(docs, "doc_id", pairs)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    Some(duckNearDupEdges +
+      " SELECT lang, count(*) AS n_docs FROM documents " +
+      "WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster <> id) " +
+      "GROUP BY lang ORDER BY lang"),
+    "Deduplicated-corpus survivor counts: drop non-representative cluster " +
+      "members (keep each cluster's min id + all unpaired docs)")
+
+  // q64: Gopher/C4-style repetition quality signals. The duplicate-gram
+  // fraction is pure in-row arithmetic over the compiled shingle set;
+  // the top-word share is the explode + two-keyed-agg shape. Both
+  // replayed exactly by the oracle.
+  private val q64 = Q(
+    (s, dir) => TextAnalysis.repetitionSignals(table(s, dir, "documents"),
+        "doc_id", "text", n = 2)
+      .orderBy("doc_id"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "rep AS (SELECT doc_id, CASE WHEN greatest(len(ws)-1, 0) = 0 THEN 0.0 ELSE " +
+      dround6("CAST(greatest(len(ws)-1, 0) - " +
+        s"len(list_distinct(${Queries.duckWordGramsList("ws", 2)})) AS DOUBLE)" +
+        " / greatest(len(ws)-1, 0)") +
+      " END AS rep_gram_frac FROM w), " +
+      "wc AS (SELECT doc_id, x.w AS w, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(ws) AS w FROM w) x GROUP BY 1, 2), " +
+      "tw AS (SELECT doc_id, " + dround6("CAST(max(c) AS DOUBLE)/sum(c)") +
+      " AS top_word_frac FROM wc GROUP BY doc_id) " +
+      "SELECT r.doc_id, rep_gram_frac, top_word_frac FROM rep r " +
+      "JOIN tw t ON r.doc_id = t.doc_id ORDER BY doc_id"),
+    "Repetition quality signals: duplicate word-2gram fraction (in-row) " +
+      "and top-word share (explode + keyed aggs) — the Gopher-style " +
+      "boilerplate/degeneracy filters")
+
   // q60: incremental index maintenance. Index built on vec_id % 7 != 0,
   // the rest APPENDED with the stored codebook, pairs served from the
   // combined assignment. Lossless blocking holds for any codebook, so the
@@ -402,6 +473,9 @@ object TrainingDataQueries {
     "q59_dedup_incremental" -> q59,
     "q60_ann_index_append" -> q60,
     "q61_dedup_index_append" -> q61,
+    "q62_dedup_clusters" -> q62,
+    "q63_dedup_survivors" -> q63,
+    "q64_repetition_signals" -> q64,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

@@ -96,6 +96,43 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(incr.forall(p => p._1 % 7 == 0 || p._2 % 7 == 0))
   }
 
+  test("connectedComponents: chain, triangle, pair, and cross-component isolation") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("da", "db")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == expected)
+  }
+
+  test("dedupSurvivors matches a union-find oracle on the real corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "corpus must contain near-dup pairs for this test")
+    // test-side oracle: plain union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val losers = members.filter(m => find(m) != m).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedSurvivors = allIds -- losers
+    val got = Dedup.dedupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectedSurvivors)
+    assert(losers.nonEmpty, "expected some documents to be dropped")
+  }
+
   test("simhash: identical docs collide, near-dups within hamming budget") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q23_dedup_embedding", "q29_ann_ivf", "q51_decontaminate_mat",
     "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip",
     "q58_dedup_index_roundtrip", "q59_dedup_incremental",
-    "q60_ann_index_append", "q61_dedup_index_append")
+    "q60_ann_index_append", "q61_dedup_index_append",
+    "q62_dedup_clusters", "q63_dedup_survivors")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
