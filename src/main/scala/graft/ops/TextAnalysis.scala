@@ -65,4 +65,41 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", polyHash(col(textCol)))
+
+  /** Repetition-based quality signals (the Gopher/C4-style rules every
+    * production corpus filter applies before training):
+    *
+    *  - `rep_gram_frac` — fraction of word `n`-grams that are repeats of
+    *    an earlier gram in the same doc: (total − distinct) / total.
+    *    Pure projection: total = max(words − n + 1, 0) by construction
+    *    and distinct = size of the compiled shingle set — no shuffle,
+    *    no second pass over the text.
+    *  - `top_word_frac` — the most frequent single word's share of all
+    *    words. Needs per-(doc, word) counts, so it is the scalable
+    *    explode → two keyed aggregations shape (cost proportional to
+    *    corpus token count, the same as any shingle pass; an in-row
+    *    count-per-distinct-word would be O(words²) per doc and blow up
+    *    exactly on the long repetitive docs this signal exists to
+    *    catch).
+    *
+    * High rep_gram_frac / top_word_frac = boilerplate, keyword stuffing,
+    * or degenerate generation loops; callers threshold and drop. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val ws = words(col(textCol))
+    val total = greatest(size(ws) - (n - 1), lit(0))
+    val rep = docs.select(col(idCol),
+      when(total === 0, lit(0.0))
+        .otherwise(round((total - size(wordShingles(col(textCol), n)))
+          .cast("double") / total, 6))
+        .as("rep_gram_frac"))
+    val topWord = docs
+      .select(col(idCol), explode(ws).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("top_word_frac"))
+    rep.join(topWord, Seq(idCol))
+  }
 }

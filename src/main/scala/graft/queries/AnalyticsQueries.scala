@@ -198,6 +198,52 @@ object AnalyticsQueries {
     "Stream-stream interval join (watermarked both sides, state-bounded); " +
       "oracle is the batch range-join aggregation")
 
+  /** Stream-stream LEFT OUTER interval join: q40 plus the null-padded
+    * rows for purchases with no prior-hour click. Outer emission is
+    * watermark-gated (an unmatched purchase emits only once the
+    * watermark proves no matching click can still arrive), which is the
+    * semantics that makes the operator correct under out-of-order
+    * arrival at scale — and the reason the fixture is staged with
+    * sentinel batches ([[Queries.stagedEventStreamSentinels]]): the
+    * final real batch runs under a watermark already past every real
+    * row, so all unmatched purchases flush before the query stops. */
+  private val q65 = Q(
+    (s, dir) => {
+      // the event-type filters keep the user=-1 sentinels (Catalyst
+      // pushes these below the watermark node, so anything filtered here
+      // never advances the watermark — see stagedEventStreamSentinels);
+      // sentinel outer rows are dropped from the sink snapshot below
+      val p = Queries.stagedEventStreamSentinels(s, dir, "q65")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"), col("event_type"))
+        .withWatermark("pts", "1 day")
+        .filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val c = Queries.stagedEventStreamSentinels(s, dir, "q65")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          col("value").as("cval"), col("event_type"))
+        .withWatermark("cts", "1 day")
+        .filter(col("event_type") === "click")
+        .drop("event_type")
+      val joined = p.join(c, expr(
+        "user_id = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts < pts"),
+        "left_outer")
+      Queries.runToMemorySink(joined, "q65", "append")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("purchase_id"))
+        .agg(count(col("cval")).as("n_clicks"),
+          graft.ops.BarOps.moneySum(col("cval")).as("click_val"))
+        .orderBy("purchase_id")
+    },
+    Some(EV + " SELECT p.event_id AS purchase_id, count(c.value) AS n_clicks, " +
+      dsum("c.value") + " AS click_val " +
+      "FROM ev p LEFT JOIN ev c ON c.event_type = 'click' " +
+      "AND c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts " +
+      "WHERE p.event_type = 'purchase' " +
+      "GROUP BY p.event_id ORDER BY purchase_id"),
+    "Stream-stream LEFT OUTER interval join (watermark-gated null " +
+      "emission, state-bounded); oracle is the batch left range-join")
+
   /** JSON-lines sink + source round-trip with an explicit read schema
     * (never inferred — schema inference is a full extra pass over the
     * data at scale, and the reference's contract is declared schemas). */
@@ -401,5 +447,6 @@ object AnalyticsQueries {
     "q37_range_join" -> q37,
     "q38_salted_join" -> q38,
     "q39_stream_dedup" -> q39,
-    "q40_stream_join" -> q40)
+    "q40_stream_join" -> q40,
+    "q65_stream_left_join" -> q65)
 }

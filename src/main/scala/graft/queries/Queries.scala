@@ -61,6 +61,70 @@ object Queries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** [[stagedEventStream]] plus two far-future sentinel rows staged as
+    * SEPARATE files, read one file per micro-batch — the scaffolding an
+    * OUTER stream-stream join needs to terminate deterministically:
+    * unmatched rows only emit when a LATER batch's watermark passes their
+    * join bound, and Spark computes batch N's watermark from batch N-1's
+    * max event time. So: batch 1 = the events table, batch 2 = sentinel
+    * at +10 days (advances the watermark past every real row for batch
+    * 3), batch 3 = sentinel at +20 days, during which every real
+    * unmatched row flushes. `processAllAvailable` provably covers batch
+    * 3 (it is real file data, not a no-data micro-batch, which
+    * `processAllAvailable` does not wait for).
+    *
+    * Each sentinel file carries one `purchase` and one `click` row with
+    * `event_id = user_id = -1`, so a sentinel SURVIVES each side's
+    * event-type filter and reaches the watermark node — Catalyst pushes
+    * those filters below `EventTimeWatermark` into the scan, so a
+    * sentinel that fails them is dropped before it can advance anything
+    * (measured: the watermark max froze at the last real purchase and
+    * the final-day outer rows never flushed). user -1 never equi-joins
+    * a real row; callers drop `user_id < 0` rows from the sink
+    * snapshot. */
+  def stagedEventStreamSentinels(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+    java.nio.file.Files.createDirectories(srcDir)
+    val base = System.currentTimeMillis() - 120000L
+    def setMtime(p: java.nio.file.Path, offsetMs: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + offsetMs))
+    val events = srcDir.resolve("0-events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      events)
+    setMtime(events, 0L)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val dayNs = 86400L * 1000000000L
+    def stageSentinel(idx: Int, plusDays: Long): Unit = {
+      val tmp = java.nio.file.Paths.get(s"$scratchRoot/$name-sent-$idx")
+      val top = raw.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + lit(plusDays * dayNs))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+      top.withColumn("event_type", lit("purchase"))
+        .unionAll(top.withColumn("event_type", lit("click")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .getOrElse(throw new IllegalStateException(s"no sentinel part file in $tmp"))
+      val dst = srcDir.resolve(s"$idx-sentinel.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // file-source batch order follows (modTime, path): keep events
+      // strictly oldest, sentinels after, ALL in the past — a
+      // future-dated mtime makes the file invisible to the source for
+      // the lifetime of a processAllAvailable run
+      setMtime(dst, idx * 10000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    stageSentinel(1, 10)
+    stageSentinel(2, 20)
+    s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run a streaming DataFrame to completion into a uniquely-named memory
     * sink and return the sink table. Honors the
     * `spark.graft.streaming.stateStore` provider switch (memory | rocksdb)
@@ -83,10 +147,15 @@ object Queries {
     * the single SQL twin of TextFunctions.wordShingles/WordNGrams, shared
     * by every shingle-replaying oracle (q20/q22/q50) so a change to
     * shingle semantics lands in exactly one fragment per side. */
-  def duckWordGrams(ws: String, n: Int): String = {
+  def duckWordGrams(ws: String, n: Int): String =
+    s"unnest(${duckWordGramsList(ws, n)})"
+
+  /** The same comprehension as a LIST (no unnest) — for oracles that need
+    * gram counts in-row (q64's repetition fraction). */
+  def duckWordGramsList(ws: String, n: Int): String = {
     val terms = (0 until n)
       .map(j => if (j == 0) s"$ws[i]" else s"$ws[i+$j]").mkString("||' '||")
-    s"unnest([$terms FOR i IN generate_series(1, greatest(len($ws)-${n - 1}, 0))])"
+    s"[$terms FOR i IN generate_series(1, greatest(len($ws)-${n - 1}, 0))]"
   }
 
   /** cast(sum(cast(x as decimal))) — DuckDB twin of [[moneySum]]. */

@@ -365,8 +365,8 @@ object TrainingDataQueries {
       "(SELECT doc_id, unnest(ws) AS w FROM w) x GROUP BY 1, 2), " +
       "tw AS (SELECT doc_id, " + dround6("CAST(max(c) AS DOUBLE)/sum(c)") +
       " AS top_word_frac FROM wc GROUP BY doc_id) " +
-      "SELECT r.doc_id, rep_gram_frac, top_word_frac FROM rep r " +
-      "JOIN tw t ON r.doc_id = t.doc_id ORDER BY doc_id"),
+      "SELECT r.doc_id AS doc_id, rep_gram_frac, top_word_frac FROM rep r " +
+      "JOIN tw t ON r.doc_id = t.doc_id ORDER BY r.doc_id"),
     "Repetition quality signals: duplicate word-2gram fraction (in-row) " +
       "and top-word share (explode + keyed aggs) — the Gopher-style " +
       "boilerplate/degeneracy filters")

@@ -60,6 +60,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(mixed == ((1L, 3L))) // "ab", "12", "cd" under the regex
   }
 
+  test("repetition signals: hand-computed fractions, degenerate docs score high") {
+    // "a b a b a": words=5, 2-grams total=4, distinct={"a b","b a"}=2
+    //   -> rep_gram_frac = (4-2)/4 = 0.5; top word "a" 3/5 = 0.6
+    // "v w x y z": all distinct -> rep 0.0, top 1/5 = 0.2
+    // "a": total 2-grams = 0 -> rep 0.0 (guarded), top 1/1 = 1.0
+    val docs = Seq((1L, "a b a b a"), (2L, "v w x y z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.5, 0.6), (2L, 0.0, 0.2), (3L, 0.0, 1.0)))
+  }
+
   test("wordShingles compiled expression: distinct, ordered, short-doc empty") {
     val sh = Seq("a b a b c").toDF("t")
       .select(TextFunctions.wordShingles(col("t"), 2).as("sh"))

@@ -52,6 +52,29 @@ class QueriesSpec extends AnyFunSuite with SparkTest {
     assert(streamed.nonEmpty)
   }
 
+  test("q65 left-outer streaming join equals the batch left join, incl. unmatched") {
+    val streamed = Queries.all("q65_stream_left_join").fn(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val ev = Queries.table(spark, sf0001, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("value").as("cval"))
+    val batch = p.join(c,
+        expr("user_id = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts < pts"),
+        "left_outer")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("cval")).as("n_clicks"),
+        graft.ops.BarOps.moneySum(col("cval")).as("click_val"))
+      .orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the left-outer semantics must actually surface unmatched purchases
+    assert(batch.exists(_(1) == 0L),
+      "fixture has no unmatched purchase — outer emission untested")
+  }
+
   test("streamingClosed emits exactly the sessions the final watermark can close") {
     import spark.implicits._
     val gapMin = 30
