@@ -114,4 +114,58 @@ object Curation {
       .drop("__cum")
       .withColumnRenamed("__toks", "toks")
   }
+
+  /** Domain/source capping: keep the top `k` rows per group by `orderCol`
+    * DESC (ties broken by id asc) — the quality-weighted domain-mixing
+    * step that stops one giant domain from dominating a corpus.
+    *
+    * Deliberately NOT a single window over the group: at 100 TB one
+    * domain can hold billions of rows, and `row_number() OVER
+    * (PARTITION BY domain)` sorts that whole domain through one task —
+    * the canonical window skew. Instead, two phases:
+    *   1. local top-k within (group, salt) — `salts` deterministic
+    *      hash-salt buckets, so the heaviest domain splits across tasks;
+    *   2. exact top-k over the ≤ k·salts survivors per group.
+    * Any row in a group's true top-k is also in its salt bucket's top-k,
+    * so the result is identical to the unsalted window — phase 1 only
+    * sheds rows that could never qualify. Output gains `rnk` (1-based
+    * final rank within the group). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      orderCol: Column, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(salts > 0, "salts must be positive")
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(orderCol.desc, col(idCol))
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(orderCol.desc, col(idCol))
+    df.withColumn("__salt", idHash(col(idCol)) % salts)
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k)
+      .drop("__r")
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .drop("__salt")
+  }
+
+  /** Quality-filter funnel: classify every row by the FIRST rule it
+    * fails (rules in order; survivors get 'pass') and count each bucket —
+    * the per-rule observability every production corpus filter ships
+    * with, so a threshold change shows exactly where documents die.
+    * One pass, one aggregation: the verdict is a row-local CASE chain,
+    * so the funnel costs the same as a plain count(*) GROUP BY and never
+    * re-scans per rule. `rules` are (name, passes-predicate), evaluated
+    * against the row. */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val verdict = rules.foldRight(lit("pass")) { case ((name, passes), rest) =>
+      when(!passes, lit(name)).otherwise(rest)
+    }
+    df.groupBy(verdict.as("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The survivors of a [[filterFunnel]] rule set — same CASE chain,
+    * kept as rows instead of counts. */
+  def applyFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    rules.foldLeft(df) { case (acc, (_, passes)) => acc.filter(passes) }
 }

@@ -447,4 +447,37 @@ object Dedup {
       .select(col("x.id").as("da"), col("y.id").as("db"))
       .distinct()
   }
+
+  /** Exact substring-level dedup at chunk granularity: tile each document
+    * into NON-overlapping `width`-word chunks and report every chunk that
+    * appears in more than one document (the repeated-passage detector —
+    * licence boilerplate, shared headers, templated spam — that
+    * document-level dedup misses because the surrounding text differs).
+    *
+    * Shape at scale: one explode (corpus token count / width rows — a
+    * factor `width` FEWER rows than any overlapping-shingle pass) into a
+    * single hash aggregation keyed by chunk. Map-side partial aggregation
+    * absorbs within-partition repeats; the `n_docs > 1` filter runs after
+    * the final agg, so output is only the duplicated tail. Production
+    * groups on a 128-bit chunk hash to keep shuffle keys fixed-width; the
+    * plain-text key here keeps the operator SQL-replayable, and the two
+    * differ only when the hash collides. */
+  def chunkExactDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 3): DataFrame = {
+    require(width >= 1, s"chunk width must be >= 1, got $width")
+    val ws = split(col(textCol), " ")
+    // int division (Column./ is double division — sequence needs ints)
+    val nChunks = floor(size(ws) / lit(width)).cast("int")
+    // guard: sequence(0, -1) would generate a DEscending [0, -1] range
+    val chunks = when(nChunks >= 1,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .groupBy("chunk")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+  }
 }

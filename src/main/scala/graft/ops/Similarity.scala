@@ -662,4 +662,69 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
       .orderBy("qid", "rnk")
   }
+
+  // -----------------------------------------------------------------------
+  // Signed random projections (SRP) — hyperplane LSH for cosine
+  // -----------------------------------------------------------------------
+
+  /** Near-duplicate pairs by signed-random-projection LSH: each vector
+    * gets an `nBits`-bit signature (bit i = sign of ⟨v, h_i⟩ against
+    * hyperplane h_i), signatures are cut into bands, and vectors
+    * colliding in ANY band become candidates, verified by exact cosine ≥
+    * `threshold`. This is the classic Charikar construction — the cosine
+    * twin of MinHash banding — and the right tool when the corpus has no
+    * cluster structure for [[cosinePairsBlocked]]'s admissibility matrix
+    * to exploit: SRP pruning depends only on the pair angle
+    * (P[bit match] = 1 − θ/π), never on global geometry.
+    *
+    * Unlike the blocked-pairs path this is APPROXIMATE: a qualifying pair
+    * is found with probability 1 − (1 − p^bandBits)^(nBits/bandBits),
+    * p = 1 − θ(threshold)/π. Callers trade recall vs candidate volume by
+    * nBits/bandBits exactly as with MinHash bands (more, narrower bands =
+    * higher recall AND more candidates).
+    *
+    * Hyperplanes are the first `nBits` corpus vectors by id — the same
+    * deterministic convention as the sample codebook, so the whole
+    * pipeline (signature → banding → verify) is SQL-replayable; a
+    * production variant would draw Gaussian hyperplanes from a fixed
+    * seed, changing only the literal. Signature computation is a pure
+    * projection (nBits compiled dots per row, no shuffle); candidate
+    * generation is an equi-join on (band, key) — identical subtrees under
+    * a shuffle_hash hint, so exchange reuse computes the banded frame
+    * once; the verify join-backs read the [[Materialize]]-cached norm
+    * frame. No all-pairs stage anywhere. */
+  def srpNearDups(emb: DataFrame, threshold: Double, nBits: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, s"bandBits=$bandBits must divide nBits=$nBits")
+    val eRaw = withNorm(emb).filter(col("nrm") > 0)
+    val e = Materialize.cachedSingleton("similarity-srp-norm", eRaw)
+    val planes = collectCentroids(e, nBits)
+    if (planes.size < nBits) // degenerate corpus: fewer vectors than bits
+      return e.limit(0).select(col("vec_id").as("ida"), col("vec_id").as("idb"),
+        col("nrm").as("sim"))
+    val nBands = nBits / bandBits
+    // band keys as one projection: key(b) = Σ_j [⟨v,h⟩ > 0] · 2^j — the
+    // hyperplane vectors are plan literals, so each dot is a compiled
+    // left-fold identical to the oracle's list_reduce
+    val bandKey = (b: Int) => (0 until bandBits).map { j =>
+      val h = typedLit(planes(b * bandBits + j).cv.toSeq)
+      when(dot(col("v"), h) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = e.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "key")))
+    // candidates: equi-join on (band, key); both sides are the same
+    // subtree, so shuffle_hash → one exchange, reused
+    val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
+      .join(e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
+      .withColumn("sim", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
+      .orderBy("ida", "idb")
+  }
 }

@@ -102,4 +102,30 @@ object TextAnalysis {
         .as("top_word_frac"))
     rep.join(topWord, Seq(idCol))
   }
+
+  /** PII patterns shared by detection and redaction. Deliberately the
+    * common subset of Java regex and RE2 syntax (character classes and
+    * bounded repetition only — no backreferences, no lookaround) so the
+    * exact same pattern string runs compiled in Spark's codegen'd
+    * regexp_* and in any RE2-based SQL engine. */
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern: String = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: per-doc match counts for each pattern plus the
+    * redacted text with every match replaced by a typed placeholder.
+    * Pure row-local projection — shuffle-free, embarrassingly parallel,
+    * and the regexes are compiled once per task by codegen (never
+    * per-row). Counting BEFORE replacing means the counts survive even
+    * when one pattern's placeholder would otherwise perturb another
+    * pattern's match (emails are replaced first; the phone pattern
+    * cannot match inside `<EMAIL>`). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(emailPattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phonePattern)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+  }
 }

@@ -124,10 +124,69 @@ object CurationQueries {
       "a partition column, both sides read partition-pruned, same " +
       "contamination set as q50")
 
+  // q67: domain capping — top-5 docs per source by quality score. The
+  // engine runs the salted two-phase top-k (see Curation.capPerGroup);
+  // the oracle is the plain window, identical by the top-k containment
+  // argument, so the hash check *proves* the salted rewrite exact.
+  private val q67 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("score", graft.ops.TextAnalysis.qualityScore(col("text")))
+      Curation.capPerGroup(docs, "source", "doc_id", col("score"), k = 5)
+        .select(col("source"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("source", "rnk")
+    },
+    Some("WITH sc AS (SELECT source, doc_id, " + Queries.duckQualityScore +
+      " AS score FROM documents), " +
+      "r AS (SELECT source, doc_id, score, CAST(row_number() OVER " +
+      "(PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc) " +
+      "SELECT source, rnk, doc_id, score FROM r WHERE rnk <= 5 " +
+      "ORDER BY source, rnk"),
+    "Domain capping: top-5 docs per source by quality, salted two-phase " +
+      "top-k (no single-task domain sort) proven equal to the plain window")
+
+  // q69: quality-filter funnel — every doc classified by the first rule
+  // it fails, one aggregation. Thresholds chosen so every bucket is
+  // non-empty at the test SFs (probed in DuckDB).
+  private val q69 = Q(
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val ttr = size(array_distinct(ws)).cast("double") / size(ws)
+      val total = greatest(size(ws) - 1, lit(0))
+      val rep = when(total === 0, lit(0.0)).otherwise(
+        (total - size(graft.functions.TextFunctions.wordShingles(col("text"), 2)))
+          .cast("double") / total)
+      Curation.filterFunnel(
+        table(s, dir, "documents"), // table() registers the graft expressions
+        Seq(
+          "r1_short" -> (size(ws) >= 25),
+          "r2_ttr" -> (ttr >= 0.42),
+          "r3_repeat" -> (rep <= 0.05),
+          "r4_lang" -> col("lang").isin("de", "en", "es", "fr")))
+        .orderBy("verdict")
+    },
+    Some("WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents), " +
+      "m AS (SELECT lang, len(ws) AS toks, " +
+      "CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS ttr, " +
+      "CASE WHEN greatest(len(ws)-1, 0) = 0 THEN 0.0 ELSE " +
+      s"CAST(greatest(len(ws)-1, 0) - len(list_distinct(${Queries.duckWordGramsList("ws", 2)})) AS DOUBLE)" +
+      " / greatest(len(ws)-1, 0) END AS rep FROM w) " +
+      "SELECT CASE WHEN NOT (toks >= 25) THEN 'r1_short' " +
+      "WHEN NOT (ttr >= 0.42) THEN 'r2_ttr' " +
+      "WHEN NOT (rep <= 0.05) THEN 'r3_repeat' " +
+      "WHEN NOT (lang IN ('de','en','es','fr')) THEN 'r4_lang' " +
+      "ELSE 'pass' END AS verdict, count(*) AS n_docs FROM m " +
+      "GROUP BY 1 ORDER BY 1"),
+    "Quality-filter funnel: per-rule drop counts (first failing rule of " +
+      "min-length / type-token ratio / repetition / language whitelist) " +
+      "in a single aggregation pass")
+
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
     "q49_pack_bins" -> q49,
     "q50_decontaminate" -> q50,
-    "q51_decontaminate_mat" -> q51)
+    "q51_decontaminate_mat" -> q51,
+    "q67_domain_cap" -> q67,
+    "q69_filter_funnel" -> q69)
 }

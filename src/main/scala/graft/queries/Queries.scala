@@ -158,6 +158,14 @@ object Queries {
     s"[$terms FOR i IN generate_series(1, greatest(len($ws)-${n - 1}, 0))]"
   }
 
+  /** DuckDB twin of TextAnalysis.qualityScore (rounded to 6, like the
+    * Spark column) — shared by q25 and every oracle that ranks by
+    * quality (q67). */
+  private[queries] def duckQualityScore: String = dround6(
+    "0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE)/200.0, 1.0) + " +
+      "0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) + " +
+      "0.3 * least(((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) / 8.0, 1.0)")
+
   /** cast(sum(cast(x as decimal))) — DuckDB twin of [[moneySum]]. */
   def dsum(sqlExpr: String): String =
     s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,6))) AS DOUBLE)"

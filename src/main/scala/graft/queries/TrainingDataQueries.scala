@@ -117,10 +117,7 @@ object TrainingDataQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
       .orderBy("doc_id"),
-    Some("SELECT doc_id, " + dround6(
-      "0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE)/200.0, 1.0) + " +
-      "0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) + " +
-      "0.3 * least(((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' '))) / 8.0, 1.0)") +
+    Some("SELECT doc_id, " + Queries.duckQualityScore +
       " AS score FROM documents ORDER BY doc_id"),
     "Document quality scoring: token count + type-token ratio + word length")
 
@@ -134,10 +131,14 @@ object TrainingDataQueries {
       "FROM documents ORDER BY doc_id"),
     "Token counting: whitespace + regex tokenizer")
 
-  private val duckCharFold =
+  /** DuckDB twin of TextFunctions.polyHash over an arbitrary string
+    * expression (chained (a·31 + c) mod 1e9+7 char fold). */
+  private def duckCharFoldOf(expr: String): String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  private val duckCharFold = duckCharFoldOf("text")
 
   private val q27 = Q(
     (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents"))
@@ -371,6 +372,81 @@ object TrainingDataQueries {
       "and top-word share (explode + keyed aggs) — the Gopher-style " +
       "boilerplate/degeneracy filters")
 
+  // q66: PII scrubbing. The synthetic corpus carries no PII, so the query
+  // APPENDS a deterministic email + NANP phone derived from doc_id before
+  // detecting/redacting — the oracle replays the augmentation, so counts
+  // and the redacted-text fingerprint are non-trivially hash-checked
+  // (every doc must count exactly its own injected PII and nothing else).
+  private val q66 = Q(
+    (s, dir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      TextAnalysis.redactPii(
+          table(s, dir, "documents").withColumn("text", aug))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          graft.functions.TextFunctions.polyHash(col("redacted")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+    Some("WITH aug AS (SELECT doc_id, text || ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), " +
+      "red AS (SELECT doc_id, " +
+      s"len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS n_emails, " +
+      s"len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS n_phones, " +
+      s"regexp_replace(regexp_replace(t, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'), " +
+      s"'${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS r FROM aug) " +
+      s"SELECT doc_id, n_emails, n_phones, ${duckCharFoldOf("r")} AS redacted_fp " +
+      "FROM red ORDER BY doc_id"),
+    "PII detection + redaction (email / phone regex, common Java+RE2 " +
+      "syntax subset): per-doc match counts and redacted-text fingerprint " +
+      "over deterministically injected PII")
+
+  // q68: SRP (random-hyperplane) LSH near-dup pairs — the cosine twin of
+  // q20's MinHash banding. Hyperplanes are the first-16 deterministic
+  // sample vectors, so the oracle replays signature -> banding -> exact
+  // verify bit-for-bit (both sides fold the same doubles left-to-right).
+  // Approximate BY DESIGN (banded recall < 1); the hash check pins the
+  // banded answer itself.
+  private val q68 = Q(
+    (s, dir) => Similarity.srpNearDups(table(s, dir, "embeddings"),
+      threshold = 0.4, nBits = 16, bandBits = 4),
+    Some(Queries.duckEmb +
+      ", hp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS hid, v AS h " +
+      "FROM (SELECT vec_id, v FROM n WHERE nrm > 0 ORDER BY vec_id LIMIT 16)), " +
+      "bits AS (SELECT n.vec_id, hp.hid // 4 AS band, " +
+      s"(CASE WHEN ${Queries.ddot("n.v", "hp.h")} > 0 THEN CAST(1 AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END << (hp.hid % 4)) AS bitval " +
+      "FROM n, hp WHERE n.nrm > 0), " +
+      "bands AS (SELECT vec_id, band, CAST(sum(bitval) AS BIGINT) AS key " +
+      "FROM bits GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id), " +
+      "p AS (SELECT ida, idb, " + Queries.ddot("x.v", "y.v") + "/(x.nrm*y.nrm) AS sim " +
+      "FROM cand JOIN n x ON ida = x.vec_id JOIN n y ON idb = y.vec_id) " +
+      "SELECT ida, idb, " + Queries.dround6("sim") + " AS sim FROM p " +
+      "WHERE sim >= 0.4 ORDER BY ida, idb"),
+    "SRP hyperplane-LSH near-dup pairs (16-bit signature, 4x4-bit bands, " +
+      "exact cosine >= 0.4 verify) — deterministic sample hyperplanes, " +
+      "fully SQL-replayable")
+
+  // q70: chunk-granularity exact dedup — repeated-passage detection via
+  // non-overlapping 3-word tiles (boilerplate that document-level dedup
+  // misses). Output is the duplicated-chunk inventory.
+  private val q70 = Q(
+    (s, dir) => Dedup.chunkExactDups(table(s, dir, "documents"),
+        "doc_id", "text", width = 3)
+      .orderBy("chunk"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "c AS (SELECT doc_id, unnest(list_transform(range(len(ws)//3), " +
+      "i -> array_to_string(ws[i*3+1:i*3+3], ' '))) AS chunk FROM w) " +
+      "SELECT chunk, count(DISTINCT doc_id) AS n_docs, " +
+      "count(*) AS n_occurrences FROM c GROUP BY chunk " +
+      "HAVING count(DISTINCT doc_id) > 1 ORDER BY chunk"),
+    "Exact substring-level dedup: non-overlapping word-chunk tiling, " +
+      "chunks shared across documents (repeated-passage / boilerplate " +
+      "inventory)")
+
   // q60: incremental index maintenance. Index built on vec_id % 7 != 0,
   // the rest APPENDED with the stored codebook, pairs served from the
   // combined assignment. Lossless blocking holds for any codebook, so the
@@ -476,6 +552,9 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q66_pii_redact" -> q66,
+    "q68_srp_neardups" -> q68,
+    "q70_chunk_dedup" -> q70,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

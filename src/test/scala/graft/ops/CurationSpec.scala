@@ -107,4 +107,52 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     // total preservation: every doc lands in exactly one bin
     assert(packed.count() == docs.count())
   }
+
+  test("capPerGroup equals the plain window top-k for any salt count") {
+    val scored = docs.withColumn("score", TextAnalysis.qualityScore(col("text")))
+    val plain = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("source", "rnk", "doc_id").as[(String, Long, Long)]
+        .collect().toSet
+    }
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Curation.capPerGroup(scored, "source", "doc_id",
+          col("score"), k = 5, salts = salts)
+        .select("source", "rnk", "doc_id").as[(String, Long, Long)]
+        .collect().toSet
+      assert(got == plain, s"salts=$salts diverged from the plain window")
+    }
+    // caps hold and small groups survive whole
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val capped = Curation.capPerGroup(scored, "source", "doc_id", col("score"), 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      assert(capped(src) == math.min(n, 5L), s"source $src")
+    }
+  }
+
+  test("filterFunnel: first-fail verdicts, counts partition the corpus") {
+    val rows = Seq(
+      (1L, "short", "en"),       // fails r1 (and would fail r2) -> r1
+      (2L, "a a a a a a", "en"), // long enough, low ttr -> r2
+      (3L, "a b c d e f", "zh"), // passes r1/r2, wrong lang -> r3
+      (4L, "a b c d e f", "en")) // pass
+      .toDF("doc_id", "text", "lang")
+    val ws = split(col("text"), " ")
+    val rules = Seq(
+      "r1_short" -> (size(ws) >= 3),
+      "r2_ttr" -> (size(array_distinct(ws)).cast("double") / size(ws) >= 0.5),
+      "r3_lang" -> col("lang").isin("en"))
+    val got = Curation.filterFunnel(rows, rules)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("r1_short" -> 1L, "r2_ttr" -> 1L, "r3_lang" -> 1L, "pass" -> 1L))
+    assert(got.values.sum == rows.count())
+    // applyFunnel returns exactly the 'pass' rows
+    val survivors = Curation.applyFunnel(rows, rules)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(4L))
+  }
 }

@@ -262,4 +262,38 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("chunkExactDups: non-overlapping tiling, cross-doc duplicates only") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),   // chunks: "a b c", "d e f" (g = tail, dropped)
+      (2L, "a b c x y z"),     // chunks: "a b c", "x y z"
+      (3L, "x y z x y z"),     // chunks: "x y z" twice (same doc)
+      (4L, "p q"),             // shorter than width -> no chunks
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.chunkExactDups(corpus, "doc_id", "text", width = 3)
+      .orderBy("chunk")
+      .as[(String, Long, Long)].collect().toSeq
+    // "a b c" in docs 1+2; "x y z" in docs 2+3 with 3 occurrences (doc 3
+    // repeats it — n_occurrences counts tiles, n_docs counts documents);
+    // "d e f" appears once -> excluded; within-doc-only repeats would
+    // still surface via n_docs=1 ... which the n_docs>1 filter drops
+    assert(got == Seq(("a b c", 2L, 2L), ("x y z", 2L, 3L)))
+  }
+
+  test("chunkExactDups matches a naive recount on the real corpus") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    val width = 3
+    val naive = real.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+      .flatMap { case (id, ws) =>
+        ws.grouped(width).filter(_.size == width).map(c => (id, c.mkString(" ")))
+      }
+    val byChunk = naive.groupBy(_._2).map { case (c, occ) =>
+      (c, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.filter(_._2 > 1).toSet
+    val got = Dedup.chunkExactDups(real, "doc_id", "text", width)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == byChunk)
+    assert(got.nonEmpty, "expected shared chunks in the test corpus")
+  }
 }

@@ -306,4 +306,61 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // only vec 1 has |v|^2 > 1? (0.9^2 + 0.1^2 = 0.82) -> none besides exact 1.0s
     assert(d == 0)
   }
+
+  test("srpNearDups equals a driver-side SRP replay and never exceeds brute force") {
+    Similarity.clearIndexCaches()
+    val real = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val threshold = 0.4
+    val nBits = 16
+    val bandBits = 4
+    val got = Similarity.srpNearDups(real, threshold, nBits, bandBits)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // driver-side replay: first-nBits hyperplanes, sign bits, banding,
+    // exact cosine verify — double arithmetic in the same fold order
+    val vecs = real.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+      .filter { case (_, v) => math.sqrt(v.map(x => x * x).sum) > 0 }
+      .sortBy(_._1)
+    val planes = vecs.take(nBits).map(_._2)
+    def sig(v: Array[Double]): Seq[Long] =
+      (0 until nBits / bandBits).map { b =>
+        (0 until bandBits).map { j =>
+          val h = planes(b * bandBits + j)
+          if (v.zip(h).map { case (a, x) => a * x }.sum > 0) 1L << j else 0L
+        }.sum
+      }
+    val sigs = vecs.map { case (id, v) => (id, v, sig(v)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (ia, va, sa) <- sigs
+      (ib, vb, sb) <- sigs
+      if ia < ib && sa.zip(sb).exists { case (x, y) => x == y }
+      c = cos(va, vb) if c >= threshold
+    } yield (ia, ib)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == expect)
+    assert(got.nonEmpty, "expected SRP pairs on the test corpus")
+
+    // approximate ⊆ exact: every reported pair is a true >= threshold
+    // pair with the exact brute-force sim (same rounding)
+    val brute = Similarity.cosinePairs(real, threshold)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    got.foreach { case (ia, ib, s) =>
+      assert(brute.get((ia, ib)).contains(s), s"pair ($ia,$ib) not in brute force")
+    }
+  }
+
+  test("srpNearDups: corpus smaller than nBits yields no pairs") {
+    Similarity.clearIndexCaches()
+    val tiny = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+    assert(Similarity.srpNearDups(tiny, 0.4, nBits = 16).isEmpty)
+    Similarity.clearIndexCaches()
+  }
 }

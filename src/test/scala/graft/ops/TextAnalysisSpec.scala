@@ -83,4 +83,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       .as[Seq[String]].head()
     assert(short.isEmpty)
   }
+
+  test("redactPii counts and redacts emails/phones; clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at bob.smith@corp.example.org or +1-415-5550"),
+      (2L, "two mails a@b.io c.d@e.co.uk and a call +1-212-0000 done"),
+      (3L, "no pii here at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, "reach me at <EMAIL> or <PHONE>"),
+      (2L, 2L, 1L, "two mails <EMAIL> <EMAIL> and a call <PHONE> done"),
+      (3L, 0L, 0L, "no pii here at all"),
+      (4L, 0L, 0L, "")))
+  }
 }
