@@ -554,6 +554,7 @@ object Similarity {
     * IVF recall until cleared. */
   def clearIndexCaches(): Unit = {
     kmeansCache.clear()
+    pqKmeansCache.clear()
     centCache.clear()
     countCache.clear()
     radiiCache.clear()
@@ -726,5 +727,185 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("ida"), col("idb"), round(col("sim"), 6).as("sim"))
       .orderBy("ida", "idb")
+  }
+
+  // -----------------------------------------------------------------------
+  // Product quantization (PQ) — ADC approximate k-NN
+  // -----------------------------------------------------------------------
+
+  /** Driver-side PQ codebook: `m` subspaces × `ks` sub-centroids of
+    * dimension d/m each — a few KB regardless of corpus size. */
+  final case class PqCodebook(m: Int, ks: Int, dsub: Int,
+      cents: IndexedSeq[IndexedSeq[Array[Double]]])
+
+  /** Deterministic sample PQ codebook: subspace j's centroids are the
+    * j-th subvectors of the first `ks` UNIT-NORMALIZED corpus vectors by
+    * id (the [[collectCentroids]] convention, so declared queries stay
+    * SQL-replayable; a production variant trains per-subspace k-means,
+    * changing only these literals). */
+  private def collectPqCodebook(e: DataFrame, m: Int, ks: Int): PqCodebook = {
+    val sample = collectCentroids(e, ks)
+    require(sample.size == ks, s"corpus smaller than ks=$ks")
+    val d = sample.head.cv.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val cents = (0 until m).map { j =>
+      sample.map(c => c.cv.map(_ / c.cnrm).slice(j * dsub, (j + 1) * dsub))
+        .toIndexedSeq
+    }
+    PqCodebook(m, ks, dsub, cents)
+  }
+
+  /** Squared L2 distance to a literal centroid, as the SAME left-fold the
+    * oracle replays: Σ (x−c)² over the zipped pair, in element order. */
+  private def sqDist(s: Column, centroid: Array[Double]): Column = {
+    val diff = zip_with(s, typedLit(centroid.toSeq), (a, b) => a - b)
+    dot(diff, diff)
+  }
+
+  /** Per-subspace distance table of a unit vector against the codebook:
+    * element c of array j = ||sub_j(v̂) − cent_{j,c}||². Shared by the
+    * encoder (argmin per subspace) and the query side (the ADC lookup
+    * table IS this array). */
+  private def pqDistArrays(vhat: Column, cb: PqCodebook): Seq[Column] =
+    (0 until cb.m).map { j =>
+      val s = slice(vhat, j * cb.dsub + 1, cb.dsub)
+      array(cb.cents(j).map(c => sqDist(s, c)): _*)
+    }
+
+  /** PQ codes as one projection: code j = argmin of distance array j
+    * (first minimum = lowest centroid id on exact ties — the order the
+    * oracle replays). */
+  private def pqCodes(vhat: Column, cb: PqCodebook): Column =
+    array(pqDistArrays(vhat, cb).map(dj =>
+      (array_position(dj, array_min(dj)) - 1).cast("int")): _*)
+
+  /** Approximate k-NN by product quantization with asymmetric distance
+    * computation (ADC) — the memory side of ANN at 100 TB: each corpus
+    * vector is stored as `m` small codes (m bytes at ks ≤ 256) instead of
+    * d floats — 32× compression at d=64, m=8 — and the scan computes
+    * per-candidate distance as `m` table lookups instead of a d-element
+    * dot product. Vectors are unit-normalized first, so ADC distance
+    * ranks like cosine (‖â−b̂‖² = 2−2·cos) and results are comparable to
+    * [[bruteForceTopK]]/[[ivfTopK]].
+    *
+    * Plan shape: encoding is a pure projection (m·ks compiled sub-dots
+    * over the literal codebook — zero shuffle, exactly like the IVF
+    * assignment); queries build their ADC tables with the SAME projection
+    * and broadcast; the scan is linear with a per-query top-k window.
+    * This is FLAT PQ (every code scanned once per query); the production
+    * composition at scale is IVF-PQ — [[ivfTopK]]'s cell pruning with
+    * these codes as the payload — which shares both projections and
+    * changes only what the cell join carries.
+    *
+    * Approximate BY DESIGN (quantization error shifts ranks near ties);
+    * deterministic and fully SQL-replayable, so the declared query is
+    * hash-checked end to end. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
+      ks: Int = 16): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    pqTopKWith(e, collectPqCodebook(e, m, ks), queryPred, k)
+  }
+
+  /** PQ with per-subspace MLlib KMeans codebooks (seeded) — the
+    * production quantizer: trained sub-centroids roughly double recall
+    * over the fixed-sample codebook on this corpus (measured in
+    * SimilaritySpec). Training is m small KMeans fits over the subvector
+    * slices — index-build cost, memoized on the corpus plan. Not
+    * SQL-replayable (like [[ivfTopKKMeans]]); [[pqTopK]] is the declared,
+    * oracle-checked variant. */
+  def pqTopKKMeans(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
+      ks: Int = 16, seed: Long = 42L): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    pqTopKWith(e, kmeansPqCodebook(e, m, ks, seed), queryPred, k)
+  }
+
+  private val pqKmeansCache = new PlanMemo[(Int, Int, Long), PqCodebook]
+
+  private def kmeansPqCodebook(e: DataFrame, m: Int, ks: Int,
+      seed: Long): PqCodebook =
+    pqKmeansCache.getOrElseUpdate(e, (m, ks, seed))(
+      kmeansPqCodebookUncached(e, m, ks, seed))
+
+  private def kmeansPqCodebookUncached(e: DataFrame, m: Int, ks: Int,
+      seed: Long): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = collectCentroids(e, 1).headOption
+      .map(_.cv.length)
+      .getOrElse(throw new IllegalArgumentException("empty corpus"))
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val vhat = transform(col("v"), x => x / col("nrm"))
+    val cents = (0 until m).map { j =>
+      val feat = e.select(
+        array_to_vector(slice(vhat, j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ks).setSeed(seed + j).fit(feat)
+        .clusterCenters.map(_.toArray).toIndexedSeq
+    }
+    PqCodebook(m, ks, dsub, cents)
+  }
+
+  /** IVF-PQ: [[ivfTopK]]'s cell pruning carrying [[pqTopK]]'s codes — the
+    * production ANN shape at 100 TB. The corpus stores (cell, codes): the
+    * coarse quantizer prunes the scan to `nProbe` of `nCells` cells (an
+    * equi-join on cell — never a corpus-wide pass) and the fine scan
+    * inside the probed cells is the m-lookup ADC, so the full vectors
+    * are needed at INDEX time only. Both codebooks are the deterministic
+    * samples, so the whole composition is SQL-replayable and the
+    * declared query (q74) hash-checks it end to end. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
+      nProbe: Int = 2, m: Int = 8, ks: Int = 16): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    val cb = collectPqCodebook(e, m, ks)
+    val vhat = transform(col("v"), x => x / col("nrm"))
+    val corpus = assignCells(e, cents)
+      .select(col("vec_id"), col("cell"), pqCodes(vhat, cb).as("codes"))
+    val cidArr = typedLit(cents.map(_.cid))
+    // probe selection = ivfProbeJoin's: top-nProbe cells by (csim DESC,
+    // cid ASC); the ADC tables ride along on the probe rows
+    val probes = e.filter(queryPred)
+      .select(col("vec_id").as("qid"),
+        array(pqDistArrays(vhat, cb): _*).as("tabs"),
+        explode(transform(
+          slice(array_sort(zip_with(
+            cellSims(centLiteral(cents), col("v"), col("nrm")), cidArr,
+            (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
+          x => x("cid"))).as("cell"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    corpus.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), col("tabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def pqTopKWith(e: DataFrame, cb: PqCodebook, queryPred: Column,
+      k: Int): DataFrame = {
+    val vhat = transform(col("v"), x => x / col("nrm"))
+    val corpus = e.select(col("vec_id"), pqCodes(vhat, cb).as("codes"))
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), array(pqDistArrays(vhat, cb): _*).as("tabs"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("neighbor"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      // ADC: Σ_j tabs[j][codes[j]] — a left fold in subspace order, the
+      // same sequence the oracle's list_reduce adds in
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), col("tabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("adist"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("neighbor"), round(col("adist"), 6).as("adist"))
+      .orderBy("qid", "rnk")
   }
 }

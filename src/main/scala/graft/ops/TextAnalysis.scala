@@ -103,6 +103,52 @@ object TextAnalysis {
     rep.join(topWord, Seq(idCol))
   }
 
+  /** Corpus-statistics language-model quality score: train a bigram
+    * model ON the corpus (one pass), then score each document by its
+    * mean bigram probability P(w2|w1) = count(w1 w2)/count(w1 ·) — the
+    * degenerate cousin of the perplexity filter every production corpus
+    * runs: gibberish and shuffled text score near the corpus floor,
+    * natural repetition of common transitions scores high. Probabilities
+    * (not log-probs) keep every operation IEEE-exact-replayable: ln() is
+    * not bit-portable across engines, +,×,÷ are.
+    *
+    * Shape at scale: the gram stream is materialized once and feeds (a)
+    * the bigram-count agg, (b) the prefix-count agg, (c) the probability
+    * join — three keyed shuffles over grams, the same cost class as any
+    * shingle pass. The per-doc mean folds a position-sorted list, so the
+    * double sum has ONE deterministic order on every engine (a plain
+    * SUM() would let Spark's partial aggregation drift from the oracle's
+    * sequential add). */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val n1 = size(ws) - 1
+    val bgArr = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val gramsRaw = docs
+      .select(col(idCol).as("id"), posexplode(bgArr).as(Seq("pos", "bg")))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val grams = Materialize.cachedSingleton("text-bigrams", gramsRaw)
+    val c2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p = grams.join(c2, "bg").join(c1, "w1")
+      .select(col("id"), col("pos"),
+        (col("c2").cast("double") / col("c1")).as("prob"))
+    val scored = p.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("prob")))),
+            x => x("prob")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("psum") / col("n_bigrams"), 6).as("lm_score"))
+    // docs with < 2 words have no bigrams: keep them, scored 0
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately the
     * common subset of Java regex and RE2 syntax (character classes and
     * bounded repetition only — no backreferences, no lookaround) so the

@@ -282,6 +282,29 @@ object AnalyticsQueries {
       " AS sum_price FROM part GROUP BY p_brand ORDER BY p_brand"),
     "CSV sink + explicit-schema source round-trip")
 
+  /** ORC sink + source round-trip — the second columnar interchange
+    * format next to parquet. The read-back FILTERS, so the plan must
+    * push the predicate into the ORC scan (PlanAuditSpec asserts it);
+    * like q41/q42 the oracle reads the original table — the engine pays
+    * a real write+read the baseline skips. */
+  private val q72 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q72"
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(scratch)
+      s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .orc(scratch)
+        .filter(col("value") > 50.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.ops.BarOps.moneySum(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    },
+    Some(EV + " SELECT event_type, count(*) AS n, " + dsum("value") +
+      " AS val_sum FROM ev WHERE value > 50.0 GROUP BY event_type " +
+      "ORDER BY event_type"),
+    "ORC sink + explicit-schema source round-trip with a pushed filter")
+
   /** Frame sampling over the opaque media payload (64-byte frames every
     * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
     * Oracle note: the engine slices BYTES (the right semantics for media
@@ -440,6 +463,7 @@ object AnalyticsQueries {
     "q43_frame_sample" -> q43,
     "q41_json_roundtrip" -> q41,
     "q42_csv_roundtrip" -> q42,
+    "q72_orc_roundtrip" -> q72,
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
     "q35_percentiles" -> q35,

@@ -163,15 +163,19 @@ object TrainingDataQueries {
   // prefix ending in `r` = (qid, neighbor, sim, rnk). Used by q29 (top-k),
   // q55 (recall vs brute force), q56 (top-k served from the lake index —
   // the index round-trip reproduces the in-session answer exactly).
-  private val duckIvf = duckEmb +
+  // Cell-assignment + probe-selection fragment (cent/asg/probes), shared
+  // by the exact-IVF pipeline below and the IVF-PQ composition (q74).
+  private val duckIvfAssign =
     // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
     // orderBy+limit, which stays correct for id spaces not starting at 0)
     ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
     s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
     "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
     s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
-    "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2), " +
-    "top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
+    "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2)"
+
+  private val duckIvf = duckEmb + duckIvfAssign +
+    ", top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
     s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
     "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1)"
 
@@ -447,6 +451,92 @@ object TrainingDataQueries {
       "chunks shared across documents (repeated-passage / boilerplate " +
       "inventory)")
 
+  // q71: product-quantization ANN. Every stage — unit normalization,
+  // per-subspace sample codebooks, argmin encoding, ADC table lookups,
+  // the fold order of every distance sum — is replayed by the oracle, so
+  // the approximate answer itself is hash-checked end to end.
+  // PQ fragment (normalize/codebook/encode/query-tables), shared by flat
+  // PQ (q71) and the IVF-PQ composition (q74). Continues from duckEmb's
+  // `n`; yields `encl` (vec_id, codes) and `qtl` (qid, tabs).
+  private val duckPq =
+    ", nh AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS vh FROM n WHERE nrm > 0), " +
+    "pcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vh AS cv " +
+    "FROM (SELECT vec_id, vh FROM nh ORDER BY vec_id LIMIT 16)), " +
+    "dva AS (SELECT nh.vec_id, sub.j, pcb.cid, " +
+    "list_reduce(list_transform(list_zip(nh.vh[sub.j*8+1:sub.j*8+8], " +
+    "pcb.cv[sub.j*8+1:sub.j*8+8]), t -> (t[1]-t[2])*(t[1]-t[2])), (a,b) -> a+b) AS dist " +
+    "FROM nh, (SELECT unnest(range(8)) AS j) sub, pcb), " +
+    "enc0 AS (SELECT vec_id, j, cid, row_number() OVER " +
+    "(PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM dva), " +
+    "encl AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc0 " +
+    "WHERE rn = 1 GROUP BY vec_id), " +
+    "qt AS (SELECT vec_id AS qid, j, list(dist ORDER BY cid) AS tab FROM dva " +
+    "WHERE vec_id % 10 = 0 GROUP BY vec_id, j), " +
+    "qtl AS (SELECT qid, list(tab ORDER BY j) AS tabs FROM qt GROUP BY qid)"
+
+  // ADC distance + rank over a candidate set `cand` (qid, neighbor).
+  private def duckAdcRank(cand: String) =
+    s", p AS (SELECT t.qid, t.neighbor, " +
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    "list_transform(range(8), j -> q.tabs[j+1][c.codes[j+1]+1])), (a,b) -> a+b) AS adist " +
+    s"FROM $cand t JOIN encl c ON t.neighbor = c.vec_id JOIN qtl q ON t.qid = q.qid), " +
+    "r AS (SELECT qid, neighbor, adist, CAST(row_number() OVER " +
+    "(PARTITION BY qid ORDER BY adist, neighbor) AS BIGINT) AS rnk FROM p) " +
+    "SELECT qid, rnk, neighbor, " + Queries.dround6("adist") + " AS adist " +
+    "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+
+  private val q71 = Q(
+    (s, dir) => Similarity.pqTopK(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, m = 8, ks = 16),
+    Some(Queries.duckEmb + duckPq +
+      ", cand AS (SELECT q.qid, c.vec_id AS neighbor FROM encl c, qtl q " +
+      "WHERE c.vec_id <> q.qid)" +
+      duckAdcRank("cand")),
+    "Product-quantization approximate k-NN (8 subspaces x 16 " +
+      "sub-centroids, ADC lookup-table scan) — the 32x memory-compression " +
+      "path for embedding search; unit-normalized so ADC ranks like cosine")
+
+  // q74: the IVF-PQ composition — q29's cell pruning carrying q71's
+  // codes. Both codebooks deterministic samples, so the full two-stage
+  // pipeline (coarse probe -> in-cell ADC) is hash-checked end to end.
+  private val q74 = Q(
+    (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2, m = 8, ks = 16),
+    Some(Queries.duckEmb + duckIvfAssign + duckPq +
+      ", cand AS (SELECT p.qid, a.vec_id AS neighbor FROM probes p " +
+      "JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid)" +
+      duckAdcRank("cand")),
+    "IVF-PQ approximate k-NN: coarse 2-cell probe pruning the scan, " +
+      "m-lookup ADC inside the probed cells — the production ANN " +
+      "composition (index stores cell + codes; full vectors needed at " +
+      "index time only)")
+
+  // q73: corpus-statistics LM quality score. Mean bigram probability
+  // instead of log-perplexity ON PURPOSE: ln() is not bit-portable
+  // across engines, +,x,/ are — and the per-doc sum folds a
+  // position-sorted list so the double addition has one deterministic
+  // order on both sides.
+  private val q73 = Q(
+    (s, dir) => TextAnalysis.bigramLmScore(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "g0 AS (SELECT doc_id, unnest([{'pos': i, 'bg': ws[i]||' '||ws[i+1], 'w1': ws[i]} " +
+      "FOR i IN generate_series(1, greatest(len(ws)-1, 0))]) AS s FROM w), " +
+      "g AS (SELECT doc_id, s.pos AS pos, s.bg AS bg, s.w1 AS w1 FROM g0), " +
+      "c2 AS (SELECT bg, count(*) AS cnt2 FROM g GROUP BY bg), " +
+      "c1 AS (SELECT w1, count(*) AS cnt1 FROM g GROUP BY w1), " +
+      "p AS (SELECT doc_id, pos, CAST(cnt2 AS DOUBLE)/cnt1 AS prob " +
+      "FROM g JOIN c2 USING (bg) JOIN c1 USING (w1)), " +
+      "sc AS (SELECT doc_id, count(*) AS n_bigrams, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(prob ORDER BY pos)), " +
+      "(a,b) -> a+b) AS psum FROM p GROUP BY doc_id) " +
+      "SELECT d.doc_id AS doc_id, coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams, " +
+      "coalesce(" + Queries.dround6("psum/n_bigrams") + ", 0.0) AS lm_score " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY doc_id"),
+    "Corpus-statistics bigram LM quality score: P(w2|w1) trained on the " +
+      "corpus in one pass, docs scored by mean bigram probability " +
+      "(the perplexity-filter shape, kept in exact-replayable arithmetic)")
+
   // q60: incremental index maintenance. Index built on vec_id % 7 != 0,
   // the rest APPENDED with the stored codebook, pairs served from the
   // combined assignment. Lossless blocking holds for any codebook, so the
@@ -555,6 +645,9 @@ object TrainingDataQueries {
     "q66_pii_redact" -> q66,
     "q68_srp_neardups" -> q68,
     "q70_chunk_dedup" -> q70,
+    "q71_pq_topk" -> q71,
+    "q73_bigram_lm" -> q73,
+    "q74_ivf_pq" -> q74,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

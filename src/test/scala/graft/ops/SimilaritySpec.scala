@@ -356,6 +356,102 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("pqTopK: ADC distances equal a driver-side PQ replay; recall sane") {
+    Similarity.clearIndexCaches()
+    val real = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val m = 8
+    val ks = 16
+    val k = 5
+    val got = Similarity.pqTopK(real, col("vec_id") % 10 === 0, k, m, ks)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // driver-side replay: normalize, sample codebook, argmin encode, ADC
+    val vecs = real.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+      .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      .filter(_._3 > 0)
+      .map { case (id, v, n) => (id, v.map(_ / n)) }
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    val dsub = d / m
+    val cb = (0 until m).map(j =>
+      vecs.take(ks).map(_._2.slice(j * dsub, (j + 1) * dsub)))
+    def dists(v: Array[Double], j: Int): Seq[Double] =
+      cb(j).map(c => v.slice(j * dsub, (j + 1) * dsub).zip(c)
+        .map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map(j => { val ds = dists(v, j); ds.indexOf(ds.min) })
+    }.toMap
+    val expect = (for {
+      (qid, qv) <- vecs if qid % 10 == 0
+      tabs = (0 until m).map(j => dists(qv, j))
+      scored = vecs.filter(_._1 != qid).map { case (nid, _) =>
+        (nid, (0 until m).map(j => tabs(j)(codes(nid)(j))).sum)
+      }
+      ((nid, adist), i) <- scored.sortBy { case (nid, s) => (s, nid) }.take(k).zipWithIndex
+    } yield (qid, (i + 1).toLong, nid,
+      // valueOf = shortest-repr decimal, matching Spark's Round semantics
+      BigDecimal.valueOf(adist).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSeq
+    assert(got.sortBy(r => (r._1, r._2)) == expect.sortBy(r => (r._1, r._2)))
+
+    // recall vs exact cosine top-k: quantization loses information, but
+    // with 16 sub-centroids per 8-dim subspace the ADC ranking must stay
+    // far from random (random recall@5 over 499 candidates ≈ 0.01)
+    val brute = Similarity.bruteForceTopK(
+      Similarity.withNorm(real).filter(col("nrm") > 0)
+        .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nnrm")),
+      Similarity.withNorm(real).filter(col("nrm") > 0)
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")),
+      k)
+      .select(col("qid"), col("neighbor")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = gotByQ.map { case (q, ns) =>
+      ns.intersect(brute(q)).size.toDouble / k
+    }.sum / gotByQ.size
+    // the fixed-sample codebook on this near-uniform corpus measures
+    // ~0.13 — an order of magnitude above random (k/n ≈ 0.01), which is
+    // what the floor guards; codebook QUALITY is the trained variant's job
+    assert(recall > 0.05, f"PQ recall@5 $recall%.2f at random-guess level")
+
+    // trained per-subspace codebooks must beat the fixed sample clearly
+    val km = Similarity.pqTopKKMeans(real, col("vec_id") % 10 === 0, k, m, ks)
+      .select(col("qid"), col("neighbor")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val kmRecall = km.map { case (q, ns) =>
+      ns.intersect(brute(q)).size.toDouble / k
+    }.sum / km.size
+    assert(kmRecall > recall,
+      f"trained PQ codebook recall $kmRecall%.2f not above sample $recall%.2f")
+    assert(kmRecall > 0.15, f"trained PQ recall@5 $kmRecall%.2f too low")
+    Similarity.clearIndexCaches()
+  }
+
+  test("ivfPqTopK: probing every cell equals flat PQ; partial probe sane") {
+    Similarity.clearIndexCaches()
+    val real = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val flat = Similarity.pqTopK(real, pred, 5).collect().map(_.toSeq).toSeq
+    // nProbe = nCells -> candidate set is the whole corpus -> the cell
+    // stage must be a pure no-op on the result
+    val full = Similarity.ivfPqTopK(real, pred, 5, nCells = 16, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(full == flat)
+    // partial probe: still k rows per query, deterministic across runs
+    val part = Similarity.ivfPqTopK(real, pred, 5, nCells = 16, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val perQ = part.groupBy(_._1).view.mapValues(_.size)
+    assert(perQ.values.forall(_ == 5), "partial probe lost rows")
+    val again = Similarity.ivfPqTopK(real, pred, 5, nCells = 16, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(part == again)
+    Similarity.clearIndexCaches()
+  }
+
   test("srpNearDups: corpus smaller than nBits yields no pairs") {
     Similarity.clearIndexCaches()
     val tiny = spark.read.parquet(s"$sf0001/embeddings.parquet")

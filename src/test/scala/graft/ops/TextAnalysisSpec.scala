@@ -84,6 +84,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(short.isEmpty)
   }
 
+  test("bigramLmScore: corpus-trained transition probabilities, exact means") {
+    // corpus: "a b" ×2 and "a c" ×1 -> P(b|a)=2/3, P(c|a)=1/3
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "a"),   // no bigrams -> n=0, score 0
+      (5L, "a b a c")) // bigrams: a b (2/3), b a (1/1), a c (1/3)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc5 prefix counts include its own grams: corpus has a->{b,b,c,b,c}
+    // and b->{a}: P(b|a)=3/5, P(a|b)=1/3... recompute: bigrams overall:
+    // "a b":3, "a c":2, "b a":1; prefix a:5, b:1 (docs 1,2: a b; 3: a c;
+    // 5: a b, b a, a c). P(b|a)=3/5=0.6, P(c|a)=2/5=0.4, P(a|b)=1/1=1.0
+    val d1 = 0.6
+    val d3 = 0.4
+    val d5 = BigDecimal.valueOf((0.6 + 1.0 + 0.4) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 1L, d1), (2L, 1L, d1), (3L, 1L, d3),
+      (4L, 0L, 0.0), (5L, 3L, d5)))
+  }
+
   test("redactPii counts and redacts emails/phones; clean text untouched") {
     val docs = Seq(
       (1L, "reach me at bob.smith@corp.example.org or +1-415-5550"),

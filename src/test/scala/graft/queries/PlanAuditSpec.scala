@@ -23,9 +23,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     * also embeds q17's intended brute-force cross join as its ground
     * truth). */
   private val eager = Set("q05_partitioned_write", "q30_table_counts",
-    "q41_json_roundtrip", "q42_csv_roundtrip", "q19_stream_tumbling",
+    "q41_json_roundtrip", "q42_csv_roundtrip", "q72_orc_roundtrip",
+    "q19_stream_tumbling",
     "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join",
-    "q23_dedup_embedding", "q29_ann_ivf", "q51_decontaminate_mat",
+    "q23_dedup_embedding", "q29_ann_ivf", "q74_ivf_pq",
+    "q51_decontaminate_mat",
     "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip",
     "q58_dedup_index_roundtrip", "q59_dedup_incremental",
     "q60_ann_index_append", "q61_dedup_index_append",
@@ -35,9 +37,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
     * aggregate (the watermark scalar) to the scan — linear, not quadratic;
     * q55 embeds q17's intended brute-force cross join as the recall
-    * ground truth (the IVF side under test stays equi-join). */
+    * ground truth (the IVF side under test stays equi-join); q71 is flat
+    * PQ — the broadcast ADC-table scan is the operator (each candidate
+    * costs m lookups, not a d-dot; the cell-pruned composition is IVF-PQ). */
   private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark",
-    "q55_ann_recall_sample")
+    "q55_ann_recall_sample", "q71_pq_topk")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -106,5 +110,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("Join"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "banded range join degraded to nested loop")
+  }
+
+  test("q72: the read-back filter reaches the ORC scan as a pushed filter") {
+    // q72 is eager (it writes its scratch first), so it sits outside the
+    // sweep; stage the write here and audit the read-back plan directly
+    val scratch = s"${Queries.scratchRoot}/q72-planaudit"
+    Queries.table(spark, sf0001, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .write.mode("overwrite").orc(scratch)
+    val plan = spark.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+      .orc(scratch)
+      .filter(org.apache.spark.sql.functions.col("value") > 50.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)]"),
+      s"value filter not pushed into the ORC scan:\n$plan")
   }
 }
