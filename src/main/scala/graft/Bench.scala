@@ -11,11 +11,17 @@ import org.apache.spark.sql.SparkSession
   * WARN noise, which once made the driver's artifact record "parsed":null
   * — the file copy can never be misparsed.
   *
-  * Protocol per BASELINE.md: warm JVM (one untimed pass), then MIN of 5
-  * timed runs per query. Min (not median) is the standard noise-robust
-  * wall-clock estimator for a deterministic workload: background load can
-  * only inflate a rep, never deflate it, so a contended rep can drag a
-  * median up but can never fake a too-fast min. q19 (streaming) is
+  * Protocol per BASELINE.md: warm JVM (one untimed pass over the TIMED
+  * set only), then MIN of 5 timed runs per query — degraded to min-of-3
+  * when the projected wall clock exceeds SPARK_GRAFT_TIME_BUDGET_S
+  * (default 600 s), because the driver kills the process at a fixed
+  * budget and a min-of-3 artifact beats the rc-124 nothing that round 7
+  * recorded. Min (not median) is the standard noise-robust wall-clock
+  * estimator for a deterministic workload: background load can only
+  * inflate a rep, never deflate it, so a contended rep can drag a median
+  * up but can never fake a too-fast min. Extra reps taken to recover
+  * probe-cleanliness join the min pool only when clean, keeping the rep
+  * count comparable to the baseline's fixed min-of-5. q19 (streaming) is
   * verified for batch-equivalence in Verify but not timed, per the BENCH
   * definition.
   *
@@ -134,15 +140,53 @@ object Bench {
     // floor an hour earlier — same host, same loop). The file is a
     // per-machine cache; delete it (or point SPARK_GRAFT_PROBE_REF_FILE
     // elsewhere) when moving artifacts between machine classes.
+    //
+    // A floor that can only ratchet DOWN turns "host is durably 1.5×
+    // slower than its best-ever" into permanent unclean-with-wasted-reps
+    // (observed: a clean run graded 68/68 unclean against a 6.2 ms floor
+    // the host never reached again). Two aging escapes: (a) a floor file
+    // older than SPARK_GRAFT_PROBE_REF_MAX_AGE_H (default 24 h) is
+    // ignored and the floor bootstraps fresh; (b) if PLATEAU_N
+    // consecutive probes all sit >=1.2x above the floor, the floor
+    // refreshes to this run's own minimum — a real contention window
+    // fluctuates, a stale floor produces a flat plateau. The artifact
+    // records probe_ref_source (file | fresh | plateau-reset) so a
+    // first-run or re-based reference is distinguishable.
     val probeRefFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_FILE",
       "/tmp/graft-probe-ref")
-    var bestProbe = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(probeRefFile)), "UTF-8").trim.toDouble
-    } catch { case _: Exception => Double.MaxValue }
+    val probeRefMaxAgeMs = sys.env.getOrElse(
+      "SPARK_GRAFT_PROBE_REF_MAX_AGE_H", "24").toDouble * 3600 * 1000
+    val probeRefPath = java.nio.file.Paths.get(probeRefFile)
+    val fileFloor: Option[Double] =
+      try {
+        val ageMs = System.currentTimeMillis() -
+          java.nio.file.Files.getLastModifiedTime(probeRefPath).toMillis
+        if (ageMs > probeRefMaxAgeMs) None
+        else Some(new String(java.nio.file.Files.readAllBytes(probeRefPath),
+          "UTF-8").trim.toDouble)
+      } catch { case _: Exception => None }
+    var probeRefSource = if (fileFloor.isDefined) "file" else "fresh"
+    var bestProbe = fileFloor.getOrElse(Double.MaxValue)
+    var runMinProbe = Double.MaxValue
+    val plateauFactor = 1.2
+    val plateauN =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_PLATEAU_N", "30").toInt
+    var plateauCount = 0
     def sampleProbe(): Double = {
       val p = probe()
+      if (p < runMinProbe) runMinProbe = p
       if (p < bestProbe) bestProbe = p
+      if (p >= bestProbe * plateauFactor) {
+        plateauCount += 1
+        if (plateauCount >= plateauN && runMinProbe > bestProbe) {
+          System.err.println(f"bench: probe floor ${bestProbe}%.1f ms stale " +
+            f"($plateauN consecutive probes >=${plateauFactor}x); " +
+            f"re-basing to this run's min ${runMinProbe}%.1f ms")
+          bestProbe = runMinProbe
+          probeRefSource = "plateau-reset"
+          plateauCount = 0
+        }
+      } else plateauCount = 0
       p
     }
     // JIT-warm the probe loop so the reference reflects compiled speed
@@ -199,8 +243,13 @@ object Bench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
       (cpus.toDouble / 8).toString).toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "10").toInt
-    val midrunRetries = sys.env.getOrElse("SPARK_GRAFT_MIDRUN_RETRIES", "6").toInt
-    val waitMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "45000").toLong
+    val midrunRetries = sys.env.getOrElse("SPARK_GRAFT_MIDRUN_RETRIES", "4").toInt
+    // 15 s waits (was 45 s): the r7 official artifact was an rc-124
+    // timeout — up to 20×45 s of sleeping no longer fits the driver's
+    // execution budget now the suite is 68 timed queries. The probe
+    // CLEANLINESS accounting tells the contention story either way;
+    // sleeping is an optimization, not the record.
+    val waitMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "15000").toLong
     // wait-loop shared by the start gate and the per-query re-gate: sleep
     // while the EXTERNAL 1-min load exceeds the gate, up to `budget`
     // samples. Returns (samples-taken, final-load-ok).
@@ -219,24 +268,45 @@ object Bench {
     if (!startOk)
       System.err.println(f"bench: proceeding CONTENDED at load ${attempts.last}%.2f " +
         f"after $maxRetries waits — treat this artifact's numbers as suspect")
-    // warm-up pass: JIT, codegen cache, file listing
-    queries.foreach { case (_, fn) => run(fn) }
+    // warm-up pass over the TIMED set only: JIT, codegen cache, file
+    // listing. The streaming queries (never timed) each cost minutes of
+    // processAllAvailable + file staging — warming them contributed to
+    // the r7 rc-124 timeout while buying nothing the bench measures.
+    // Warm-up is itself timed per query to project the run's wall clock.
+    val timedQueries = queries.filterNot(q => notTimed(q._1))
+    val warmTimes = timedQueries.map { case (_, fn) => run(fn) }
+    val warmSum = warmTimes.filter(_ >= 0).sum
+
+    // Time budget: the driver kills the bench process at a fixed wall
+    // clock; an artifact with fewer reps beats no artifact (r7: rc 124,
+    // zero numbers). If the projected timed-rep wall clock (warm-pass
+    // total × base reps) exceeds the budget, degrade base reps 5→3 and
+    // the clean-rep cap 8→5. The artifact records base_reps so the
+    // methodology is self-describing.
+    val timeBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "600").toDouble
+    val baseReps = if (warmSum * 5 > timeBudgetS) 3 else 5
+    val maxReps = if (baseReps == 3) 5 else 8
+    if (baseReps == 3)
+      System.err.println(f"bench: projected ${warmSum * 5}%.0f s exceeds " +
+        f"budget $timeBudgetS%.0f s — degrading to min-of-3 reps")
 
     var midrunWaits = 0
     var everContended = !startOk
-    // extra reps beyond the base 5 are drawn from one global budget so a
+    // extra reps beyond the base are drawn from one global budget so a
     // long contention window can't balloon the run unboundedly
     val extraRepBudget = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "60").toInt
     var extraUsed = 0
     // GLOBAL wait budget across all mid-run gates (loadavg + probe): the
     // per-query budget alone lets a long contention window cost up to
-    // 6 waits × 68 queries ≈ 85 min of sleeping — observed: a run spent
-    // 40+ min asleep halfway through the suite. Past this cap the bench
-    // stops waiting and lets the probe CLEANLINESS accounting tell the
-    // story instead (unclean queries are recorded either way).
-    val midrunTotalBudget = sys.env.getOrElse("SPARK_GRAFT_MIDRUN_TOTAL", "20").toInt
+    // 4 waits × 68 queries of sleeping — observed in r6/r7: runs spent
+    // 40+ min asleep halfway through the suite, and the r7 official
+    // artifact timed out outright. Past this cap the bench stops waiting
+    // and lets the probe CLEANLINESS accounting tell the story instead
+    // (unclean queries are recorded either way).
+    val midrunTotalBudget = sys.env.getOrElse("SPARK_GRAFT_MIDRUN_TOTAL", "4").toInt
     val unclean = scala.collection.mutable.ArrayBuffer[String]()
-    val results = queries.filterNot(q => notTimed(q._1)).map { case (name, fn) =>
+    val results = timedQueries.map { case (name, fn) =>
       // re-gate between queries: the start gate alone let three contended
       // runs stand as official artifacts (load spiked AFTER the gate)
       if (midrunWaits < midrunTotalBudget && externalLoad > loadGate) {
@@ -254,25 +324,31 @@ object Bench {
         pw += 1
         midrunWaits += 1
       }
-      // rep loop: base 5, then extras until two reps ran with quiet
+      // rep loop: base reps, then extras until two reps ran with quiet
       // probes on BOTH sides (machine provably at full speed around the
-      // measurement). Min over all reps — contention only inflates.
+      // measurement). The min is taken over the base reps plus CLEAN
+      // extras only: extra reps exist to recover cleanliness, and letting
+      // an unclean extra join the min pool would make the engine's rep
+      // count asymmetric vs the baseline's fixed min-of-5 (it can only
+      // favor the engine — contention inflates — but the methodologies
+      // should stay comparable).
       val ts = scala.collection.mutable.ArrayBuffer[Double]()
       var clean = 0
       var rep = 0
       var failed = false
-      val maxReps = 8
       while (!failed &&
-        (rep < 5 || (clean < 2 && rep < maxReps && extraUsed < extraRepBudget))) {
-        if (rep >= 5) extraUsed += 1
+        (rep < baseReps ||
+          (clean < 2 && rep < maxReps && extraUsed < extraRepBudget))) {
+        if (rep >= baseReps) extraUsed += 1
         val p1 = probeQuiet(sampleProbe())
         val t = run(fn)
         val p2 = probeQuiet(sampleProbe())
-        ts += t
+        val isClean = p1 && p2
+        if (rep < baseReps || isClean) ts += t
         // any failed rep marks the query failed (-1): a crashing rep must
         // never mask as a fast min from the surviving runs
         if (t < 0) failed = true
-        else if (p1 && p2) clean += 1
+        else if (isClean) clean += 1
         rep += 1
       }
       if (clean < 2) unclean += name
@@ -287,8 +363,10 @@ object Bench {
       s""""load_raw_end":$loadAvg,"own_load_end":$ownEwma,""" +
       s""""load_gate":$loadGate,"load_attempts":${attempts.mkString("[", ",", "]")},""" +
       s""""midrun_waits":$midrunWaits,"load_gated_ok":${!everContended},""" +
-      s""""probe_ref_ms":$bestProbe,"probe_ok":${unclean.isEmpty},""" +
-      s""""unclean":$uncleanJson,"extra_reps":$extraUsed,"gc_ms":$gcMs}"""
+      s""""probe_ref_ms":$bestProbe,"probe_ref_source":"$probeRefSource",""" +
+      s""""probe_ok":${unclean.isEmpty},""" +
+      s""""unclean":$uncleanJson,"extra_reps":$extraUsed,""" +
+      s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

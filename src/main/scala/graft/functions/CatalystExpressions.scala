@@ -263,6 +263,120 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-subspace PQ squared-distance tables, fused into one pass: element
+    * c of output array j = Σ_i (v[j·dsub+i]/nrm − cent_{j,c,i})², the acc
+    * summed strictly left-to-right — bit-identical to the HOF chain it
+    * replaces (slice → zip_with diff → DotProduct per centroid), which
+    * allocated m·ks diff arrays per row and was the two largest bench
+    * entries (q71 8.7×, q74 10.5× vs oracle). The codebook rides in the
+    * expression as plain JVM arrays (flattened [j][c][i]), not a child,
+    * so the inner loop is m·ks·dsub fused multiply-adds with zero
+    * allocation beyond the output. */
+  case class PqDistTable(vec: Expression, nrm: Expression, flat: Array[Double],
+      m: Int, ks: Int) extends BinaryExpression with CodegenFallback {
+    override def left: Expression = vec
+    override def right: Expression = nrm
+    private val dsub = flat.length / (m * ks)
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def prettyName: String = "graft_pq_tabs"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val nr = b.asInstanceOf[Double]
+      val out = new Array[Any](m)
+      var j = 0
+      var base = 0
+      while (j < m) {
+        val tab = new Array[Any](ks)
+        val off = j * dsub
+        var c = 0
+        while (c < ks) {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = arr.getDouble(off + i) / nr - flat(base + c * dsub + i)
+            acc += diff * diff
+            i += 1
+          }
+          tab(c) = acc
+          c += 1
+        }
+        out(j) = new GenericArrayData(tab)
+        base += ks * dsub
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(vec = l, nrm = r)
+  }
+
+  /** PQ codes in the same fused pass: code j = argmin over c of the
+    * [[PqDistTable]] distance, FIRST minimum on exact ties (strict `<`
+    * keeps the earliest index — the array_position(array_min) order the
+    * oracle replays). */
+  case class PqEncode(vec: Expression, nrm: Expression, flat: Array[Double],
+      m: Int, ks: Int) extends BinaryExpression with CodegenFallback {
+    override def left: Expression = vec
+    override def right: Expression = nrm
+    private val dsub = flat.length / (m * ks)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_codes"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val nr = b.asInstanceOf[Double]
+      val out = new Array[Any](m)
+      var j = 0
+      var base = 0
+      while (j < m) {
+        val off = j * dsub
+        var best = Double.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < ks) {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = arr.getDouble(off + i) / nr - flat(base + c * dsub + i)
+            acc += diff * diff
+            i += 1
+          }
+          if (acc < best) { best = acc; bestC = c }
+          c += 1
+        }
+        out(j) = bestC
+        base += ks * dsub
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(vec = l, nrm = r)
+  }
+
+  /** Builder shared by the registry entries: the codebook/m/ks arguments
+    * arrive as foldable literals and are evaluated ONCE at resolution into
+    * the plain arrays the row loop reads. */
+  private def pqArgs(es: Seq[Expression]): (Expression, Expression, Array[Double], Int, Int) = {
+    val flat = es(2).eval().asInstanceOf[ArrayData].toDoubleArray()
+    val m = es(3).eval().asInstanceOf[Int]
+    val ks = es(4).eval().asInstanceOf[Int]
+    require(m > 0 && ks > 0 && flat.length % (m * ks) == 0,
+      s"codebook length ${flat.length} not divisible by m*ks=${m * ks}")
+    (es.head, es(1), flat, m, ks)
+  }
+
+  def pqDistTable(es: Seq[Expression]): Expression = {
+    val (v, n, flat, m, ks) = pqArgs(es); PqDistTable(v, n, flat, m, ks)
+  }
+  def pqEncode(es: Seq[Expression]): Expression = {
+    val (v, n, flat, m, ks) = pqArgs(es); PqEncode(v, n, flat, m, ks)
+  }
+
   /** [[UnscaledValue]] constrained to scale-6 decimals — the registered
     * `graft_unscaled`. Catalyst's raw UnscaledValue is scale-blind:
     * applied to a decimal whose scale is not 6 it silently mis-scales
@@ -304,6 +418,8 @@ object CatalystExpressions {
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_bytehash",
       es => BytePolyHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_tabs", pqDistTable, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_codes", pqEncode, "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -348,6 +464,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bytehash"),
       info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
       es => BytePolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_pq_tabs"),
+      info("graft_pq_tabs", "_FUNC_(v, nrm, flatCents, m, ks) - fused per-subspace PQ distance tables"),
+      pqDistTable))
+    e.injectFunction((FunctionIdentifier("graft_pq_codes"),
+      info("graft_pq_codes", "_FUNC_(v, nrm, flatCents, m, ks) - fused PQ codes (argmin per subspace)"),
+      pqEncode))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
       info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
       es => UnscaledMicros(es.head)))

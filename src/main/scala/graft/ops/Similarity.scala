@@ -743,7 +743,7 @@ object Similarity {
     * id (the [[collectCentroids]] convention, so declared queries stay
     * SQL-replayable; a production variant trains per-subspace k-means,
     * changing only these literals). */
-  private def collectPqCodebook(e: DataFrame, m: Int, ks: Int): PqCodebook = {
+  private[graft] def collectPqCodebook(e: DataFrame, m: Int, ks: Int): PqCodebook = {
     val sample = collectCentroids(e, ks)
     require(sample.size == ks, s"corpus smaller than ks=$ks")
     val d = sample.head.cv.length
@@ -763,22 +763,41 @@ object Similarity {
     dot(diff, diff)
   }
 
-  /** Per-subspace distance table of a unit vector against the codebook:
-    * element c of array j = ||sub_j(v̂) − cent_{j,c}||². Shared by the
-    * encoder (argmin per subspace) and the query side (the ADC lookup
-    * table IS this array). */
-  private def pqDistArrays(vhat: Column, cb: PqCodebook): Seq[Column] =
+  /** HOF reference form of the per-subspace distance table: element c of
+    * array j = ||sub_j(v̂) − cent_{j,c}||². Kept as the readable spec twin
+    * of the fused [[pqTabs]] (SimilaritySpec asserts bit-equality); the
+    * serving paths use the fused expression — building m·ks separate
+    * zip_with+dot columns allocates a diff array per centroid per row and
+    * was the two largest bench entries (q71/q74). */
+  private[graft] def pqDistArraysHof(vhat: Column, cb: PqCodebook): Seq[Column] =
     (0 until cb.m).map { j =>
       val s = slice(vhat, j * cb.dsub + 1, cb.dsub)
       array(cb.cents(j).map(c => sqDist(s, c)): _*)
     }
 
-  /** PQ codes as one projection: code j = argmin of distance array j
-    * (first minimum = lowest centroid id on exact ties — the order the
-    * oracle replays). */
-  private def pqCodes(vhat: Column, cb: PqCodebook): Column =
-    array(pqDistArrays(vhat, cb).map(dj =>
+  /** HOF reference form of the codes: code j = argmin of distance array j
+    * (first minimum = lowest centroid id on exact ties). Spec twin of the
+    * fused [[pqCodes]]. */
+  private[graft] def pqCodesHof(vhat: Column, cb: PqCodebook): Column =
+    array(pqDistArraysHof(vhat, cb).map(dj =>
       (array_position(dj, array_min(dj)) - 1).cast("int")): _*)
+
+  /** Codebook flattened [subspace][centroid][element] for the fused
+    * expressions — a few KB of plan literal, like [[centLiteral]]. */
+  private def flatCb(cb: PqCodebook): Column =
+    typedLit(cb.cents.flatMap(_.flatMap(_.toSeq)).toSeq)
+
+  /** Fused ADC distance tables (CatalystExpressions.PqDistTable): one pass
+    * of m·ks·dsub multiply-adds per row, zero intermediate allocation,
+    * numerically identical to [[pqDistArraysHof]] (same divide, subtract,
+    * left-fold order). */
+  private[graft] def pqTabs(v: Column, nrm: Column, cb: PqCodebook): Column =
+    call_function("graft_pq_tabs", v, nrm, flatCb(cb), lit(cb.m), lit(cb.ks))
+
+  /** Fused PQ codes (CatalystExpressions.PqEncode) — argmin per subspace
+    * in the same pass, first minimum on ties like array_position. */
+  private[graft] def pqCodes(v: Column, nrm: Column, cb: PqCodebook): Column =
+    call_function("graft_pq_codes", v, nrm, flatCb(cb), lit(cb.m), lit(cb.ks))
 
   /** Approximate k-NN by product quantization with asymmetric distance
     * computation (ADC) — the memory side of ANN at 100 TB: each corpus
@@ -859,15 +878,15 @@ object Similarity {
     val e = withNorm(emb).filter(col("nrm") > 0)
     val cents = collectCentroids(e, resolveCells(e, nCells))
     val cb = collectPqCodebook(e, m, ks)
-    val vhat = transform(col("v"), x => x / col("nrm"))
     val corpus = assignCells(e, cents)
-      .select(col("vec_id"), col("cell"), pqCodes(vhat, cb).as("codes"))
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("v"), col("nrm"), cb).as("codes"))
     val cidArr = typedLit(cents.map(_.cid))
     // probe selection = ivfProbeJoin's: top-nProbe cells by (csim DESC,
     // cid ASC); the ADC tables ride along on the probe rows
     val probes = e.filter(queryPred)
       .select(col("vec_id").as("qid"),
-        array(pqDistArrays(vhat, cb): _*).as("tabs"),
+        pqTabs(col("v"), col("nrm"), cb).as("tabs"),
         explode(transform(
           slice(array_sort(zip_with(
             cellSims(centLiteral(cents), col("v"), col("nrm")), cidArr,
@@ -889,10 +908,11 @@ object Similarity {
 
   private def pqTopKWith(e: DataFrame, cb: PqCodebook, queryPred: Column,
       k: Int): DataFrame = {
-    val vhat = transform(col("v"), x => x / col("nrm"))
-    val corpus = e.select(col("vec_id"), pqCodes(vhat, cb).as("codes"))
+    val corpus = e.select(col("vec_id"),
+      pqCodes(col("v"), col("nrm"), cb).as("codes"))
     val queries = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), array(pqDistArrays(vhat, cb): _*).as("tabs"))
+      .select(col("vec_id").as("qid"),
+        pqTabs(col("v"), col("nrm"), cb).as("tabs"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("neighbor"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))

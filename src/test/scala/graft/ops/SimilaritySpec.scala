@@ -431,6 +431,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     Similarity.clearIndexCaches()
   }
 
+  test("fused PQ expressions are bit-identical to the HOF reference forms") {
+    Similarity.clearIndexCaches()
+    val real = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val e = Similarity.withNorm(real).filter(col("nrm") > 0)
+    val cb = Similarity.collectPqCodebook(e, 8, 16)
+    val vhat = transform(col("v"), x => x / col("nrm"))
+    val hof = e.select(col("vec_id"),
+        Similarity.pqCodesHof(vhat, cb).as("codes"),
+        array(Similarity.pqDistArraysHof(vhat, cb): _*).as("tabs"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val fused = e.select(col("vec_id"),
+        Similarity.pqCodes(col("v"), col("nrm"), cb).as("codes"),
+        Similarity.pqTabs(col("v"), col("nrm"), cb).as("tabs"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(fused == hof)
+    Similarity.clearIndexCaches()
+  }
+
   test("ivfPqTopK: probing every cell equals flat PQ; partial probe sane") {
     Similarity.clearIndexCaches()
     val real = spark.read.parquet(s"$sf0001/embeddings.parquet")
