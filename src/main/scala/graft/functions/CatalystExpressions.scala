@@ -358,6 +358,49 @@ object CatalystExpressions {
       copy(vec = l, nrm = r)
   }
 
+  /** ADC distance: Σ_j tabs[j][codes[j]], left fold from 0.0 — the
+    * compiled twin of aggregate(zip_with(codes, tabs, (c, t) ⇒
+    * element_at(t, c+1)), 0.0, _+_), which is evaluated as an interpreted
+    * lambda per CANDIDATE PAIR (the multiplied hot path of the PQ scan:
+    * |corpus| × |queries| evaluations, where the encode runs only
+    * |corpus| + |queries| times). */
+  case class AdcDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val tabs = b.asInstanceOf[ArrayData]
+      val n = math.min(codes.numElements(), tabs.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += tabs.getArray(j).getDouble(codes.getInt(j))
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, t) => {
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($c.numElements(), $t.numElements());
+           |double $acc = 0.0;
+           |for (int $j = 0; $j < $n; $j++) {
+           |  $acc += $t.getArray($j).getDouble($c.getInt($j));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Builder shared by the registry entries: the codebook/m/ks arguments
     * arrive as foldable literals and are evaluated ONCE at resolution into
     * the plain arrays the row loop reads. */
@@ -420,6 +463,8 @@ object CatalystExpressions {
       es => BytePolyHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_tabs", pqDistTable, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_codes", pqEncode, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      es => AdcDistance(es.head, es(1)), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -470,6 +515,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_pq_codes"),
       info("graft_pq_codes", "_FUNC_(v, nrm, flatCents, m, ks) - fused PQ codes (argmin per subspace)"),
       pqEncode))
+    e.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc", "_FUNC_(codes, tabs) - ADC distance: left-fold sum of tabs[j][codes[j]]"),
+      es => AdcDistance(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
       info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
       es => UnscaledMicros(es.head)))

@@ -799,6 +799,11 @@ object Similarity {
   private[graft] def pqCodes(v: Column, nrm: Column, cb: PqCodebook): Column =
     call_function("graft_pq_codes", v, nrm, flatCb(cb), lit(cb.m), lit(cb.ks))
 
+  /** Compiled ADC fold (CatalystExpressions.AdcDistance):
+    * Σ_j tabs[j][codes[j]], left-to-right from 0.0. */
+  private[graft] def adc(codes: Column, tabs: Column): Column =
+    call_function("graft_pq_adc", codes, tabs)
+
   /** Approximate k-NN by product quantization with asymmetric distance
     * computation (ADC) — the memory side of ANN at 100 TB: each corpus
     * vector is stored as `m` small codes (m bytes at ks ≤ 256) instead of
@@ -895,15 +900,159 @@ object Similarity {
     val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     corpus.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), col("tabs"),
-          (code, tab) => element_at(tab, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      // ADC: Σ_j tabs[j][codes[j]] — the compiled left fold (AdcDistance);
+      // this runs once per CANDIDATE, the multiplied hot path
+      .withColumn("adist", adc(col("codes"), col("tabs")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
         round(col("adist"), 6).as("adist"))
       .orderBy("qid", "rnk")
+  }
+
+  // -----------------------------------------------------------------------
+  // Durable IVF-PQ index — (cell, codes) on the lake, vectors at build only
+  // -----------------------------------------------------------------------
+
+  /** Durable IVF-PQ index: the lake copy stores (vec_id, codes) partitioned
+    * by cell — m small codes instead of d floats per vector, the memory
+    * story that makes PQ the 100-TB ANN shape — plus BOTH codebooks as
+    * driver-written sidecar files ([[writeCodebookSidecar]] pattern:
+    * tmp+rename, zero Spark jobs at serve). Full vectors are read at INDEX
+    * time only; [[ivfPqTopKFromIndexFor]] never touches them. */
+  def writePqIndex(emb: DataFrame, path: String, nCells: Int = 0,
+      m: Int = 8, ks: Int = 16): Unit = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val spark = e.sparkSession
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    val cb = collectPqCodebook(e, m, ks)
+    assignCells(e, cents)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("v"), col("nrm"), cb).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignment")
+    writeCodebookSidecar(spark, path, cents)
+    writePqCodebookSidecar(spark, path, cb)
+  }
+
+  /** Incremental IVF-PQ maintenance: NEW vectors are assigned and encoded
+    * with the index's STORED codebooks and appended partition-wise — no
+    * rebuild, no rewrite of existing cell directories (the
+    * [[appendToIndex]] contract applied to codes). */
+  def appendToPqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = readIndexCodebook(spark, path)
+    val cb = readPqCodebook(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no PQ codebook at $path — writePqIndex first"))
+    require(cents.nonEmpty, s"no codebook at $path — writePqIndex first")
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    assignCells(e, cents)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("v"), col("nrm"), cb).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+  }
+
+  /** IVF-PQ serving for EXTERNAL query vectors from the durable index:
+    * codebooks from the sidecars (zero Spark jobs), ADC tables computed on
+    * the query side only, and the corpus scan PRUNED to the union of
+    * probed cells — a ≤nCells driver-side set pushed as a literal IN, so
+    * only the probed cell directories are ever opened, and only their
+    * (vec_id, codes) columns read. Over the same corpus and parameters the
+    * answer equals [[ivfPqTopK]] exactly (stored codes are exact ints; the
+    * sidecar round-trips doubles via toString/parse, which is lossless). */
+  def ivfPqTopKFromIndexFor(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = readIndexCodebook(spark, path)
+    val cbOpt = readPqCodebook(spark, path)
+    if (cents.isEmpty || cbOpt.isEmpty) return emptyAdcTopK(spark)
+    val cb = cbOpt.get
+    val q = withNorm(queries).filter(col("nrm") > 0)
+    val cidArr = typedLit(cents.map(_.cid))
+    // probe selection replays ivfPqTopK's: top-nProbe cells by
+    // (csim DESC, cid ASC); the ADC tables ride along on the probe rows
+    val probes = q.select(col("vec_id").as("qid"),
+      pqTabs(col("v"), col("nrm"), cb).as("tabs"),
+      explode(transform(
+        slice(array_sort(zip_with(
+          cellSims(centLiteral(cents), col("v"), col("nrm")), cidArr,
+          (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
+        x => x("cid"))).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val corpus = readPqAssignment(spark, path)
+      .filter(col("cell").isin(probedCells: _*))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    corpus.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", adc(col("codes"), col("tabs")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** PQ-assignment read-back — partition column restored to long, exactly
+    * like [[readAssignment]]. */
+  private def readPqAssignment(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/assignment")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+
+  private def emptyAdcTopK(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("qid"), col("id").as("rnk"),
+      col("id").as("neighbor"), col("id").cast("double").as("adist"))
+
+  /** PQ codebook sidecar: header `m \t ks \t dsub`, then m·ks lines
+    * `j \t c \t v0,v1,...` — Double.toString round-trips exactly, and the
+    * tmp+rename publish means readers never see a torn codebook. */
+  private def writePqCodebookSidecar(spark: SparkSession, path: String,
+      cb: PqCodebook): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/pq_codebook.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/pq_codebook.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(cb.m).append('\t').append(cb.ks).append('\t').append(cb.dsub)
+        .append('\n')
+      for (j <- 0 until cb.m; c <- 0 until cb.ks) {
+        sb.append(j).append('\t').append(c).append('\t')
+        val v = cb.cents(j)(c)
+        var i = 0
+        while (i < v.length) {
+          if (i > 0) sb.append(',')
+          sb.append(v(i)); i += 1
+        }
+        sb.append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish PQ codebook at $dst")
+  }
+
+  /** PQ-codebook read-back — driver-side sidecar file, zero Spark jobs. */
+  def readPqCodebook(spark: SparkSession, path: String): Option[PqCodebook] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq_codebook.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val Array(m, ks, dsub) = lines.head.split('\t').map(_.toInt)
+    val byJc = lines.tail.map { line =>
+      val Array(j, c, vs) = line.split('\t')
+      (j.toInt, c.toInt) -> vs.split(',').map(_.toDouble)
+    }.toMap
+    Some(PqCodebook(m, ks, dsub,
+      (0 until m).map(j => (0 until ks).map(c => byJc((j, c))).toIndexedSeq)))
   }
 
   private def pqTopKWith(e: DataFrame, cb: PqCodebook, queryPred: Column,
@@ -917,11 +1066,8 @@ object Similarity {
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       // ADC: Σ_j tabs[j][codes[j]] — a left fold in subspace order, the
-      // same sequence the oracle's list_reduce adds in
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), col("tabs"),
-          (code, tab) => element_at(tab, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      // same sequence the oracle's list_reduce adds in (compiled)
+      .withColumn("adist", adc(col("codes"), col("tabs")))
       .select(col("qid"), col("vec_id").as("neighbor"), col("adist"))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)

@@ -511,6 +511,28 @@ object TrainingDataQueries {
       "composition (index stores cell + codes; full vectors needed at " +
       "index time only)")
 
+  // q75: the durable IVF-PQ round trip — closes "PQ is the variant that
+  // exists because vectors don't fit memory, yet was the one still
+  // session-only". The index is built to scratch — (vec_id, codes)
+  // partitioned by cell plus both codebook sidecars — then served for
+  // q74's query set with the corpus scan pruned to probed cells and NO
+  // raw-vector access (the serve plan reads only (vec_id, codes, cell);
+  // SimilaritySpec asserts this on the physical plan). Same answer as the
+  // in-session q74, so it shares q74's oracle, which does not perform the
+  // write — the same measured asymmetry class as q56-q61.
+  private val q75 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q75-pq-index"
+      val emb = table(s, dir, "embeddings")
+      Similarity.writePqIndex(emb, scratch, nCells = 16, m = 8, ks = 16)
+      Similarity.ivfPqTopKFromIndexFor(s, scratch,
+        emb.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 2)
+    },
+    q74.oracle,
+    "Durable IVF-PQ round trip: (cell, codes) written to the lake + both " +
+      "codebook sidecars, ADC top-k served partition-pruned with no " +
+      "raw-vector access — full vectors needed at index time only")
+
   // q73: corpus-statistics LM quality score. Mean bigram probability
   // instead of log-perplexity ON PURPOSE: ln() is not bit-portable
   // across engines, +,x,/ are — and the per-doc sum folds a
@@ -648,6 +670,7 @@ object TrainingDataQueries {
     "q71_pq_topk" -> q71,
     "q73_bigram_lm" -> q73,
     "q74_ivf_pq" -> q74,
+    "q75_ivf_pq_index_roundtrip" -> q75,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31)
 }

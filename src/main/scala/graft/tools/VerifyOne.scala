@@ -9,14 +9,24 @@ import org.apache.spark.sql.SparkSession
   * queries under work, without paying a full 70-query Verify pass.
   * Usage: runMain graft.tools.VerifyOne <outDir> <name...> [--sf <dir>] */
 object VerifyOne {
+  private def usage(msg: String): Nothing = {
+    System.err.println(s"VerifyOne: $msg")
+    System.err.println("usage: runMain graft.tools.VerifyOne <outDir> <queryName...> [--sf <dir>]")
+    sys.exit(2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfIdx = args.indexOf("--sf")
+    if (sfIdx >= 0 && sfIdx + 1 >= args.length) usage("--sf needs a directory")
     val dir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.01"
     val rest = args.zipWithIndex
       .filter { case (_, i) => sfIdx < 0 || (i != sfIdx && i != sfIdx + 1) }
       .map(_._1)
+    if (rest.length < 2) usage("need an output dir and at least one query name")
     val outDir = rest.head
     val names = rest.tail
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) usage(s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

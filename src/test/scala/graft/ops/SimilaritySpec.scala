@@ -242,6 +242,61 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(n == Similarity.withNorm(fixture).filter(col("nrm") > 0).count())
   }
 
+  test("durable IVF-PQ index: serve equals in-session, reads only (vec_id, codes), pruned") {
+    Similarity.clearIndexCaches()
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/pqindex-${System.nanoTime()}"
+    Similarity.writePqIndex(fixture, dir, nCells = 16, m = 8, ks = 16)
+    val pred = col("vec_id") % 10 === 0
+    val served = Similarity.ivfPqTopKFromIndexFor(spark, dir,
+      fixture.filter(pred), k = 5, nProbe = 2)
+    val inSession = Similarity.ivfPqTopK(fixture, pred, k = 5, nCells = 16,
+      nProbe = 2).collect().map(_.toSeq).toSeq
+    val servedRows = served.collect().map(_.toSeq).toSeq
+    assert(servedRows.nonEmpty && servedRows == inSession)
+    // the 100-TB contract: the serve plan touches NO raw vectors — the
+    // assignment scan reads only (vec_id, codes) with `cell` arriving as
+    // a pruned partition column
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("assignment")) => f
+    }
+    assert(scans.nonEmpty, served.queryExecution.sparkPlan.toString)
+    scans.foreach { f =>
+      assert(f.requiredSchema.fieldNames.toSet == Set("vec_id", "codes"),
+        s"serve scan reads ${f.requiredSchema.fieldNames.mkString(",")}")
+      assert(f.partitionFilters.exists(_.toString.contains("cell")),
+        "serve scan carries no cell partition filter")
+    }
+  }
+
+  test("appendToPqIndex: appended vectors served with the stored codebooks") {
+    Similarity.clearIndexCaches()
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/pqappend-${System.nanoTime()}"
+    Similarity.writePqIndex(fixture.filter(col("vec_id") % 7 =!= 0), dir,
+      nCells = 16, m = 8, ks = 16)
+    Similarity.appendToPqIndex(fixture.filter(col("vec_id") % 7 === 0), dir)
+    // coverage: the union of assignment rows is exactly the full corpus,
+    // original cell files untouched by the append
+    val n = spark.read.parquet(s"$dir/assignment").count()
+    assert(n == Similarity.withNorm(fixture).filter(col("nrm") > 0).count())
+    // the served answer over the combined index is complete (k rows per
+    // query) and deterministic; appended vectors are reachable as
+    // neighbors (codes were computed with the STORED codebooks)
+    val served = Similarity.ivfPqTopKFromIndexFor(spark, dir,
+      fixture.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    val perQ = served.groupBy(_.head).view.mapValues(_.size)
+    assert(perQ.nonEmpty && perQ.values.forall(_ == 5))
+    val again = Similarity.ivfPqTopKFromIndexFor(spark, dir,
+      fixture.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(served == again)
+    assert(served.exists(r => r(2).asInstanceOf[Long] % 7 == 0),
+      "no appended vector ever appears as a neighbor")
+  }
+
   test("ivfTopKFromIndexFor serves external query vectors (member queries as the oracle)") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/extq-${System.nanoTime()}"
