@@ -420,6 +420,41 @@ object CatalystExpressions {
     val (v, n, flat, m, ks) = pqArgs(es); PqEncode(v, n, flat, m, ks)
   }
 
+  /** Non-overlapping `width`-word chunk tiling of a single-space-separated
+    * string — the compiled form of transform(sequence(0, n/width − 1),
+    * i ⇒ array_join(slice(words, i·width+1, width), " ")), which costs one
+    * interpreted slice+join lambda per chunk and dominated the
+    * chunk-dedup scan. Split keeps trailing empty tokens (limit −1),
+    * matching both functions.split and the oracle's string_split. */
+  case class WordChunks(child: Expression, width: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_chunks"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = text.split(" ", -1)
+      val n = words.length / width
+      val out = new Array[Any](n)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < width) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i * width + j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** [[UnscaledValue]] constrained to scale-6 decimals — the registered
     * `graft_unscaled`. Catalyst's raw UnscaledValue is scale-blind:
     * applied to a decimal whose scale is not 6 it silently mis-scales
@@ -465,6 +500,8 @@ object CatalystExpressions {
     reg.createOrReplaceTempFunction("graft_pq_codes", pqEncode, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       es => AdcDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_chunks",
+      es => WordChunks(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -518,6 +555,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc", "_FUNC_(codes, tabs) - ADC distance: left-fold sum of tabs[j][codes[j]]"),
       es => AdcDistance(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("graft_word_chunks"),
+      info("graft_word_chunks", "_FUNC_(text, width) - non-overlapping width-word chunk tiling"),
+      es => WordChunks(es.head, es(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
       info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
       es => UnscaledMicros(es.head)))

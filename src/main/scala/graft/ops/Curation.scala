@@ -157,15 +157,20 @@ object Curation {
     * against the row. */
   def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule required")
+    // NULL predicate = FAILS the rule, in both the funnel and the filter:
+    // a bare when(!passes, name) would skip a NULL condition (three-valued
+    // logic) and let the row fall through to 'pass' here while
+    // applyFunnel's filter drops it — counts and survivors would no
+    // longer partition consistently. `<=> true` pins NULL to false.
     val verdict = rules.foldRight(lit("pass")) { case ((name, passes), rest) =>
-      when(!passes, lit(name)).otherwise(rest)
+      when(!(passes <=> true), lit(name)).otherwise(rest)
     }
     df.groupBy(verdict.as("verdict"))
       .agg(count(lit(1)).as("n_docs"))
   }
 
   /** The survivors of a [[filterFunnel]] rule set — same CASE chain,
-    * kept as rows instead of counts. */
+    * kept as rows instead of counts (NULL predicates fail, as above). */
   def applyFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
-    rules.foldLeft(df) { case (acc, (_, passes)) => acc.filter(passes) }
+    rules.foldLeft(df) { case (acc, (_, passes)) => acc.filter(passes <=> true) }
 }

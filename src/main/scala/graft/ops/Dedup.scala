@@ -135,11 +135,18 @@ object Dedup {
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .unionAll(pairs.select(b.as("src"), a.as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // round 0 fused into initialization: with every label starting at its
+    // own id, the first propagation round can only produce
+    // min(id, min(neighbor ids)) — so compute that state directly from the
+    // edge list (one aggregate instead of a distinct + join + aggregate +
+    // convergence count) and enter the loop one round ahead. For the
+    // dense, diameter-2 clusters of the near-dup regime this removes a
+    // third of the rounds.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
-    var rounds = 0
+    var rounds = 1
     while (changed > 0 && rounds < maxRounds) {
       // every id has >= 1 edge by construction, so the inner join is total
       val nbrMin = edges
@@ -465,18 +472,24 @@ object Dedup {
   def chunkExactDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", width: Int = 3): DataFrame = {
     require(width >= 1, s"chunk width must be >= 1, got $width")
-    val ws = split(col(textCol), " ")
-    // int division (Column./ is double division — sequence needs ints)
-    val nChunks = floor(size(ws) / lit(width)).cast("int")
-    // guard: sequence(0, -1) would generate a DEscending [0, -1] range
-    val chunks = when(nChunks >= 1,
-      transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(ws, i * width + 1, lit(width)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    // compiled tiling (CatalystExpressions.WordChunks): the HOF chain
+    // (transform over sequence, one slice+array_join lambda per chunk)
+    // evaluated interpreted per chunk and dominated the scan
+    val chunks = call_function("graft_word_chunks", col(textCol), lit(width))
+    // ONE hash aggregation keyed by chunk, no Expand: countDistinct+count
+    // in a single agg doubles every input row through an Expand before a
+    // wider shuffle (measured 5.2× the oracle); a (chunk,id)→chunk
+    // two-level cascade removes the Expand but still pays two shuffles.
+    // collect_set keeps the single narrow shuffle — the per-chunk doc set
+    // is bounded by the number of documents sharing a passage (a handful;
+    // a pathological corpus-wide boilerplate chunk is still ≤ |docs| ids,
+    // the same bound countDistinct's dedup map pays), with map-side
+    // partial aggregation absorbing in-document repeats before the wire.
     docs
       .select(col(idCol).as("id"), explode(chunks).as("chunk"))
       .groupBy("chunk")
-      .agg(countDistinct(col("id")).as("n_docs"),
+      .agg(size(collect_set(col("id"))).cast("long").as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
   }

@@ -104,8 +104,16 @@ object CurationQueries {
       // no split re-derivation, and the scan itself skips the other
       // splits' files entirely (the thing that matters when 'documents'
       // is 100 TB and 'test' is 10%)
+      // repartition before the write: the source table is a single row
+      // group (one scan task), so an unshuffled write leaves ONE file per
+      // split directory and the expensive read-back side (5-gram shingle
+      // explode) would run single-task while the oracle parallelizes.
+      // 16 files per split is the layout a real curation job produces
+      // anyway (one per writer task) — the shuffle moves ~nothing (docs
+      // are narrow), the read-back gains 16-way scan parallelism.
       Curation.assignSplit(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("text"), col("split"))
+        .repartition(16)
         .write.mode("overwrite").option("compression", "none")
         .partitionBy("split").parquet(scratch)
       // explicit schema on read-back: the curation job that wrote the

@@ -155,4 +155,19 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .select("doc_id").as[Long].collect().toSeq
     assert(survivors == Seq(4L))
   }
+
+  test("filterFunnel: NULL predicate fails the rule in funnel and filter alike") {
+    // null lang: isin evaluates to NULL — the funnel must charge the row
+    // to r_lang (not let it fall through to 'pass') and applyFunnel must
+    // drop it, so counts and survivors stay a consistent partition
+    val rows = Seq((1L, "a b c", "en"), (2L, "a b c", null))
+      .toDF("doc_id", "text", "lang")
+    val rules = Seq("r_lang" -> col("lang").isin("en"))
+    val got = Curation.filterFunnel(rows, rules)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("r_lang" -> 1L, "pass" -> 1L))
+    val survivors = Curation.applyFunnel(rows, rules)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(1L))
+  }
 }
