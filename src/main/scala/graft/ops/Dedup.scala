@@ -153,9 +153,26 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"))
+      val prop = labels.join(nbrMin, Seq("id"))
         .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"),
           col("lbl").as("prev"))
+        .localCheckpoint()
+      // pointer-doubling shortcut (the star-operation round-cutter):
+      // lbl := lbl(lbl). Every label IS a node id, so its own label
+      // exists; following one extra hop halves the label-chain depth and
+      // a chain-shaped component converges in O(log n) rounds instead of
+      // O(n) (spec: 1000-node chain in ≤ 15 rounds). The invariant —
+      // lbl(id) is the id of a node reachable from id, monotonically
+      // decreasing — is preserved (lbl(lbl) is reachable via lbl), so
+      // the fixpoint stays exactly "min reachable id". Dense near-dup
+      // clusters converge in the same 2–3 rounds either way; the extra
+      // hop is one more small keyed join per round.
+      val next = prop
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          col("prev"))
         .localCheckpoint()
       changed = next.filter(col("lbl") < col("prev")).count()
       labels = next.select(col("id"), col("lbl"))

@@ -934,6 +934,27 @@ object Similarity {
     writePqCodebookSidecar(spark, path, cb)
   }
 
+  /** [[writePqIndex]] with seeded MLlib KMeans codebooks for BOTH stages
+    * (coarse cells via [[kmeansCentroids]], per-subspace quantizers via
+    * the [[pqTopKKMeans]] trainer) — the production index build: trained
+    * cells balance partition sizes and trained sub-centroids roughly
+    * double ADC recall on this corpus (measured in SimilaritySpec).
+    * Serving is codebook-agnostic, so [[ivfPqTopKFromIndexFor]] and
+    * [[appendToPqIndex]] work identically over either build. */
+  def writePqIndexKMeans(emb: DataFrame, path: String, nCells: Int = 0,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L): Unit = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val spark = e.sparkSession
+    val cents = kmeansCentroids(e, resolveCells(e, nCells), seed)
+    val cb = kmeansPqCodebook(e, m, ks, seed)
+    assignCells(e, cents)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("v"), col("nrm"), cb).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignment")
+    writeCodebookSidecar(spark, path, cents)
+    writePqCodebookSidecar(spark, path, cb)
+  }
+
   /** Incremental IVF-PQ maintenance: NEW vectors are assigned and encoded
     * with the index's STORED codebooks and appended partition-wise — no
     * rebuild, no rewrite of existing cell directories (the

@@ -79,6 +79,24 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous maintenance of the durable IVF-PQ index
+    * ([[graft.ops.Similarity.writePqIndex]] layout): each micro-batch of
+    * (vec_id, embedding) rows is assigned AND PQ-encoded with the index's
+    * stored codebooks and appended partition-wise — the streaming form of
+    * [[graft.ops.Similarity.appendToPqIndex]]. Full vectors exist only in
+    * the micro-batch; the lake copy stays (cell, codes). Same
+    * at-least-once contract as [[toIndex]]. */
+  def toPqIndex(stream: DataFrame, indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Similarity.appendToPqIndex(batch, indexPath)
+      }
+      .start()
+
   /** Continuous maintenance of the durable dedup index
     * ([[graft.ops.Dedup.writeShingleIndex]] layout): each micro-batch of
     * documents is shingled/banded with the index's stored parameters and

@@ -108,6 +108,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("connectedComponents: 1000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for plain min-label propagation (would need ~999
+    // rounds); the pointer-doubling shortcut must close it within a
+    // logarithmic budget — maxRounds = 15 > log2(1000) + slack, and the
+    // require inside connectedComponents throws if it fails to converge
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Dedup.connectedComponents(chain, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L))
+  }
+
   test("dedupSurvivors matches a union-find oracle on the real corpus") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)

@@ -270,6 +270,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("writePqIndexKMeans: trained-codebook index serves the pqTopKKMeans answer") {
+    Similarity.clearIndexCaches()
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/pqkm-${System.nanoTime()}"
+    Similarity.writePqIndexKMeans(fixture, dir, nCells = 16, m = 8, ks = 16,
+      seed = 42L)
+    val pred = col("vec_id") % 10 === 0
+    // probing every cell makes the coarse stage a no-op, so the served
+    // answer must equal the flat trained-codebook PQ exactly (same
+    // kmeansPqCodebook seed -> same fine quantizer on both paths)
+    val served = Similarity.ivfPqTopKFromIndexFor(spark, dir,
+      fixture.filter(pred), k = 5, nProbe = 16).collect().map(_.toSeq).toSeq
+    val flat = Similarity.pqTopKKMeans(fixture, pred, k = 5, m = 8, ks = 16,
+      seed = 42L).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == flat)
+    Similarity.clearIndexCaches()
+  }
+
   test("appendToPqIndex: appended vectors served with the stored codebooks") {
     Similarity.clearIndexCaches()
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -60,6 +60,38 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       "index must stay exact as vectors stream in")
   }
 
+  test("toPqIndex: streamed vectors are encoded with the stored codebooks") {
+    val root = Files.createTempDirectory("graft-streamsink-pqidx").toString
+    val idx = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    val srcDir = s"$root/src"
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    graft.ops.Similarity.clearIndexCaches()
+    // index built on 6/7 of the corpus; the rest arrives as a stream and
+    // must be assigned + PQ-encoded with the STORED codebooks
+    graft.ops.Similarity.writePqIndex(emb.filter(col("vec_id") % 7 =!= 0), idx,
+      nCells = 16, m = 8, ks = 16)
+    emb.filter(col("vec_id") % 7 === 0).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema).parquet(srcDir)
+    StreamSink.toPqIndex(stream, idx, ckpt).awaitTermination()
+    // coverage: every corpus vector is in the combined assignment
+    val n = spark.read.parquet(s"$idx/assignment").count()
+    val expected = graft.ops.Similarity.withNorm(emb).filter(col("nrm") > 0).count()
+    assert(n == expected, "streamed vectors missing from the PQ assignment")
+    // streamed-batch codes equal a driver-side append with the same
+    // stored codebooks (appendToPqIndex is the batch twin of this sink)
+    val idx2 = s"$root/index2"
+    graft.ops.Similarity.writePqIndex(emb.filter(col("vec_id") % 7 =!= 0), idx2,
+      nCells = 16, m = 8, ks = 16)
+    graft.ops.Similarity.appendToPqIndex(
+      emb.filter(col("vec_id") % 7 === 0), idx2)
+    val a = spark.read.parquet(s"$idx/assignment")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(s"$idx2/assignment")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "streaming and batch append must produce identical indexes")
+  }
+
   test("toShingleIndex: streamed documents keep the durable dedup index exact") {
     val root = Files.createTempDirectory("graft-streamsink-shidx").toString
     val idx = s"$root/index"
