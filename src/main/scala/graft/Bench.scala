@@ -189,8 +189,17 @@ object Bench {
       } else plateauCount = 0
       p
     }
-    // JIT-warm the probe loop so the reference reflects compiled speed
-    (1 to 20).foreach(_ => sampleProbe())
+    // JIT-warm the probe loop WITHOUT feeding the floor: these samples
+    // run on a pre-suite idle JVM that rep-time probes — taken with the
+    // executor pool, block manager, and GC threads alive — can never
+    // match (observed: fresh floor 5.6 ms from the warm loop, every
+    // mid-run probe >1.5× on a provably quiet host ⇒ 68/68 unclean and
+    // the whole extra-rep budget burned). The fresh floor is instead
+    // established right after the query warm-up pass, when the JVM is in
+    // the same state the measured reps run in; a persisted file floor
+    // (itself captured at steady state by the previous run) min-merges
+    // as before.
+    (1 to 20).foreach(_ => probe())
     def persistProbeRef(): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(probeRefFile),
         bestProbe.toString.getBytes("UTF-8"))
@@ -276,6 +285,10 @@ object Bench {
     val timedQueries = queries.filterNot(q => notTimed(q._1))
     val warmTimes = timedQueries.map { case (_, fn) => run(fn) }
     val warmSum = warmTimes.filter(_ >= 0).sum
+    // establish the fresh probe floor at suite steady state (see the
+    // warm-loop comment above) — with a persisted file floor this only
+    // ever lowers it
+    (1 to 5).foreach(_ => sampleProbe())
 
     // Time budget: the driver kills the bench process at a fixed wall
     // clock; an artifact with fewer reps beats no artifact (r7: rc 124,
