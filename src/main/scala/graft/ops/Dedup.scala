@@ -222,7 +222,16 @@ object Dedup {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands (see minhashNearDups)")
     val spark = docs.sparkSession
-    docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
+    // hash-repartition BEFORE the shingle projection: a single-row-group
+    // source scans as one task, and without the exchange the entire
+    // shingle compute (and one output file, and therefore the read-back
+    // signature pass) would run single-threaded — the build pipeline
+    // must parallelize like the 100-TB layout it models, where the
+    // corpus arrives as many files. Keyed on id (deterministic
+    // placement), sized to the scheduler's parallelism.
+    val n = spark.sparkContext.defaultParallelism
+    docs.repartition(n, col(idCol))
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     val withSig = readShingles(spark, path)
       .withColumn("sig", minhashSignature(col("sh"), k))
@@ -261,6 +270,10 @@ object Dedup {
     graft.functions.CatalystExpressions.register(docs.sparkSession)
     val spark = docs.sparkSession
     val (shingleWidth, k, bands) = readMeta(spark, path)
+    // NO pre-projection repartition here, unlike writeShingleIndex: an
+    // append batch is a fraction of the corpus, and the A/B (NOTES.md r8)
+    // measured the exchange + the extra tiny files it appends as a net
+    // loss for every later read of the table
     val newSets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWidth).as("sh")).persist()
     try {
