@@ -285,6 +285,20 @@ object Dedup {
     } finally newSets.unpersist()
   }
 
+  /** Compact the shingle/LSH index after a run of appends: every
+    * [[appendToShingleIndex]] / streaming micro-batch adds a file per
+    * band directory plus shingle files, and serving cost grows with file
+    * count, not data size. Delegates to [[graft.io.Lake.compact]] — the
+    * rewrite is swap-published, so a reader never sees a half-compacted
+    * table, and the band partitioning (one task per band directory) is
+    * preserved. Results served before and after are identical
+    * (spec-asserted). */
+  def compactShingleIndex(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    graft.io.Lake.compact(spark, s"$path/shingles", Nil, targetFileBytes)
+    graft.io.Lake.compact(spark, s"$path/bands", Seq("band"), targetFileBytes)
+  }
+
   private def readShingles(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/shingles")
 

@@ -411,6 +411,20 @@ object Similarity {
     }.toSeq.sortBy(_.cid)
   }
 
+  /** Compact an ANN index's assignment table after a run of appends:
+    * each [[appendToIndex]] / [[appendToPqIndex]] / streaming micro-batch
+    * adds a file per touched cell directory, and serving cost grows with
+    * file count. Delegates to [[graft.io.Lake.compact]] (swap-published —
+    * readers never see a half-compacted table); the cell partitioning is
+    * preserved, so serving stays partition-pruned. Applies to BOTH index
+    * layouts — [[writeIndex]]'s (vectors) and [[writePqIndex]]'s (codes) —
+    * since both store `assignment` partitioned by cell. */
+  def compactIndex(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    graft.io.Lake.compact(spark, s"$path/assignment", Seq("cell"),
+      targetFileBytes)
+  }
+
   /** Assignment read-back. The partition column comes back as the
     * directory-name integer type; restore long so downstream joins and
     * literals line up with the in-session path. (The cast commutes with

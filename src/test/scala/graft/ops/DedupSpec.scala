@@ -108,6 +108,30 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("compactShingleIndex: fewer files, identical served pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/compact-${System.nanoTime()}"
+    Dedup.writeShingleIndex(docs.filter(col("doc_id") % 3 === 0), dir)
+    Dedup.appendToShingleIndex(docs.filter(col("doc_id") % 3 === 1), dir)
+    Dedup.appendToShingleIndex(docs.filter(col("doc_id") % 3 === 2), dir)
+    val before = Dedup.minhashNearDupsFromIndex(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles(s"$dir/bands") + dataFiles(s"$dir/shingles")
+    Dedup.compactShingleIndex(spark, dir)
+    val filesAfter = dataFiles(s"$dir/bands") + dataFiles(s"$dir/shingles")
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files ($filesBefore -> $filesAfter)")
+    val after = Dedup.minhashNearDupsFromIndex(spark, dir, 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(after.nonEmpty && after == before,
+      "compaction must not change served pairs")
+  }
+
   test("connectedComponents: 1000-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // worst case for plain min-label propagation (would need ~999

@@ -315,6 +315,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       "no appended vector ever appears as a neighbor")
   }
 
+  test("compactIndex: fewer files, identical served results (ANN and PQ layouts)") {
+    Similarity.clearIndexCaches()
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    // ANN layout
+    val dir = s"/tmp/graft-test-sim/compact-${System.nanoTime()}"
+    Similarity.writeIndex(fixture.filter(col("vec_id") % 3 === 0), dir, nCells = 16)
+    Similarity.appendToIndex(fixture.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.appendToIndex(fixture.filter(col("vec_id") % 3 === 2), dir)
+    val before = Similarity.cosinePairsBlockedFromIndex(spark, dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val fb = dataFiles(s"$dir/assignment")
+    Similarity.compactIndex(spark, dir)
+    assert(dataFiles(s"$dir/assignment") < fb)
+    val after = Similarity.cosinePairsBlockedFromIndex(spark, dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    assert(after.nonEmpty && after == before)
+    // PQ layout: same entry point, same guarantee
+    val pqDir = s"/tmp/graft-test-sim/compactpq-${System.nanoTime()}"
+    Similarity.writePqIndex(fixture.filter(col("vec_id") % 3 =!= 2), pqDir,
+      nCells = 16, m = 8, ks = 16)
+    Similarity.appendToPqIndex(fixture.filter(col("vec_id") % 3 === 2), pqDir)
+    val pqQ = fixture.filter(col("vec_id") % 10 === 0)
+    val pqBefore = Similarity.ivfPqTopKFromIndexFor(spark, pqDir, pqQ, 5, 2)
+      .collect().map(_.toSeq).toSeq
+    val pfb = dataFiles(s"$pqDir/assignment")
+    Similarity.compactIndex(spark, pqDir)
+    assert(dataFiles(s"$pqDir/assignment") < pfb)
+    val pqAfter = Similarity.ivfPqTopKFromIndexFor(spark, pqDir, pqQ, 5, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(pqAfter.nonEmpty && pqAfter == pqBefore)
+  }
+
   test("ivfTopKFromIndexFor serves external query vectors (member queries as the oracle)") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/extq-${System.nanoTime()}"
