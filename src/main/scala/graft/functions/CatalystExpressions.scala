@@ -455,6 +455,47 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Overlapping `width`-word windows at `stride`-word steps — the
+    * context-window segmentation of long documents (training-chunk /
+    * retrieval-passage splitting). Window i covers words
+    * [i·stride, min(i·stride+width, n)); the window count
+    * ceil(max(n−width,0)/stride)+1 guarantees every word is covered and
+    * the last window is the only short one. stride = width degenerates
+    * to [[WordChunks]]' non-overlapping tiling; stride < width yields
+    * width−stride words of overlap between neighbors. Split keeps
+    * trailing empty tokens (limit −1) like the oracle's string_split. */
+  case class WordWindows(child: Expression, width: Int, stride: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_windows"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = text.split(" ", -1)
+      val n = words.length
+      val nw = (math.max(n - width, 0) + stride - 1) / stride + 1
+      val out = new Array[Any](nw)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < nw) {
+        val start = i * stride
+        val end = math.min(start + width, n)
+        sb.setLength(0)
+        var j = start
+        while (j < end) {
+          if (j > start) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** [[UnscaledValue]] constrained to scale-6 decimals — the registered
     * `graft_unscaled`. Catalyst's raw UnscaledValue is scale-blind:
     * applied to a decimal whose scale is not 6 it silently mis-scales
@@ -502,6 +543,9 @@ object CatalystExpressions {
       es => AdcDistance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_chunks",
       es => WordChunks(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_windows",
+      es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int]), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -558,6 +602,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_word_chunks"),
       info("graft_word_chunks", "_FUNC_(text, width) - non-overlapping width-word chunk tiling"),
       es => WordChunks(es.head, es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_word_windows"),
+      info("graft_word_windows", "_FUNC_(text, width, stride) - overlapping word windows (context segmentation)"),
+      es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
       info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
       es => UnscaledMicros(es.head)))

@@ -147,6 +147,29 @@ object Curation {
       .drop("__salt")
   }
 
+  /** Context-window segmentation: split each document into overlapping
+    * `width`-word windows at `stride`-word steps — the chunking step that
+    * feeds context-bounded training examples and retrieval passages.
+    * Window i of a doc covers words [i·stride, min(i·stride+width, n));
+    * every word is covered, neighbors share width−stride words, and only
+    * the final window can be short. One compiled projection
+    * (CatalystExpressions.WordWindows) + posexplode — stateless,
+    * embarrassingly parallel, no shuffle; output grows by roughly
+    * width/stride × the corpus token count, which is the inherent cost
+    * of overlap, not a plan artifact. Exact and SQL-replayable. */
+  def segmentDocs(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1, s"width/stride must be >= 1")
+    require(stride <= width,
+      s"stride=$stride > width=$width would drop words between windows")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        posexplode(call_function("graft_word_windows", col(textCol),
+          lit(width), lit(stride))).as(Seq("seg_id", "seg_text")))
+      .select(col(idCol), col("seg_id").cast("long").as("seg_id"),
+        col("seg_text"))
+  }
+
   /** Quality-filter funnel: classify every row by the FIRST rule it
     * fails (rules in order; survivors get 'pass') and count each bucket —
     * the per-rule observability every production corpus filter ships

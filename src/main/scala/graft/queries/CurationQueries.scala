@@ -189,6 +189,27 @@ object CurationQueries {
       "min-length / type-token ratio / repetition / language whitelist) " +
       "in a single aggregation pass")
 
+  // q76: context-window segmentation — overlapping 64-word windows at
+  // 48-word steps (16 words of overlap between neighbors), the chunking
+  // step that feeds context-bounded training examples and retrieval
+  // passages. The window-count formula, slicing, and join are replayed
+  // exactly by the oracle, so the segmentation is hash-checked end to
+  // end. Compiled projection + posexplode; no shuffle before the
+  // deterministic output sort.
+  private val q76 = Q(
+    (s, dir) => Curation.segmentDocs(table(s, dir, "documents"),
+        "doc_id", "text", width = 64, stride = 48)
+      .orderBy("doc_id", "seg_id"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "nn AS (SELECT doc_id, ws, len(ws) AS n FROM w), " +
+      "s AS (SELECT doc_id, ws, unnest(range((greatest(n - 64, 0) + 47)//48 + 1)) AS i FROM nn) " +
+      "SELECT doc_id, CAST(i AS BIGINT) AS seg_id, " +
+      "array_to_string(ws[i*48+1:i*48+64], ' ') AS seg_text " +
+      "FROM s ORDER BY doc_id, seg_id"),
+    "Context-window segmentation: overlapping 64-word windows at 48-word " +
+      "stride per document — training-chunk / retrieval-passage splitting " +
+      "with every word covered and only the final window short")
+
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
@@ -196,5 +217,6 @@ object CurationQueries {
     "q50_decontaminate" -> q50,
     "q51_decontaminate_mat" -> q51,
     "q67_domain_cap" -> q67,
-    "q69_filter_funnel" -> q69)
+    "q69_filter_funnel" -> q69,
+    "q76_segment_windows" -> q76)
 }

@@ -156,6 +156,33 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(survivors == Seq(4L))
   }
 
+  test("segmentDocs: windows cover every word with exact stride overlap") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val width = 10
+    val stride = 7
+    val segs = Curation.segmentDocs(docs, "doc_id", "text", width, stride)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(segs.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val words = text.split(" ", -1).toSeq
+      val got = segs(id)
+      // each window is exactly the slice [i*stride, i*stride+width)
+      got.zipWithIndex.foreach { case (seg, i) =>
+        val expect = words.slice(i * stride, math.min(i * stride + width, words.length))
+        assert(seg.split(" ", -1).toSeq == expect, s"doc $id window $i")
+      }
+      // coverage: the last window reaches the end of the document
+      val lastStart = (got.size - 1) * stride
+      assert(lastStart + width >= words.length, s"doc $id uncovered tail")
+      // minimality: one fewer window would leave a tail uncovered (or is
+      // the single mandatory window)
+      assert(got.size == 1 || (got.size - 2) * stride + width < words.length,
+        s"doc $id emitted a redundant window")
+    }
+  }
+
   test("filterFunnel: NULL predicate fails the rule in funnel and filter alike") {
     // null lang: isin evaluates to NULL — the funnel must charge the row
     // to r_lang (not let it fall through to 'pass') and applyFunnel must
