@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip",
     "q58_dedup_index_roundtrip", "q59_dedup_incremental",
     "q60_ann_index_append", "q61_dedup_index_append",
-    "q62_dedup_clusters", "q63_dedup_survivors", "q65_stream_left_join")
+    "q62_dedup_clusters", "q63_dedup_survivors", "q65_stream_left_join",
+    "q75_ivf_pq_index_roundtrip")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
