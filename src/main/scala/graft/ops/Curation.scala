@@ -147,6 +147,47 @@ object Curation {
       .drop("__salt")
   }
 
+  /** Seeded shuffle hash: h1 = (id' · 48271 + seed) mod P, then the
+    * NONLINEAR mix h = (h1² + h1) mod P (P = 2³¹−1). The squaring is the
+    * point: any purely affine seeding (like [[idHash]] with an additive
+    * seed) shifts every hash by the same constant, so a new seed only
+    * ROTATES the sorted order instead of re-permuting it — (h1+Δ)²
+    * makes pairwise differences depend on h1, giving a genuinely
+    * different order per seed (spec-asserted). The +h1 term breaks the
+    * x ↔ P−x collision symmetry of a bare square. Same overflow-safety
+    * contract as [[idHash]]: id reduced mod 2³¹ first, every
+    * intermediate < 2⁶³, so the exact arithmetic replays in any ANSI
+    * SQL engine. */
+  def idHashSeeded(id: Column, seed: Long): Column = {
+    val p = lit(2147483647L)
+    val h1 = (pmod(id, lit(2147483648L)) * lit(48271L) + lit(seed)) % p
+    (h1 * h1 + h1) % p
+  }
+
+  /** Deterministic corpus shuffle + shard assignment: every row gets a
+    * seeded pseudorandom hash, a shard = hash mod `nShards`, and a
+    * position within its shard (hash order, id tie-break) — the
+    * reproducible training-order randomization every corpus export runs
+    * (same seed ⇒ identical order across runs, re-ingestions, and
+    * repartitionings; a new seed is a fresh permutation).
+    *
+    * Scale shape: the hash and shard are stateless projections; the only
+    * wide operation is one window keyed BY SHARD — parallelism = shard
+    * count, which is exactly the export's file parallelism, and never a
+    * global single-partition row_number (the classic unscalable corpus
+    * shuffle). Pure 64-bit integer arithmetic, replayed exactly by the
+    * SQL oracle. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = idHashSeeded(col(idCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Context-window segmentation: split each document into overlapping
     * `width`-word windows at `stride`-word steps — the chunking step that
     * feeds context-bounded training examples and retrieval passages.

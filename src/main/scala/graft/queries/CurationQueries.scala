@@ -210,6 +210,26 @@ object CurationQueries {
       "stride per document — training-chunk / retrieval-passage splitting " +
       "with every word covered and only the final window short")
 
+  // q77: deterministic corpus shuffle + shard assignment — the
+  // reproducible training-order randomization of a corpus export. The
+  // seeded hash, shard modulus, and per-shard ranking are plain integer
+  // arithmetic, replayed exactly; the only wide operation is the window
+  // keyed by shard (parallelism = shard count — never a global
+  // single-partition row_number).
+  private val q77 = Q(
+    (s, dir) => Curation.shuffleShards(table(s, dir, "documents"),
+        "doc_id", nShards = 8, seed = 12345L)
+      .orderBy("shard", "pos"),
+    Some("WITH h1 AS (SELECT doc_id, " +
+      "((doc_id % 2147483648) * 48271 + 12345) % 2147483647 AS g FROM documents), " +
+      "h AS (SELECT doc_id, (g*g + g) % 2147483647 AS hh FROM h1) " +
+      "SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard, " +
+      "CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos " +
+      "FROM h ORDER BY shard, pos"),
+    "Deterministic seeded corpus shuffle: pseudorandom shard + in-shard " +
+      "position per document — reproducible training-order randomization " +
+      "with shard-level (never global-window) parallelism")
+
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
@@ -218,5 +238,6 @@ object CurationQueries {
     "q51_decontaminate_mat" -> q51,
     "q67_domain_cap" -> q67,
     "q69_filter_funnel" -> q69,
-    "q76_segment_windows" -> q76)
+    "q76_segment_windows" -> q76,
+    "q77_shuffle_shards" -> q77)
 }

@@ -183,6 +183,32 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("shuffleShards: deterministic, complete, seed-sensitive, shard-parallel") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    val a = Curation.shuffleShards(docs, "doc_id", 8, 12345L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    // complete permutation: every doc exactly once, positions 1..count
+    // within each shard, every shard populated
+    assert(a.length == n && a.map(_._1).distinct.length == n)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $shard")
+    }
+    assert(a.map(_._2).distinct.length == 8)
+    // deterministic across runs; a different seed is a different order
+    val b = Curation.shuffleShards(docs, "doc_id", 8, 12345L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(a.toSeq == b.toSeq)
+    val c = Curation.shuffleShards(docs, "doc_id", 8, 777L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(a.map(_._1).toSeq != c.map(_._1).toSeq, "seed must change the order")
+    // scale shape: the ranking window is keyed by shard, never a global
+    // single-partition sort
+    val plan = Curation.shuffleShards(docs, "doc_id", 8, 12345L)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("filterFunnel: NULL predicate fails the rule in funnel and filter alike") {
     // null lang: isin evaluates to NULL — the funnel must charge the row
     // to r_lang (not let it fall through to 'pass') and applyFunnel must
