@@ -88,6 +88,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.queries.Queries.scratchRoot + "/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

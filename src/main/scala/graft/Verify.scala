@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.queries.Queries.scratchRoot + "/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

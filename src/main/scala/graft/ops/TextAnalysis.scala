@@ -149,6 +149,47 @@ object TextAnalysis {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` most characteristic terms per
+    * document, scored tf × (N/df) — term frequency times inverse document
+    * frequency, with the idf kept as a plain ratio instead of the usual
+    * ln(N/df). The log is monotone, so the RANKING is identical, and the
+    * ratio keeps every operation IEEE-exact (`tf·N` exact in integers,
+    * one exactly-rounded division) — the same bit-portability rule as
+    * [[bigramLmScore]]: ln() is not reproducible across engines, ×,÷ are.
+    *
+    * Shape at scale (corpus token count = T, vocabulary = V, docs = N):
+    *  - explode → per-(doc,term) count: one keyed shuffle over T terms
+    *    with map-side partial aggregation;
+    *  - document frequency: a second agg over the (doc,term) frame —
+    *    |V| rows out, broadcast back onto the tf frame (no shuffle of
+    *    the big side for the join);
+    *  - N arrives as a broadcast 1-row aggregate (no driver round-trip,
+    *    stays one job);
+    *  - top-k per doc: row_number window partitioned by doc — shuffles
+    *    the (doc,term) frame once, k·N rows out. Ties broken by term asc
+    *    so the cut is total-ordered and engine-independent. */
+  def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = docs.filter(col(textCol).isNotNull)
+    val terms = live
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = live.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately the
     * common subset of Java regex and RE2 syntax (character classes and
     * bounded repetition only — no backreferences, no lookaround) so the

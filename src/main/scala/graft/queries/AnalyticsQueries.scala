@@ -305,6 +305,82 @@ object AnalyticsQueries {
       "ORDER BY event_type"),
     "ORC sink + explicit-schema source round-trip with a pushed filter")
 
+  /** Delta-style MERGE (latest-wins upsert) into a partitioned lake —
+    * Lake.mergeInto's copy-on-write path end-to-end: stage orders
+    * partitioned by year, apply one update batch (restated 1997 prices →
+    * status 'U', plus brand-new 'N' rows), read the lake back. Only the
+    * 1997 partition is rewritten (partition-pruned COW; MergeSpec asserts
+    * the other partitions' files are byte-untouched); the replace itself
+    * is a broadcast anti-join — no shuffle. The oracle replays merge
+    * semantics declaratively (batch wins by key, else base row); like
+    * q05/q41/q51 the engine pays two real writes the baseline skips. */
+  private val q78 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q78-lake"
+      val o = table(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      graft.io.Lake.overwrite(o, scratch, Seq("o_year"))
+      val base97 = o.filter(col("o_year") === 1997)
+      val restated = base97.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+        .withColumn("o_orderstatus", lit("U"))
+      val novel = base97.filter(col("o_orderkey") % 50 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      graft.io.Lake.mergeInto(s, scratch, restated.unionAll(novel),
+        Seq("o_orderkey"), "o_year")
+      graft.io.Lake.read(s, scratch)
+        .filter(col("o_year") === 1997)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      "FROM orders WHERE year(o_orderdate) = 1997), " +
+      "upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, " +
+      "o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice FROM o " +
+      "WHERE o_orderkey % 3 = 0 " +
+      "UNION ALL SELECT o_orderkey + 100000000, 'N', o_totalprice FROM o " +
+      "WHERE o_orderkey % 50 = 1) " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM o " +
+      "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd) " +
+      "UNION ALL SELECT * FROM upd ORDER BY o_orderkey"),
+    "Latest-wins MERGE upsert into a year-partitioned lake: " +
+      "partition-pruned copy-on-write rewrite, broadcast anti-join " +
+      "replace, per-partition atomic publish")
+
+  /** Co-located large⋈large join via bucketed tables: both sides written
+    * bucketBy(8) on the join key (the layout a 100-TB lake maintains for
+    * its repeated fact⋈fact joins), then joined with a merge hint — the
+    * catalog bucket metadata satisfies the join's distribution
+    * requirement, so NEITHER side shuffles (BucketingSpec asserts zero
+    * Exchange under the join; the only exchange left is the 3-row final
+    * agg). The write cost is paid once and amortized over every
+    * subsequent join — here it's paid inside the query, like every
+    * roundtrip entry, while the oracle joins the raw tables directly. */
+  private val q79 = Q(
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      graft.io.Lake.writeBucketed(o, "q79_orders", "o_orderkey", 8,
+        Some("o_orderkey"))
+      graft.io.Lake.writeBucketed(l, "q79_lineitem", "o_orderkey", 8,
+        Some("o_orderkey"))
+      s.table("q79_orders").hint("merge")
+        .join(s.table("q79_lineitem"), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.ops.BarOps.moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderstatus")
+    },
+    Some("SELECT o_orderstatus, count(*) AS n_items, " +
+      dsum("l_extendedprice") + " AS rev FROM orders " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "Shuffle-free co-located join over bucketed tables: bucketBy(8) on " +
+      "the join key on both sides, merge join with zero Exchange under it")
+
   /** Frame sampling over the opaque media payload (64-byte frames every
     * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
     * Oracle note: the engine slices BYTES (the right semantics for media
@@ -464,6 +540,8 @@ object AnalyticsQueries {
     "q41_json_roundtrip" -> q41,
     "q42_csv_roundtrip" -> q42,
     "q72_orc_roundtrip" -> q72,
+    "q78_merge_upsert" -> q78,
+    "q79_bucketed_join" -> q79,
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
     "q35_percentiles" -> q35,

@@ -147,6 +147,29 @@ object TrainingDataQueries {
     Some(s"SELECT doc_id, $duckCharFold AS fp FROM documents ORDER BY doc_id"),
     "Document fingerprint: polynomial rolling hash over characters")
 
+  // q80: TF-IDF keyword extraction. Ratio idf (N/df, no ln) keeps the
+  // score IEEE-exact-replayable — the log is monotone so the top-k cut is
+  // unchanged; ties broken by term asc so the cut is total-ordered.
+  private val q80 = Q(
+    (s, dir) => TextAnalysis.tfIdfTopK(table(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rnk"),
+    Some("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "t AS (SELECT doc_id, term, count(*) AS tf FROM w " +
+      "WHERE length(term) > 0 GROUP BY doc_id, term), " +
+      "d AS (SELECT term, count(*) AS df FROM t GROUP BY term), " +
+      "n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL), " +
+      "r AS (SELECT doc_id, term, tf, df, " +
+      "CAST(tf * n AS DOUBLE) / df AS score, " +
+      "row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term) AS rnk " +
+      "FROM t JOIN d USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3 " +
+      "ORDER BY doc_id, rnk"),
+    "TF-IDF top-3 characteristic terms per document (ratio idf = N/df: " +
+      "same ranking as ln-idf, bit-portable arithmetic), document " +
+      "frequency broadcast back onto the tf frame")
+
   private val q28 = Q(
     (s, dir) => Multimodal.extractFeaturesDeclarative(table(s, dir, "documents"))
       .orderBy("doc_id"),
@@ -651,6 +674,7 @@ object TrainingDataQueries {
     "q25_quality_score" -> q25,
     "q26_token_count" -> q26,
     "q27_fingerprint" -> q27,
+    "q80_tfidf" -> q80,
     "q28_multimodal_features" -> q28,
     "q29_ann_ivf" -> q29,
     "q54_ann_recall" -> q54,

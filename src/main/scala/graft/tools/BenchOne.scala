@@ -20,6 +20,7 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.queries.Queries.scratchRoot + "/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val all = graft.SparkEntry.queries

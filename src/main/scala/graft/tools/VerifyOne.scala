@@ -34,6 +34,7 @@ object VerifyOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.queries.Queries.scratchRoot + "/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()

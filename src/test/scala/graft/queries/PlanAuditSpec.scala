@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q58_dedup_index_roundtrip", "q59_dedup_incremental",
     "q60_ann_index_append", "q61_dedup_index_append",
     "q62_dedup_clusters", "q63_dedup_survivors", "q65_stream_left_join",
-    "q75_ivf_pq_index_roundtrip")
+    "q75_ivf_pq_index_roundtrip",
+    "q78_merge_upsert", "q79_bucketed_join")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -42,7 +43,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     * PQ — the broadcast ADC-table scan is the operator (each candidate
     * costs m lookups, not a d-dot; the cell-pruned composition is IVF-PQ). */
   private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark",
-    "q55_ann_recall_sample", "q71_pq_topk")
+    "q55_ann_recall_sample", "q71_pq_topk",
+    // q80 joins a broadcast 1-row aggregate (the corpus size N) — the
+    // q04 watermark shape: linear, not quadratic
+    "q80_tfidf")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
