@@ -381,6 +381,119 @@ object AnalyticsQueries {
     "Shuffle-free co-located join over bucketed tables: bucketBy(8) on " +
       "the join key on both sides, merge join with zero Exchange under it")
 
+  /** Time-series gap-fill: regularize the ragged event stream onto a
+    * dense (event_type × hour) grid — absent hours get count 0 and the
+    * last seen hourly value forward-filled (the resample→ffill step every
+    * bar/metric pipeline runs before modeling). Scale shape: the heavy
+    * input is reduced FIRST by a map-side-partial hourly agg; the grid is
+    * |dims| × |hours| — independent of event count — built from a
+    * broadcast 1-row min/max span, and the forward-fill window shuffles
+    * only the grid, partitioned by type so no single-partition sort
+    * exists. */
+  private val q81 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.BarOps.moneySum(col("value")).as("v"))
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)).as("v_fill"))
+        .orderBy("event_type", "h")
+    },
+    Some(EV + ", hrly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "count(*) AS n_events, " + dsum("value") + " AS v FROM ev GROUP BY 1, 2), " +
+      "span AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+      "date_trunc('hour', max(ts)) AS h1 FROM ev), " +
+      "grid AS (SELECT t.event_type, g.h FROM " +
+      "(SELECT DISTINCT event_type FROM ev) t CROSS JOIN " +
+      "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span) g) " +
+      "SELECT g.event_type, g.h, coalesce(n_events, 0) AS n_events, " +
+      "coalesce(last_value(v IGNORE NULLS) OVER (PARTITION BY g.event_type " +
+      "ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_fill " +
+      "FROM grid g LEFT JOIN hrly ON g.event_type = hrly.event_type AND g.h = hrly.h " +
+      "ORDER BY g.event_type, g.h"),
+    "Gap-fill onto a dense type×hour grid: zero-filled counts, " +
+      "forward-filled hourly value (resample + ffill), grid size " +
+      "independent of event count")
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * per-supplier totals are materialized once from the base partition of
+    * lineitem, then a delta batch arrives and the view is refreshed by
+    * MERGING AGGREGATION STATES — union of (old partials, delta partials)
+    * re-aggregated — never rescanning the base table. Cost is
+    * O(|delta| + |view|) instead of O(|base|): the difference between a
+    * nightly full rebuild and a minutely refresh at 100 TB. Counts merge
+    * by sum; money merges in EXACT DECIMAL (kept decimal in the stored
+    * view — two rounded doubles would not re-add exactly), surfaced as
+    * double only at serve time. The oracle recomputes from scratch over
+    * the full table: state-merge refresh must be indistinguishable. */
+  private val q82 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q82-view"
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,6)")).as("qty_d"))
+      partials(li.filter(col("l_orderkey") % 7 =!= 0))
+        .write.mode("overwrite").parquet(scratch)
+      val delta = partials(li.filter(col("l_orderkey") % 7 === 0))
+      s.read.parquet(scratch).unionAll(delta)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("n_items")).as("n_items"), sum(col("qty_d")).as("qty_d"))
+        .select(col("l_suppkey"), col("n_items"),
+          col("qty_d").cast("double").as("qty"))
+        .orderBy("l_suppkey")
+    },
+    Some("SELECT l_suppkey, count(*) AS n_items, " + dsum("l_quantity") +
+      " AS qty FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
+    "Incremental materialized-view refresh: stored per-key aggregation " +
+      "states merged with a delta batch (exact-decimal money partials), " +
+      "equal to a from-scratch recompute without rescanning the base")
+
+  /** Schema evolution on read: two ingest generations land files with
+    * different schemas in the same lake (an early batch before the
+    * n_chars column existed, a later batch with it); `mergeSchema` unifies
+    * them at scan time, old rows surfacing NULL for the added column —
+    * additive evolution with no rewrite of historical files (at 100 TB,
+    * rewriting history for every added column is not an option).
+    * mergeSchema costs a footer read per file at planning; production
+    * caches the merged schema in a catalog — the scan itself is unchanged. */
+  private val q83 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q83-lake"
+      val d = table(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(scratch + "/b1")
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(scratch + "/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(scratch + "/b1", scratch + "/b2")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars " +
+      "FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, lang, n_chars FROM documents " +
+      "WHERE doc_id % 2 <> 0 ORDER BY doc_id"),
+    "Additive schema evolution: mixed-schema lake read via mergeSchema, " +
+      "pre-evolution rows surface NULL for the added column, no " +
+      "historical rewrite")
+
   /** Frame sampling over the opaque media payload (64-byte frames every
     * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
     * Oracle note: the engine slices BYTES (the right semantics for media
@@ -542,6 +655,9 @@ object AnalyticsQueries {
     "q72_orc_roundtrip" -> q72,
     "q78_merge_upsert" -> q78,
     "q79_bucketed_join" -> q79,
+    "q81_gapfill" -> q81,
+    "q82_incr_agg" -> q82,
+    "q83_schema_evolution" -> q83,
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
     "q35_percentiles" -> q35,

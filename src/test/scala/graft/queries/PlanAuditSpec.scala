@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q60_ann_index_append", "q61_dedup_index_append",
     "q62_dedup_clusters", "q63_dedup_survivors", "q65_stream_left_join",
     "q75_ivf_pq_index_roundtrip",
-    "q78_merge_upsert", "q79_bucketed_join")
+    "q78_merge_upsert", "q79_bucketed_join",
+    "q82_incr_agg", "q83_schema_evolution")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -45,8 +46,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
   private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark",
     "q55_ann_recall_sample", "q71_pq_topk",
     // q80 joins a broadcast 1-row aggregate (the corpus size N) — the
-    // q04 watermark shape: linear, not quadratic
-    "q80_tfidf")
+    // q04 watermark shape: linear, not quadratic; q81's grid likewise
+    // cross-joins the broadcast 1-row min/max span
+    "q80_tfidf", "q81_gapfill")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
