@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no "[info] " decoration):
+// the driver parses the bench summary JSON out of the last 2000 chars of
+// stdout, and the log-decorated form both lengthens the line and makes a
+// naive line.startswith("{") parse fail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[cpus], prints ONE JSON line
   * {"metric","value","unit","queries","sf"}.
   *
-  * The same line is also written to a file (SPARK_GRAFT_BENCH_OUT, default
-  * ./BENCH_LOCAL.json): sbt prefixes stdout with [info] and interleaves
-  * WARN noise, which once made the driver's artifact record "parsed":null
-  * — the file copy can never be misparsed.
+  * Two emissions (r9): the full-diagnostic line goes to a file
+  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_LOCAL.json) and stdout gets a
+  * COMPACT twin — qNN keys, 3-decimal seconds — printed last, after
+  * spark.stop(). The driver keeps only the final 2000 chars of stdout
+  * and parses the JSON out of that tail; the full line (~4 KB) can never
+  * fit, which is why the r7/r8 artifacts recorded "parsed":null. The
+  * file copy can never be misparsed and carries every field.
   *
   * Protocol per BASELINE.md: warm JVM (one untimed pass over the TIMED
   * set only), then MIN of 5 timed runs per query — degraded to min-of-3
@@ -75,6 +78,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val mainStartNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // AQE coalesces post-shuffle anyway; a lower initial count cuts task-
@@ -319,8 +323,40 @@ object Bench {
     // and lets the probe CLEANLINESS accounting tell the story instead
     // (unclean queries are recorded either way).
     val midrunTotalBudget = sys.env.getOrElse("SPARK_GRAFT_MIDRUN_TOTAL", "4").toInt
-    val unclean = scala.collection.mutable.ArrayBuffer[String]()
-    val results = timedQueries.map { case (name, fn) =>
+
+    // Per-query state survives the main pass so the end-of-suite retry
+    // pass can extend a query's min pool with late clean reps.
+    final class QState {
+      val ts = scala.collection.mutable.ArrayBuffer[Double]()
+      var clean = 0
+      var failed = false
+    }
+    val state = scala.collection.mutable.LinkedHashMap[String, QState]()
+    timedQueries.foreach { case (name, _) => state(name) = new QState }
+
+    // One measured rep with probes on both sides. CLEAN reps (quiet
+    // probes before AND after — machine provably at full speed around the
+    // measurement) always join the min pool; unclean reps join only when
+    // `force` (the base reps), so extra/retry reps can never make the
+    // engine's rep count asymmetric vs the baseline's fixed min-of-5 in a
+    // direction that matters (contention only ever inflates). Returns
+    // whether the rep was clean.
+    def repOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        st: QState, force: Boolean): Boolean = {
+      val p1 = probeQuiet(sampleProbe())
+      val t = run(fn)
+      val p2 = probeQuiet(sampleProbe())
+      val isClean = p1 && p2
+      if (force || isClean) st.ts += t
+      // any failed rep marks the query failed (-1): a crashing rep must
+      // never mask as a fast min from the surviving runs
+      if (t < 0) st.failed = true
+      else if (isClean) st.clean += 1
+      isClean
+    }
+
+    timedQueries.foreach { case (name, fn) =>
+      val st = state(name)
       // re-gate between queries: the start gate alone let three contended
       // runs stand as official artifacts (load spiked AFTER the gate)
       if (midrunWaits < midrunTotalBudget && externalLoad > loadGate) {
@@ -338,41 +374,90 @@ object Bench {
         pw += 1
         midrunWaits += 1
       }
-      // rep loop: base reps, then extras until two reps ran with quiet
-      // probes on BOTH sides (machine provably at full speed around the
-      // measurement). The min is taken over the base reps plus CLEAN
-      // extras only: extra reps exist to recover cleanliness, and letting
-      // an unclean extra join the min pool would make the engine's rep
-      // count asymmetric vs the baseline's fixed min-of-5 (it can only
-      // favor the engine — contention inflates — but the methodologies
-      // should stay comparable).
-      val ts = scala.collection.mutable.ArrayBuffer[Double]()
-      var clean = 0
+      // rep loop: base reps, then extras until two clean reps exist
       var rep = 0
-      var failed = false
-      while (!failed &&
+      while (!st.failed &&
         (rep < baseReps ||
-          (clean < 2 && rep < maxReps && extraUsed < extraRepBudget))) {
+          (st.clean < 2 && rep < maxReps && extraUsed < extraRepBudget))) {
         if (rep >= baseReps) extraUsed += 1
-        val p1 = probeQuiet(sampleProbe())
-        val t = run(fn)
-        val p2 = probeQuiet(sampleProbe())
-        val isClean = p1 && p2
-        if (rep < baseReps || isClean) ts += t
-        // any failed rep marks the query failed (-1): a crashing rep must
-        // never mask as a fast min from the surviving runs
-        if (t < 0) failed = true
-        else if (isClean) clean += 1
+        repOnce(fn, st, force = rep < baseReps)
         rep += 1
       }
-      if (clean < 2) unclean += name
-      name -> (if (failed) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // End-of-suite clean-recovery pass (r9): a mid-run contention window
+    // leaves queries unclean even when the host quiets down later — r8
+    // recorded 41/77 unclean from windows that had passed by suite end,
+    // and no round has yet produced a probe_ok:true official artifact.
+    // After the main pass, sweep ONLY the still-unclean queries (up to 3
+    // sweeps): wait for a provably-quiet probe, then take reps until each
+    // query has its two clean reps. Clean retry reps join the min pool
+    // under the same rule as extras; a sweep aborts as soon as a rep
+    // comes back unclean (the window returned) and the next sweep
+    // re-waits. Bounded three ways: its own rep budget, its own wait
+    // budget, and a wall-clock deadline at 80% of the driver's kill
+    // budget — an artifact with some unclean queries beats an rc-124.
+    val retryRepBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_REPS", "80").toInt
+    val retryWaitBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_WAITS", "8").toInt
+    val retryDeadlineS = timeBudgetS * 0.8
+    def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
+    var retryUsed = 0
+    var retryWaits = 0
+    var sweep = 0
+    while (sweep < 3 && retryUsed < retryRepBudget && elapsedS < retryDeadlineS &&
+      state.values.exists(st => !st.failed && st.clean < 2)) {
+      sweep += 1
+      var quiet = probeQuiet(sampleProbe())
+      while (!quiet && retryWaits < retryWaitBudget && elapsedS < retryDeadlineS) {
+        System.err.println(f"bench[retry-$sweep]: probe slow " +
+          f"(ref ${bestProbe}%.1f ms), waiting ${waitMs / 1000}s " +
+          f"(wait ${retryWaits + 1}/$retryWaitBudget)")
+        Thread.sleep(waitMs)
+        retryWaits += 1
+        quiet = probeQuiet(sampleProbe())
+      }
+      if (quiet) timedQueries.foreach { case (name, fn) =>
+        val st = state(name)
+        var tries = 0
+        while (quiet && !st.failed && st.clean < 2 && tries < 3 &&
+          retryUsed < retryRepBudget && elapsedS < retryDeadlineS) {
+          retryUsed += 1
+          tries += 1
+          if (!repOnce(fn, st, force = false)) {
+            System.err.println(f"bench[retry-$sweep]: $name rep unclean — " +
+              "ending sweep")
+            quiet = false
+          }
+        }
+      }
+    }
+
+    val unclean = state.collect { case (n, st) if st.clean < 2 => n }.toSeq
+    val results = timedQueries.map { case (name, _) =>
+      val st = state(name)
+      name -> (if (st.failed) -1.0 else st.ts.min)
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     val uncleanJson = unclean.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+
+    // Two emissions, one format contract ({"metric","value","unit",
+    // "queries","sf"}, one line):
+    //  - the FILE gets the full-diagnostic line — per-query keys in
+    //    full, nanosecond precision, every gate/probe field;
+    //  - STDOUT gets a COMPACT twin — qNN short keys (the driver
+    //    contract's own example spells "q1"), 3-decimal seconds, summary
+    //    diagnostics — because the driver records only the LAST 2000
+    //    CHARS of stdout and parses the JSON line out of that tail. The
+    //    r7/r8 artifacts both carried "parsed":null: the full line
+    //    (~4 KB: 77 spelled-out query names at ns precision plus a
+    //    41-name unclean list) could never fit, so the tail began
+    //    mid-line. The compact twin is ~1.2 KB at the current surface
+    //    and printed LAST, after spark.stop(), so nothing can interleave
+    //    before process exit.
+    def r3(v: Double): String = f"$v%.3f"
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""sf":"$sfDir","load_start":${attempts.last},"load_end":$externalLoad,""" +
       s""""load_raw_end":$loadAvg,"own_load_end":$ownEwma,""" +
       s""""load_gate":$loadGate,"load_attempts":${attempts.mkString("[", ",", "]")},""" +
@@ -380,14 +465,22 @@ object Bench {
       s""""probe_ref_ms":$bestProbe,"probe_ref_source":"$probeRefSource",""" +
       s""""probe_ok":${unclean.isEmpty},""" +
       s""""unclean":$uncleanJson,"extra_reps":$extraUsed,""" +
+      s""""retry_reps":$retryUsed,"retry_sweeps":$sweep,""" +
       s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
-    println(line)
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else r3(v))
+    }.mkString("{", ",", "}")
+    val compactLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qsShort,"sf":"$sfDir","probe_ok":${unclean.isEmpty},""" +
+      s""""unclean_n":${unclean.size},"base_reps":$baseReps,""" +
+      s""""load_gated_ok":${!everContended},"detail":"BENCH_LOCAL.json"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $outFile: $e") }
     persistProbeRef()
     spark.stop()
+    println(compactLine)
   }
 }
