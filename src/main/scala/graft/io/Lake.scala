@@ -93,12 +93,25 @@ object Lake {
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
       buckets: Int, sortCol: Option[String] = None): Unit = {
     val s = df.sparkSession
+    // UNQUALIFIED names only: for `db.tbl` the default-location guess
+    // below would compute the wrong path (and the recursive delete could
+    // hit an unrelated directory)
+    require(!tableName.contains("."),
+      s"writeBucketed: unqualified table name required, got '$tableName'")
     // with the in-memory catalog a fresh JVM starts with no tables, but a
     // managed-table location left by an EARLIER process survives on disk
-    // and blocks re-creation — drop both the entry and the location
+    // and blocks re-creation — drop both the entry and the location. When
+    // the catalog KNOWS the table, delete the location it records (never
+    // a path guess); only a catalog-less leftover falls back to the
+    // managed default <warehouse>/<name> for the current database.
+    val loc: org.apache.hadoop.fs.Path =
+      if (s.catalog.tableExists(tableName))
+        new org.apache.hadoop.fs.Path(s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location)
+      else new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
     s.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
     loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     var w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
@@ -113,10 +126,13 @@ object Lake {
     *
     * Semantics: rows of `updates` replace lake rows with the same
     * `keyCols` value; keys absent from the lake are inserted. `updates`
-    * must carry at most one row per key, and `partitionCol` must be
-    * stable under update (derived from the key or an immutable field) —
-    * the standard Hive-merge contract; a key that moves partitions would
-    * leave its old copy behind.
+    * must carry at most one row per key (ENFORCED: a batch with duplicate
+    * keys is rejected up front, as is a NULL partition value), and
+    * `partitionCol` must be stable under update (derived from the key or
+    * an immutable field) — the standard Hive-merge contract; a key that
+    * moves partitions would leave its old copy behind. Partition
+    * stability is NOT checkable without a key→partition scan of the whole
+    * lake, so it remains a caller contract.
     *
     * Scale shape — the whole point of the design:
     *  - **Partition-pruned rewrite.** Only partitions that actually
@@ -138,10 +154,26 @@ object Lake {
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, struct, sum, when}
     val current = read(spark, path)
     val cols = current.columns.toIndexedSeq
     val batch = updates.select(cols.map(col): _*)
+    // one pass over the (small-by-design) batch enforces both documented
+    // contracts that previously failed SILENTLY: a NULL partition value
+    // would stage as __HIVE_DEFAULT_PARTITION__ and then be dropped by
+    // the value-reconstructed publish below (data loss), and a key with
+    // two batch rows would survive as a duplicate (both rows pass the
+    // anti-join untouched)
+    val chk = batch.agg(
+      count(lit(1)).as("n"),
+      countDistinct(struct(keyCols.map(col): _*)).as("nk"),
+      sum(when(col(partitionCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(chk.getLong(2) == 0,
+      s"mergeInto: $partitionCol is NULL for ${chk.getLong(2)} batch rows — " +
+        "null partition values cannot be published")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"mergeInto: batch has ${chk.getLong(0)} rows but only ${chk.getLong(1)} " +
+        s"distinct keys over $keyCols — at most one update row per key")
     val touched = batch.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     val affected = current.filter(col(partitionCol).isInCollection(touched))
@@ -155,15 +187,23 @@ object Lake {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-    touched.foreach { v =>
-      // simple scalar partition values only (ints, dates, plain strings) —
-      // matches Spark's dir naming without its escaping machinery
-      val dir = s"$partitionCol=$v"
-      if (fs.exists(hp(s"$tmp/$dir"))) {
-        fs.delete(hp(s"$path/$dir"), true)
-        if (!fs.rename(hp(s"$tmp/$dir"), hp(s"$path/$dir")))
-          throw new java.io.IOException(s"mergeInto: could not publish $dir")
-      }
+    // publish by ENUMERATING the staged partition directories rather than
+    // reconstructing s"$partitionCol=$v" from raw values: Spark escapes
+    // special characters in partition dir names, so a reconstructed name
+    // can miss the staged dir — under the old fs.exists guard those rows
+    // were silently discarded with the tmp dir. Every staged dir is
+    // published; a stage/touched mismatch now fails loudly.
+    val staged = fs.listStatus(hp(tmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+    if (staged.size != touched.size)
+      throw new java.io.IOException(
+        s"mergeInto: staged ${staged.size} partition dirs for ${touched.size} " +
+          s"touched values under $tmp — refusing to publish a partial merge")
+    staged.foreach { st =>
+      val dir = st.getPath.getName
+      fs.delete(hp(s"$path/$dir"), true)
+      if (!fs.rename(st.getPath, hp(s"$path/$dir")))
+        throw new java.io.IOException(s"mergeInto: could not publish $dir")
     }
     fs.delete(hp(tmp), true)
   }

@@ -161,8 +161,11 @@ object TextAnalysis {
     *  - explode → per-(doc,term) count: one keyed shuffle over T terms
     *    with map-side partial aggregation;
     *  - document frequency: a second agg over the (doc,term) frame —
-    *    |V| rows out, broadcast back onto the tf frame (no shuffle of
-    *    the big side for the join);
+    *    |V| rows out, joined back onto the tf frame with the strategy
+    *    left to AQE: it broadcasts while |V| fits (no shuffle of the big
+    *    side) and degrades to a shuffle join when the vocabulary does
+    *    not — a mandatory broadcast hint here would OOM at exactly the
+    *    corpus scale this operator exists for;
     *  - N arrives as a broadcast 1-row aggregate (no driver round-trip,
     *    stays one job);
     *  - top-k per doc: row_number window partitioned by doc — shuffles
@@ -179,7 +182,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = live.agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .join(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
     val w = Window.partitionBy(col(idCol))

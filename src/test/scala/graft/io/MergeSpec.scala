@@ -67,6 +67,51 @@ class MergeSpec extends AnyFunSuite with SparkTest {
     assert(!Files.exists(Paths.get(path + "__merge_tmp")), "staging dir leaked")
   }
 
+  test("mergeInto: rejects duplicate-key batches and NULL partition values loudly") {
+    import spark.implicits._
+    val path = "/tmp/graft-test-merge-lake3"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Lake.overwrite(Seq((1L, "a", 1995)).toDF("k", "v", "y"), path, Seq("y"))
+    // two update rows for k=1: both would survive the anti-join and land
+    // as duplicates — must be rejected before anything is staged
+    val dup = Seq((1L, "x", 1995), (1L, "y", 1995)).toDF("k", "v", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, path, dup, Seq("k"), "y")
+    }
+    assert(e1.getMessage.contains("distinct keys"))
+    // a NULL partition value stages as __HIVE_DEFAULT_PARTITION__, which
+    // the old value-reconstructed publish silently dropped
+    val nullPart = Seq((2L, "b", Some(1996)), (3L, "c", None))
+      .toDF("k", "v", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, path, nullPart, Seq("k"), "y")
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // nothing was published or leaked by either rejected batch
+    assert(Lake.read(spark, path).count() === 1)
+    assert(!Files.exists(Paths.get(path + "__merge_tmp")), "staging dir leaked")
+  }
+
+  test("mergeInto: publishes escaped partition-dir names (values Spark escapes)") {
+    import spark.implicits._
+    val path = "/tmp/graft-test-merge-lake4"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // partition values with spaces and colons: Spark percent-escapes the
+    // directory names, so a publish that reconstructs s"$col=$v" from the
+    // raw value misses them and silently discards the rows
+    val base = Seq((1L, "a", "US EAST"), (2L, "b", "EU:WEST"))
+      .toDF("k", "v", "region")
+    Lake.overwrite(base, path, Seq("region"))
+    Lake.mergeInto(spark, path,
+      Seq((1L, "A2", "US EAST"), (9L, "n", "AP SOUTH")).toDF("k", "v", "region"),
+      Seq("k"), "region")
+    val got = Lake.read(spark, path).select($"k", $"v", $"region")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "A2", "US EAST"), (2L, "b", "EU:WEST"),
+      (9L, "n", "AP SOUTH")))
+    assert(!Files.exists(Paths.get(path + "__merge_tmp")), "staging dir leaked")
+  }
+
   test("mergeInto: a batch with only inserts leaves every existing partition alone") {
     import spark.implicits._
     val path = "/tmp/graft-test-merge-lake2"
