@@ -201,20 +201,34 @@ object Dedup {
   /** Write the MinHash-LSH dedup index to the lake:
     *
     *  - `path/shingles` — the (id, sh) shingle frame (verify-join side);
-    *  - `path/bands` — the (id, band, band_key) LSH posting lists,
-    *    PARTITIONED BY band (candidate-generation side; the layout lets a
-    *    band-subset probe or per-band compaction prune its scan);
+    *  - `path/bands` — the (id, band, band_key) LSH posting lists, files
+    *    SORTED BY band with AQE-sized output (candidate-generation side);
     *  - `path/meta.tsv` — one line (shingle_width, k, bands), so serving paths
     *    band queries with exactly the parameters the index was built with.
+    *
+    * The bands table is deliberately NOT directory-partitioned by band:
+    * no serving path prunes on band (the candidate join shuffles on
+    * (band, band_key) whatever the layout), so a `partitionBy("band")`
+    * layout buys nothing while forcing >= `bands` files per write AND per
+    * append — measured as the dominant cost of the q58/q61 index queries
+    * at test scale (the "32 tiny band files every later read pays for",
+    * NOTES.md r8). Instead band is a sorted data column: an AQE-coalesced
+    * keyed exchange sizes the files to the DATA (one file at test scale,
+    * 64 MB-targeted many at corpus scale), and the in-file band sort
+    * keeps tight row-group min/max stats so a band-subset probe still
+    * skips at the footer.
     *
     * This is the durable form of the [[Materialize]] session cache the
     * in-session pipeline uses: at corpus scale the signatures are computed
     * once at index-build time, and every later dedup — full
     * ([[minhashNearDupsFromIndex]]) or incremental
     * ([[minhashNearDupsAgainstIndex]]) — reads them instead of re-running
-    * the shingle/signature projection over 100 TB of text. Bands are
-    * derived from the WRITTEN shingle files (read-back, not the in-memory
-    * frame), so the two tables can never disagree. */
+    * the shingle/signature projection over 100 TB of text. The shingle
+    * frame is pinned with `persist` for the duration of the build (the
+    * same guarantee [[appendToShingleIndex]] documents), so the two
+    * tables are derived from one computation and can never disagree —
+    * and the signature pass no longer depends on the written shingle
+    * files' count for its parallelism. */
   def writeShingleIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
       textCol: String = "text", shingleWidth: Int = 3, k: Int = 128,
       bands: Int = 32): Unit = {
@@ -224,23 +238,25 @@ object Dedup {
     val spark = docs.sparkSession
     // hash-repartition BEFORE the shingle projection: a single-row-group
     // source scans as one task, and without the exchange the entire
-    // shingle compute (and one output file, and therefore the read-back
-    // signature pass) would run single-threaded — the build pipeline
-    // must parallelize like the 100-TB layout it models, where the
-    // corpus arrives as many files. Keyed on id (deterministic
+    // shingle + signature compute would run single-threaded — the build
+    // pipeline must parallelize like the 100-TB layout it models, where
+    // the corpus arrives as many files. Keyed on id (deterministic
     // placement), sized to the scheduler's parallelism.
     val n = spark.sparkContext.defaultParallelism
-    docs.repartition(n, col(idCol))
+    val sets = docs.repartition(n, col(idCol))
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWidth).as("sh"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
-    val withSig = readShingles(spark, path)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    lshBands(withSig, "sig", "id", bands, k / bands)
-      // co-locate each band before the partitioned write: one writer task
-      // per band directory instead of (tasks × bands) small files — the
-      // file-count discipline a 100-TB posting table needs
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .persist()
+    try {
+      sets.write.mode("overwrite").parquet(s"$path/shingles")
+      lshBands(sets.withColumn("sig", minhashSignature(col("sh"), k)),
+        "sig", "id", bands, k / bands)
+        // keyed exchange with NO explicit partition count: AQE coalesces
+        // the post-shuffle partitions to its advisory size, so the file
+        // count follows the data instead of the scheduler constant
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+    } finally sets.unpersist()
     // one row of parameters: a driver-written sidecar file (tmp+rename),
     // not a Spark job — serving reads it without scheduling a task
     val dst = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
@@ -255,16 +271,17 @@ object Dedup {
   }
 
   /** Incremental index maintenance: shingle + band a NEW document batch
-    * with the index's STORED parameters and append it partition-wise —
-    * no rebuild, no rewrite of existing band directories. The serving
-    * paths read the live tables, so pairs served after an append equal a
-    * from-scratch index over the union. Where [[writeShingleIndex]]
-    * re-reads the written shingles to derive bands (lineage may be
-    * non-deterministic), the append pins the batch with `persist` for
-    * the duration of its two writes — same guarantee, no corpus rescan
-    * (re-reading `path/shingles` to band one batch would scan the whole
-    * table). At-least-once under replay, like every plain parquet
-    * append: dedup upstream or rebuild to compact. */
+    * with the index's STORED parameters and append it — no rebuild, no
+    * rewrite of existing files. The serving paths read the live tables,
+    * so pairs served after an append equal a from-scratch index over the
+    * union. The batch is pinned with `persist` for the duration of its
+    * two writes (shingles and bands must be derived from the same rows —
+    * re-reading `path/shingles` to band one batch would scan the whole
+    * table). An append adds ONE band-sorted file sized by the AQE
+    * exchange (it was one file per band DIRECTORY under the old
+    * partitioned layout — the 32-tiny-files-per-append tax NOTES.md r8
+    * measured every later read paying). At-least-once under replay, like
+    * every plain parquet append: dedup upstream or rebuild to compact. */
   def appendToShingleIndex(docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     graft.functions.CatalystExpressions.register(docs.sparkSession)
@@ -281,22 +298,24 @@ object Dedup {
       lshBands(newSets.withColumn("sig", minhashSignature(col("sh"), k)),
         "sig", "id", bands, k / bands)
         .repartition(col("band"))
-        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+        .sortWithinPartitions(col("band"))
+        .write.mode("append").parquet(s"$path/bands")
     } finally newSets.unpersist()
   }
 
   /** Compact the shingle/LSH index after a run of appends: every
-    * [[appendToShingleIndex]] / streaming micro-batch adds a file per
-    * band directory plus shingle files, and serving cost grows with file
-    * count, not data size. Delegates to [[graft.io.Lake.compact]] — the
-    * rewrite is swap-published, so a reader never sees a half-compacted
-    * table, and the band partitioning (one task per band directory) is
-    * preserved. Results served before and after are identical
-    * (spec-asserted). */
+    * [[appendToShingleIndex]] / streaming micro-batch adds a shingle file
+    * and a band file, and serving cost grows with file count, not data
+    * size. Delegates to [[graft.io.Lake.compact]] — the rewrite is
+    * swap-published, so a reader never sees a half-compacted table, and
+    * the bands rewrite re-clusters by band (range repartition + in-task
+    * sort) so the compacted files keep tight per-band row-group stats.
+    * Results served before and after are identical (spec-asserted). */
   def compactShingleIndex(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     graft.io.Lake.compact(spark, s"$path/shingles", Nil, targetFileBytes)
-    graft.io.Lake.compact(spark, s"$path/bands", Seq("band"), targetFileBytes)
+    graft.io.Lake.compact(spark, s"$path/bands", Nil, targetFileBytes,
+      sortCols = Seq("band"))
   }
 
   private def readShingles(spark: SparkSession, path: String): DataFrame =
@@ -304,8 +323,6 @@ object Dedup {
 
   private def readBands(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/bands")
-      // the partition column comes back as the directory-name integer type
-      .withColumn("band", col("band").cast("int"))
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
@@ -317,6 +334,22 @@ object Dedup {
     val Array(w, k, b) = line.trim.split('\t')
     (w.toInt, k.toInt, b.toInt)
   }
+
+  /** The full production dedup loop SERVED from the durable index:
+    * near-dup pairs from the lake posting lists
+    * ([[minhashNearDupsFromIndex]] — zero shingle or signature
+    * recomputation over the corpus), clustered by
+    * [[connectedComponents]], survivors selected by [[dedupSurvivors]].
+    * Returns `docs` minus every non-representative cluster member —
+    * identical to running the in-session q63 pipeline, with the shingle
+    * pass amortized into the index build that already happened at ingest
+    * time. This is the steady-state shape at 100 TB: the corpus is
+    * admitted through [[appendToShingleIndex]] (batch) or
+    * `StreamSink.toShingleIndex` (streaming), and a periodic dedup sweep
+    * reads ONLY the index tables plus the doc ids. */
+  def dedupSurvivorsFromIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, path: String, threshold: Double = 0.8): DataFrame =
+    dedupSurvivors(docs, idCol, minhashNearDupsFromIndex(spark, path, threshold))
 
   /** Full near-dup pair search served from the durable index: candidates
     * from the lake posting lists, exact-Jaccard verify against the lake

@@ -288,7 +288,7 @@ object TrainingDataQueries {
     },
     q20.oracle,
     "Durable dedup-index round trip: shingles + LSH posting lists written " +
-      "to the lake (bands partitioned), full near-dup search served with " +
+      "to the lake (bands band-sorted, AQE-sized files), full near-dup search served with " +
       "no signature recomputation — same pair set as q20")
 
   private val q59 = Q(
@@ -374,6 +374,31 @@ object TrainingDataQueries {
       "GROUP BY lang ORDER BY lang"),
     "Deduplicated-corpus survivor counts: drop non-representative cluster " +
       "members (keep each cluster's min id + all unpaired docs)")
+
+  // q84: the end-to-end production dedup loop served from the durable
+  // index — pairs from the lake posting lists, clusters, survivors, with
+  // ZERO signature recomputation in steady state. The index is built on
+  // first touch (keyed by sf dir so a stale index from another scale
+  // factor can never serve) and every later run is serve-only: that is
+  // the shape a 100-TB corpus runs — documents are admitted through
+  // appendToShingleIndex / StreamSink.toShingleIndex at ingest, and the
+  // periodic dedup sweep reads only the index tables. Same answer as
+  // q63's in-session pipeline, so it shares q63's oracle.
+  private val q84 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q84-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = table(s, dir, "documents")
+      if (!graft.io.Lake.exists(s, s"$scratch/shingles"))
+        Dedup.writeShingleIndex(docs, scratch)
+      Dedup.dedupSurvivorsFromIndex(s, docs, "doc_id", scratch, threshold = 0.8)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    q63.oracle,
+    "Corpus dedup served from the durable shingle index: posting-list " +
+      "pairs, connected components, survivor counts — the ingest-time " +
+      "index amortizes the shingle/signature pass to zero in steady state")
 
   // q64: Gopher/C4-style repetition quality signals. The duplicate-gram
   // fraction is pure in-row arithmetic over the compiled shingle set;
@@ -688,6 +713,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q84_dedup_from_index" -> q84,
     "q66_pii_redact" -> q66,
     "q68_srp_neardups" -> q68,
     "q70_chunk_dedup" -> q70,

@@ -96,6 +96,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(incr.forall(p => p._1 % 7 == 0 || p._2 % 7 == 0))
   }
 
+  test("dedupSurvivorsFromIndex: survivors served from the lake equal the in-session loop") {
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/survivors-${System.nanoTime()}"
+    Dedup.writeShingleIndex(fixture, dir)
+    val fromIndex = Dedup.dedupSurvivorsFromIndex(spark, fixture, "doc_id", dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val inSession = Dedup.dedupSurvivors(fixture, "doc_id",
+      Dedup.minhashNearDups(fixture, "doc_id", "text",
+        shingleWidth = 3, k = 128, bands = 32, threshold = 0.8))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    // the loop actually dropped someone (the fixture has near-dups)
+    assert(fromIndex.size < fixture.count())
+  }
+
   test("connectedComponents: chain, triangle, pair, and cross-component isolation") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
