@@ -389,12 +389,13 @@ object Bench {
     // leaves queries unclean even when the host quiets down later — r8
     // recorded 41/77 unclean from windows that had passed by suite end,
     // and no round has yet produced a probe_ok:true official artifact.
-    // After the main pass, sweep ONLY the still-unclean queries (up to 3
+    // After the main pass, sweep ONLY the still-unclean queries (up to 5
     // sweeps): wait for a provably-quiet probe, then take reps until each
     // query has its two clean reps. Clean retry reps join the min pool
-    // under the same rule as extras; a sweep aborts as soon as a rep
-    // comes back unclean (the window returned) and the next sweep
-    // re-waits. Bounded three ways: its own rep budget, its own wait
+    // under the same rule as extras; a sweep ends after three CONSECUTIVE
+    // unclean reps (one unclean rep is often a probe blip on a borderline
+    // host phase) and the next sweep re-waits. Bounded three ways: its
+    // own rep budget, its own wait
     // budget, and a wall-clock deadline at 80% of the driver's kill
     // budget — an artifact with some unclean queries beats an rc-124.
     val retryRepBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_REPS", "80").toInt
@@ -404,7 +405,7 @@ object Bench {
     var retryUsed = 0
     var retryWaits = 0
     var sweep = 0
-    while (sweep < 3 && retryUsed < retryRepBudget && elapsedS < retryDeadlineS &&
+    while (sweep < 5 && retryUsed < retryRepBudget && elapsedS < retryDeadlineS &&
       state.values.exists(st => !st.failed && st.clean < 2)) {
       sweep += 1
       var quiet = probeQuiet(sampleProbe())
@@ -416,17 +417,24 @@ object Bench {
         retryWaits += 1
         quiet = probeQuiet(sampleProbe())
       }
+      // a single unclean rep is often a probe blip on a borderline host
+      // phase (r9 first run: sweeps 1 and 2 each died on ONE unclean rep
+      // while most reps around it were clean) — end the sweep only when
+      // three CONSECUTIVE reps come back unclean, which is a real window
+      var consecUnclean = 0
       if (quiet) timedQueries.foreach { case (name, fn) =>
         val st = state(name)
         var tries = 0
-        while (quiet && !st.failed && st.clean < 2 && tries < 3 &&
+        while (consecUnclean < 3 && !st.failed && st.clean < 2 && tries < 3 &&
           retryUsed < retryRepBudget && elapsedS < retryDeadlineS) {
           retryUsed += 1
           tries += 1
-          if (!repOnce(fn, st, force = false)) {
-            System.err.println(f"bench[retry-$sweep]: $name rep unclean — " +
-              "ending sweep")
-            quiet = false
+          if (repOnce(fn, st, force = false)) consecUnclean = 0
+          else {
+            consecUnclean += 1
+            if (consecUnclean == 3)
+              System.err.println(f"bench[retry-$sweep]: 3 consecutive " +
+                f"unclean reps at $name — ending sweep")
           }
         }
       }
