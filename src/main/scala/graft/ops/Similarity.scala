@@ -483,6 +483,25 @@ object Similarity {
       memoRadii = false)
   }
 
+  /** Semantic dedup (the SemDeDup shape) SERVED from the durable IVF
+    * index — the embedding-space twin of
+    * [[graft.ops.Dedup.dedupSurvivorsFromIndex]]: cosine near-dup pairs
+    * from the lake assignment ([[cosinePairsBlockedFromIndex]] — exact
+    * pair set, lossless cell blocking, no embedding recomputation),
+    * clustered by [[graft.ops.Dedup.connectedComponents]], one
+    * representative (min id) kept per cluster. Returns `items` minus
+    * every non-representative cluster member. Zero-norm vectors can
+    * never pair, so they always survive — on both engines. At 100 TB
+    * this runs exactly like the text loop: vectors are admitted through
+    * [[appendToIndex]] / `StreamSink.toIndex` at ingest and the periodic
+    * semantic sweep reads only the index tables. */
+  def semanticDedupSurvivorsFromIndex(spark: SparkSession, items: DataFrame,
+      idCol: String, path: String, threshold: Double): DataFrame = {
+    val pairs = cosinePairsBlockedFromIndex(spark, path, threshold)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    graft.ops.Dedup.dedupSurvivors(items, idCol, pairs)
+  }
+
   /** IVF top-k served from the durable index: queries are rows of the
     * index matching `queryPred`; the corpus scan is pruned to the union
     * of probed cells — a ≤nCells driver-side set pushed as a literal

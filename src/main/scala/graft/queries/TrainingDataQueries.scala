@@ -400,6 +400,43 @@ object TrainingDataQueries {
       "pairs, connected components, survivor counts — the ingest-time " +
       "index amortizes the shingle/signature pass to zero in steady state")
 
+  // q85: semantic dedup (SemDeDup) served from the durable IVF index —
+  // the embedding-space twin of q84. Pairs come from the lake assignment
+  // (exact set, lossless cell blocking), clusters from connected
+  // components, one representative kept per cluster; survivors counted
+  // by label. Index built on first touch (keyed by sf dir), serve-only
+  // afterwards. The oracle replays the loop as a recursive CTE over the
+  // brute-force cosine pair set at the same threshold (q23/q57's pair
+  // set), so the whole embedding-side loop is hash-checked.
+  private val q85 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q85-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = table(s, dir, "embeddings")
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment"))
+        Similarity.writeIndex(emb, scratch, nCells = 16)
+      Similarity.semanticDedupSurvivorsFromIndex(s, emb, "vec_id", scratch,
+        threshold = 0.4)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label")
+    },
+    Some(duckEmb.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", p AS (SELECT q.vec_id AS da, c.vec_id AS db " +
+      "FROM n q JOIN n c ON q.vec_id < c.vec_id " +
+      s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4), " +
+      "ed AS (SELECT da AS src, db AS dst FROM p " +
+      "UNION ALL SELECT db AS src, da AS dst FROM p), " +
+      "r AS (SELECT src AS id, dst AS lbl FROM ed " +
+      "UNION SELECT r.id, ed.dst FROM r JOIN ed ON r.lbl = ed.src), " +
+      "comp AS (SELECT id, least(id, min(lbl)) AS cluster FROM r GROUP BY id) " +
+      "SELECT label, count(*) AS n_vecs FROM embeddings " +
+      "WHERE vec_id NOT IN (SELECT id FROM comp WHERE cluster <> id) " +
+      "GROUP BY label ORDER BY label"),
+    "Semantic dedup served from the durable IVF index: exact cosine " +
+      "pairs from the lake assignment, connected components, one " +
+      "representative per cluster — the SemDeDup sweep with zero " +
+      "embedding recomputation in steady state")
+
   // q64: Gopher/C4-style repetition quality signals. The duplicate-gram
   // fraction is pure in-row arithmetic over the compiled shingle set;
   // the top-word share is the explode + two-keyed-agg shape. Both
@@ -714,6 +751,7 @@ object TrainingDataQueries {
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
     "q84_dedup_from_index" -> q84,
+    "q85_semantic_dedup" -> q85,
     "q66_pii_redact" -> q66,
     "q68_srp_neardups" -> q68,
     "q70_chunk_dedup" -> q70,

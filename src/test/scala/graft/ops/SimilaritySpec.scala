@@ -83,6 +83,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("semanticDedupSurvivorsFromIndex equals survivors over in-session pairs") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/semdedup-${System.nanoTime()}"
+    Similarity.writeIndex(fixture, dir, nCells = 16)
+    val fromIndex = Similarity.semanticDedupSurvivorsFromIndex(
+        spark, fixture, "vec_id", dir, threshold = 0.4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val pairs = Similarity.cosinePairsBlocked(fixture, 0.4, nCells = 16)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    val inSession = graft.ops.Dedup.dedupSurvivors(fixture, "vec_id", pairs)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    // the sweep actually dropped someone, and every cluster kept its min
+    assert(fromIndex.size < fixture.count())
+  }
+
   test("blocked pairs handle id spaces not starting at 0, and empty corpora") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .withColumn("vec_id", col("vec_id") + 100000L) // ids ≥ 100000
