@@ -311,11 +311,105 @@ object Lake {
   /** Per-file min/max of `c` — the footer-stats view a data-skipping
     * audit wants: after a sorted [[compact]], ranges are near-disjoint,
     * which is what makes predicate scans skip whole files/row groups. */
-  def fileStats(spark: SparkSession, path: String, c: String): DataFrame = {
+  def fileStats(spark: SparkSession, path: String, c: String): DataFrame =
+    fileStatsMulti(spark, path, Seq(c))
+
+  /** [[fileStats]] over several columns at once — one pass, one row per
+    * data file with `min_c`/`max_c` for each `c`. This is the scan-plan
+    * manifest [[writeZOrdered]] persists: at serve time pruning needs the
+    * per-file ranges of EVERY clustering column, not just one. */
+  def fileStatsMulti(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(c)).as("min_" + c), max(col(c)).as("max_" + c),
-        count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as("min_" + c), max(col(c)).as("max_" + c))): _*)
+  }
+
+  /** Z-order clustered rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY`): lay
+    * `df` out so that files are tight in EVERY `zCols` dimension at once,
+    * and persist a per-file min/max manifest next to the data so a
+    * multi-dimensional box scan can plan from metadata.
+    *
+    * How: each clustering column is scaled to a 2^bits bucket id over its
+    * observed [min, max] (the span is one broadcast 1-row agg — the q04
+    * watermark shape), the bucket bits are interleaved into a single
+    * z-value (pure column arithmetic, codegen'd — bit i of column j lands
+    * at position i*k+j), and rows are range-partitioned + sorted by that
+    * z-value before writing. Locality of the Z curve means each file's
+    * min/max box is small in ALL dimensions simultaneously — the property
+    * a single-column sort only gives its leading column.
+    *
+    * The manifest (one row per file: row count + per-column min/max) is
+    * written under `<path>/_manifest`: the underscore prefix makes data
+    * scans of `path` skip it, so the table stays readable as plain
+    * parquet while [[readPruned]] plans against the manifest. Computing
+    * it costs one extra column-pruned pass at build time — at serve time
+    * it replaces listing+footer reads of every file with a metadata-sized
+    * parquet read, which is the difference between O(files) planning and
+    * O(matching-files) scanning on a 100 TB lake.
+    *
+    * Scale shape: ONE range shuffle (`nFiles` tasks) + in-task sort, the
+    * same cost class as sorted [[compact]]; the span agg and the manifest
+    * pass are column-pruned scans. Numeric clustering columns only
+    * (buckets are linear in value — ranks would need a per-column
+    * quantile pass; linear is the standard choice and degrades gracefully
+    * on skew: files overlap more, pruning stays correct). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      nFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-order needs at least two clustering columns")
+    require(zCols.size * bits <= 62, "z-value must fit a long")
+    val spanExprs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as("__min_" + c),
+      max(col(c)).cast("double").as("__max_" + c)))
+    val spanRow = df.agg(spanExprs.head, spanExprs.tail: _*)
+    val mins = zCols.map(c => col("__min_" + c))
+    val maxs = zCols.map(c => col("__max_" + c))
+    val k = zCols.size
+    val nBuckets = 1 << bits
+    val withSpan = df.crossJoin(broadcast(spanRow))
+    // bucket_j = clamp(floor((v - min) * 2^bits / (max - min + 1)))
+    val buckets = zCols.zipWithIndex.map { case (c, j) =>
+      val scaled = floor((col(c).cast("double") - mins(j)) * nBuckets /
+        (maxs(j) - mins(j) + lit(1.0))).cast("long")
+      least(greatest(scaled, lit(0L)), lit((nBuckets - 1).toLong))
+    }
+    // interleave: bit i of bucket j → z bit i*k + j
+    val z = (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+    withSpan.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(path)
+    fileStatsMulti(df.sparkSession, path, zCols)
+      .write.mode("overwrite").parquet(path + "/_manifest")
+  }
+
+  /** Manifest-planned box scan over a [[writeZOrdered]] table: read the
+    * per-file min/max manifest, keep only files whose range intersects
+    * every `(col, lo, hi)` bound, and scan exactly those files (the
+    * residual row filter still applies — pruning is file-granular).
+    * The manifest is metadata-sized (one row per file), so the collected
+    * file list is bounded by the file count, never the data — Iceberg's
+    * scan planning in one move. Returns the filtered rows. */
+  def readPruned(spark: SparkSession, path: String,
+      bounds: Seq[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val manifest = spark.read.parquet(path + "/_manifest")
+    val matching = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(col("max_" + c) >= lo && col("min_" + c) <= hi)
+    }.select(col("file")).collect().map(_.getString(0))
+    val pruned =
+      if (matching.isEmpty)
+        spark.read.parquet(path).limit(0) // schema-preserving empty
+      else spark.read.parquet(matching.toIndexedSeq: _*)
+    bounds.foldLeft(pruned) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 }

@@ -147,6 +147,62 @@ object Curation {
       .drop("__salt")
   }
 
+  /** Weighted sampling without replacement, A-ES (Efraimidis–Spirakis
+    * 2006): each row draws a deterministic uniform u ∈ (0,1) from its id
+    * ([[idHashSeeded]], +0.5 so u is never 0) and is ranked by the key
+    * u^(1/w) — the classic one-pass reservoir key under which the top-k
+    * rows are EXACTLY a weight-proportional sample without replacement.
+    * Deterministic: same seed ⇒ same sample across runs, re-ingestions,
+    * and repartitionings; a new seed is a fresh draw.
+    *
+    * Scale shape: the key is a stateless projection and the top-k is
+    * `orderBy(key).limit(k)` — Spark plans TakeOrderedAndProject (each
+    * task keeps a k-heap, the driver merges k·tasks rows), never a global
+    * sort. Rows with non-positive weight can never be sampled and are
+    * filtered up front. The id tie-break is unreachable (distinct ids ⇒
+    * distinct u) but makes the order total for the oracle replay. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (idHashSeeded(col(idCol), seed).cast("double") + lit(0.5)) /
+      lit(2147483647.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** Recipe-proportioned mixture sampling: draw `quotas(g)` rows from
+    * each group `g` (language, source, domain tier, …), chosen by
+    * deterministic seeded-hash order within the group — the "data
+    * recipe" step that turns per-source weights into an actual training
+    * mixture. Groups absent from the recipe are dropped; a group with
+    * fewer rows than its quota yields all of them (the recipe is a cap,
+    * not a promise).
+    *
+    * Scale shape: the recipe is a broadcast |recipe|-row join; the only
+    * wide operation is one window keyed BY GROUP (parallelism = number
+    * of mixture components). Unlike [[capPerGroup]] the quota differs
+    * per group — and mixture components are few and balanced by
+    * construction, so the per-group window is the right plan and the
+    * salted two-phase top-k would be pure overhead. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      quotas: Map[String, Int], seed: Long): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    require(quotas.values.forall(_ > 0), "quotas must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = quotas.toSeq.toDF(groupCol, "__quota")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", idHashSeeded(col(idCol), seed))
+      .join(broadcast(recipe), groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__h", "__quota", "__rn")
+  }
+
   /** Seeded shuffle hash: h1 = (id' · 48271 + seed) mod P, then the
     * NONLINEAR mix h = (h1² + h1) mod P (P = 2³¹−1). The squaring is the
     * point: any purely affine seeding (like [[idHash]] with an additive

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) history over a change log —
+  * the temporal modeling step every warehouse keeps next to its facts:
+  * each key's attribute history as half-open validity intervals
+  * `[valid_from, valid_to)`, `valid_to` NULL on the current row.
+  *
+  * Two entry points mirror the two production regimes:
+  *  - [[scd2Build]] — full build from a change log (backfill);
+  *  - [[scd2Apply]] — incremental: merge a batch of NEW change events
+  *    into a stored dimension, touching only the affected keys' current
+  *    rows — O(|batch| + |current rows of affected keys|), never a
+  *    history rescan. At 100 TB of history this is the difference
+  *    between a nightly rebuild and a minutely refresh; closed rows are
+  *    immutable and never rewritten (they can live on cold storage).
+  *
+  * Both are deterministic and SQL-replayable: apply-then-read must be
+  * hash-identical to a from-scratch build over the full log (the q87
+  * oracle asserts exactly that).
+  */
+object Dimension {
+
+  /** Build an SCD2 history from a change log `(keyCol, tsCol, attrCols…)`
+    * with at most one row per (key, ts) — caller's contract, like
+    * Lake.mergeInto's key uniqueness (pre-aggregate the log if raw events
+    * can collide on ts).
+    *
+    * Change points are rows whose attribute tuple differs from the key's
+    * previous log row (consecutive duplicates collapse — re-stating the
+    * same value extends the current interval instead of splitting it);
+    * `valid_from` = the change's ts, `valid_to` = the next change's ts,
+    * `is_current` = no later change.
+    *
+    * Scale shape: two windows over the SAME (key × ts) ordering — one
+    * keyed shuffle, the lag and lead reuse the sort. Parallelism = key
+    * count; no global sort anywhere. */
+  def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Build needs at least one attribute column")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(attrs, 1).over(byKey))
+      // null-safe: the key's first row (prev NULL) is always a change
+      // point, and a NULL attribute value still compares decisively
+      .filter(!(col("__prev") <=> attrs))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(((keyCol +: attrCols.toIndexedSeq) ++
+        Seq("valid_from", "valid_to", "is_current")).map(col): _*)
+  }
+
+  /** Merge a batch of NEW change events into a stored SCD2 dimension.
+    *
+    * Contract (documented, like mergeInto's partition stability): every
+    * batch event's ts is later than the affected key's current
+    * `valid_from` — the append-only-in-time regime of a live change
+    * feed; late/backdated corrections need a rebuild of the affected
+    * keys from the raw log.
+    *
+    * Plan: the batch's key set is broadcast; dimension rows of
+    * unaffected keys pass through an anti-join UNTOUCHED (never read
+    * beyond the join column at scale, never rewritten), affected keys'
+    * CLOSED rows likewise (history is immutable), and only the affected
+    * keys' current rows — re-expressed as pseudo-events at their
+    * `valid_from` — are recomputed together with the batch through
+    * [[scd2Build]]. A batch event that re-states the current value
+    * collapses into the open interval (no new row), exactly as the full
+    * rebuild would have it. */
+  def scd2Apply(dim: DataFrame, batch: DataFrame, keyCol: String,
+      tsCol: String, attrCols: Seq[String]): DataFrame = {
+    val keys = batch.select(col(keyCol)).distinct()
+    val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+    val affected = dim.join(keys, Seq(keyCol), "left_semi")
+    val closed = affected.filter(!col("is_current"))
+    val currentAsEvents = affected.filter(col("is_current"))
+      .select((keyCol +: attrCols.toIndexedSeq).map(col) :+
+        col("valid_from").as(tsCol): _*)
+    val events = currentAsEvents.unionByName(
+      batch.select((keyCol +: attrCols.toIndexedSeq).map(col) :+ col(tsCol): _*))
+    untouched
+      .unionByName(closed)
+      .unionByName(scd2Build(events, keyCol, tsCol, attrCols))
+  }
+}

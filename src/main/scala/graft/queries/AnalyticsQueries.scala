@@ -494,6 +494,83 @@ object AnalyticsQueries {
       "pre-evolution rows surface NULL for the added column, no " +
       "historical rewrite")
 
+  /** Z-order clustered layout + manifest-planned box scan — the
+    * `OPTIMIZE ZORDER BY` + Iceberg-scan-planning pair a 100-TB lake
+    * lives on. The lineitem table is laid out on first touch (keyed by
+    * sf dir, like the q84/q85 index builds: the layout is an ingest-time
+    * artifact, and steady state — what the bench measures after the
+    * warm-up pass — is serve-only) clustered on (l_partkey, l_suppkey)
+    * with a per-file min/max manifest; the query is a two-dimensional
+    * box filter planned FROM THE MANIFEST, scanning only intersecting
+    * files (LayoutSpec asserts the pruning and its losslessness). The
+    * oracle runs the same box filter over the raw table. */
+  private val q86 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q86-zorder-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!graft.io.Lake.exists(s, scratch)) {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+            col("l_extendedprice"))
+        graft.io.Lake.writeZOrdered(li, scratch,
+          Seq("l_partkey", "l_suppkey"), nFiles = 32)
+      }
+      graft.io.Lake.readPruned(s, scratch,
+          Seq(("l_partkey", 100.0, 400.0), ("l_suppkey", 0.0, 40.0)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.ops.BarOps.moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, count(*) AS n_items, " +
+      dsum("l_extendedprice") + " AS rev FROM lineitem " +
+      "WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 0 AND 40 " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "Z-order clustered lake + manifest-planned box scan: bit-interleaved " +
+      "multi-dimensional clustering, per-file min/max manifest, scan " +
+      "reads only intersecting files")
+
+  /** SCD2 dimension history with incremental apply: the customer-status
+    * change log (one event per (custkey, orderdate), latest order wins)
+    * is built into a stored type-2 dimension for dates before the split,
+    * then the remaining events arrive as a batch merged by
+    * Dimension.scd2Apply — closed rows immutable, unaffected keys
+    * untouched, only affected keys' current rows recomputed with the
+    * batch: O(|batch|+|affected current|), never a history rescan. The
+    * oracle rebuilds the full history from the whole log in one pass —
+    * apply-then-read must be hash-identical to it. */
+  private val q87 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q87-dim"
+      val log = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("o_orderstatus"))
+      val split = "1999-01-01"
+      graft.ops.Dimension.scd2Build(
+          log.filter(col("o_orderdate") < lit(split)),
+          "o_custkey", "o_orderdate", Seq("o_orderstatus"))
+        .write.mode("overwrite").parquet(scratch)
+      graft.ops.Dimension.scd2Apply(s.read.parquet(scratch),
+          log.filter(col("o_orderdate") >= lit(split)),
+          "o_custkey", "o_orderdate", Seq("o_orderstatus"))
+        .orderBy("o_custkey", "valid_from")
+    },
+    Some("WITH log AS (SELECT o_custkey, o_orderdate, " +
+      "max_by(o_orderstatus, o_orderkey) AS o_orderstatus FROM orders " +
+      "GROUP BY o_custkey, o_orderdate), " +
+      "chg AS (SELECT *, lag(o_orderstatus) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate) AS pv FROM log), " +
+      "cp AS (SELECT o_custkey, o_orderdate, o_orderstatus FROM chg " +
+      "WHERE pv IS NULL OR pv <> o_orderstatus) " +
+      "SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, " +
+      "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) " +
+      "AS valid_to, lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate) IS NULL AS is_current " +
+      "FROM cp ORDER BY o_custkey, valid_from"),
+    "SCD2 dimension history: stored type-2 table + incremental batch " +
+      "apply (closed rows immutable, only affected keys' current rows " +
+      "recomputed), hash-equal to a full-log rebuild")
+
   /** Frame sampling over the opaque media payload (64-byte frames every
     * 128 bytes): the declarative 1→N expansion of Multimodal.frameSample.
     * Oracle note: the engine slices BYTES (the right semantics for media
@@ -658,6 +735,8 @@ object AnalyticsQueries {
     "q81_gapfill" -> q81,
     "q82_incr_agg" -> q82,
     "q83_schema_evolution" -> q83,
+    "q86_zorder_scan" -> q86,
+    "q87_scd2_history" -> q87,
     "q33_pivot" -> q33,
     "q34_cube_grouping" -> q34,
     "q35_percentiles" -> q35,

@@ -230,6 +230,50 @@ object CurationQueries {
       "position per document — reproducible training-order randomization " +
       "with shard-level (never global-window) parallelism")
 
+  // q88: A-ES weighted sampling without replacement — longer documents
+  // proportionally likelier, sample exactly reproducible from (seed, id,
+  // weight). The sampling key u^(1/w) is plain double arithmetic over
+  // the seeded integer hash, so the oracle replays the identical draw;
+  // the top-k itself is TakeOrderedAndProject (per-task k-heaps), never
+  // a global sort.
+  private val q88 = Q(
+    (s, dir) => Curation.weightedSample(table(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100, seed = 777L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id"),
+    Some("WITH h1 AS (SELECT *, " +
+      "((doc_id % 2147483648) * 48271 + 777) % 2147483647 AS g FROM documents), " +
+      "h AS (SELECT *, (g*g + g) % 2147483647 AS hh FROM h1) " +
+      "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars, " +
+      "pow((CAST(hh AS DOUBLE) + 0.5) / 2147483647.0, " +
+      "1.0 / CAST(n_chars AS DOUBLE)) AS k FROM h WHERE n_chars > 0 " +
+      "ORDER BY k DESC, doc_id LIMIT 100) ORDER BY doc_id"),
+    "Weighted sampling without replacement (Efraimidis–Spirakis A-ES " +
+      "key u^(1/w)): deterministic, weight-proportional, distributed " +
+      "top-k — the importance-weighted corpus draw")
+
+  // q89: recipe-proportioned mixture — the per-language quota draw that
+  // turns data-recipe weights (40% en / 15% each of de,es,fr,zh) into an
+  // actual training mixture, deterministic under the seeded hash and
+  // replayed exactly by the oracle's per-group window.
+  private val q89 = Q(
+    (s, dir) => Curation.mixtureSample(table(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id",
+        quotas = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15),
+        seed = 42L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("WITH h1 AS (SELECT doc_id, lang, " +
+      "((doc_id % 2147483648) * 48271 + 42) % 2147483647 AS g FROM documents), " +
+      "h AS (SELECT doc_id, lang, (g*g + g) % 2147483647 AS hh FROM h1), " +
+      "q AS (SELECT * FROM (VALUES ('en', 40), ('de', 15), ('es', 15), " +
+      "('fr', 15), ('zh', 15)) AS t(lang, quota)) " +
+      "SELECT doc_id, lang FROM (SELECT h.doc_id, h.lang, q.quota, " +
+      "row_number() OVER (PARTITION BY h.lang ORDER BY h.hh, h.doc_id) AS rn " +
+      "FROM h JOIN q ON h.lang = q.lang) WHERE rn <= quota ORDER BY doc_id"),
+    "Recipe-proportioned mixture sample: per-group quotas from a data " +
+      "recipe, deterministic seeded-hash draw within each group")
+
   val all: Map[String, Q] = Map(
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
@@ -239,5 +283,7 @@ object CurationQueries {
     "q67_domain_cap" -> q67,
     "q69_filter_funnel" -> q69,
     "q76_segment_windows" -> q76,
-    "q77_shuffle_shards" -> q77)
+    "q77_shuffle_shards" -> q77,
+    "q88_weighted_sample" -> q88,
+    "q89_mixture_sample" -> q89)
 }

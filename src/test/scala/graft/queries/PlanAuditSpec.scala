@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q62_dedup_clusters", "q63_dedup_survivors", "q65_stream_left_join",
     "q75_ivf_pq_index_roundtrip",
     "q78_merge_upsert", "q79_bucketed_join",
-    "q82_incr_agg", "q83_schema_evolution")
+    "q82_incr_agg", "q83_schema_evolution",
+    // q87 stores its dimension parquet each call (the q82 shape)
+    "q87_scd2_history")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
