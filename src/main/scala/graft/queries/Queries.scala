@@ -30,15 +30,26 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.CatalystExpressions.register(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is nanosecond parquet; Spark 4 only reads it via
-    // spark.sql.legacy.parquet.nanosAsLong (LongType nanos). Floor to the
-    // microsecond domain — the same floor the DuckDB oracles apply
-    // (make_timestamp(epoch_ns(ts)//1000)).
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
-    }
+    normalizeTs(df)
   }
+
+  /** Normalize `ts` to session-zoned TimestampType regardless of how the
+    * testdata encodes it. Two driver generations exist: int64 nanosecond
+    * (readable only via spark.sql.legacy.parquet.nanosAsLong → LongType,
+    * floored here to the microsecond domain — the same floor the DuckDB
+    * oracles apply via make_timestamp(epoch_ns(ts)//1000)) and
+    * timestamp[us] without UTC adjustment (read as TIMESTAMP_NTZ, cast to
+    * TimestampType — identical instants under the UTC session, and the
+    * type every downstream unix_micros / cast(long) / watermark site
+    * expects). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Scratch dir for write-path queries: RAM-backed when available so the
     * write benchmarks measure the engine, not the host's disk. */
@@ -57,8 +68,7 @@ object Queries {
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(s.readStream.schema(rawSchema).parquet(srcDir.toString))
   }
 
   /** [[stagedEventStream]] plus two far-future sentinel rows staged as
@@ -97,10 +107,18 @@ object Queries {
     setMtime(events, 0L)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val dayNs = 86400L * 1000000000L
+    // the +N-days bump must stay in the RAW schema's ts domain (the
+    // sentinel file is read back through the same stream schema):
+    // Long nanos under the legacy generation, a timestamp interval
+    // under the timestamp[us] generation
+    def plus(days: Long): Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + lit(days * dayNs)
+      else col("ts") + expr(s"INTERVAL $days DAYS")
     def stageSentinel(idx: Int, plusDays: Long): Unit = {
       val tmp = java.nio.file.Paths.get(s"$scratchRoot/$name-sent-$idx")
       val top = raw.orderBy(col("ts").desc).limit(1)
-        .withColumn("ts", col("ts") + lit(plusDays * dayNs))
+        .withColumn("ts", plus(plusDays))
         .withColumn("event_id", lit(-1L))
         .withColumn("user_id", lit(-1L))
       top.withColumn("event_type", lit("purchase"))
@@ -120,9 +138,8 @@ object Queries {
     }
     stageSentinel(1, 10)
     stageSentinel(2, 20)
-    s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString))
   }
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory

@@ -7,10 +7,17 @@ import graft.SparkTest
 
 class LakeSpec extends AnyFunSuite with SparkTest {
 
+  /** events with ts as Long microseconds, whichever generation of the
+    * testdata encoding (int64 nanos or timestamp[us]) is on disk — these
+    * tests assert file-layout properties over an orderable numeric key. */
+  private def evMicros =
+    graft.queries.Queries.normalizeTs(
+        spark.read.parquet(s"$sf0001/events.parquet"))
+      .withColumn("ts", unix_micros(col("ts")))
+
   test("sorted append produces within-file ordering (row-group skippable)") {
     val dir = s"/tmp/graft-test-lake/sorted-${System.nanoTime()}"
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("event_id"), col("ts"), col("user_id"))
+    val ev = evMicros.select(col("event_id"), col("ts"), col("user_id"))
     Lake.append(ev.repartition(4), dir, partitionCols = Nil,
       sortCols = Seq("ts"))
 
@@ -31,8 +38,7 @@ class LakeSpec extends AnyFunSuite with SparkTest {
 
   test("compact merges a small-file partitioned lake, preserving content") {
     val dir = s"/tmp/graft-test-lake/compact-${System.nanoTime()}"
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val ev = evMicros.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     // simulate a streaming-ingest lake: many tiny files per partition
     Lake.append(ev.repartition(16), dir, partitionCols = Seq("event_type"),
       maxRecordsPerFile = 50)
@@ -53,8 +59,7 @@ class LakeSpec extends AnyFunSuite with SparkTest {
 
   test("sorted compact yields near-disjoint per-file ranges (data skipping)") {
     val dir = s"/tmp/graft-test-lake/compact-sort-${System.nanoTime()}"
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("event_id"), col("ts"), col("value"))
+    val ev = evMicros.select(col("event_id"), col("ts"), col("value"))
     Lake.append(ev.repartition(16), dir, partitionCols = Nil,
       maxRecordsPerFile = 200)
     val stats = Lake.compact(spark, dir, partitionCols = Nil,
@@ -66,7 +71,8 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     // skipping needs
     val ranges = Lake.fileStats(spark, dir, "ts")
       .orderBy(col("min_ts"))
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .select(col("min_ts"), col("max_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     ranges.sliding(2).foreach {
       case Array((_, hi1), (lo2, _)) => assert(lo2 >= hi1 - 1,
         s"overlapping file ranges: ${ranges.mkString(", ")}")

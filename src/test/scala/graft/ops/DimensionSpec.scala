@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class DimensionSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // a small change log: key 1 changes A→B→B(restated)→C, key 2 never
+  // changes after its first row, key 3 has a single row
+  private def log: DataFrame = Seq(
+    (1L, d("2020-01-01"), "A"),
+    (1L, d("2020-02-01"), "B"),
+    (1L, d("2020-03-01"), "B"), // restated — must NOT split the interval
+    (1L, d("2020-04-01"), "C"),
+    (2L, d("2020-01-15"), "X"),
+    (2L, d("2020-06-15"), "X"), // restated
+    (3L, d("2020-05-01"), "Q")
+  ).toDF("k", "ts", "attr")
+
+  private def collect(df: DataFrame): Seq[(Long, String, Date, Option[Date], Boolean)] =
+    df.select($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Date, Option[Date], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+
+  test("scd2Build: change points, half-open intervals, restated values collapse") {
+    val dim = collect(Dimension.scd2Build(log, "k", "ts", Seq("attr")))
+    assert(dim == Seq(
+      (1L, "A", d("2020-01-01"), Some(d("2020-02-01")), false),
+      (1L, "B", d("2020-02-01"), Some(d("2020-04-01")), false), // spans the restatement
+      (1L, "C", d("2020-04-01"), None, true),
+      (2L, "X", d("2020-01-15"), None, true),
+      (3L, "Q", d("2020-05-01"), None, true)))
+  }
+
+  test("scd2Apply equals a from-scratch rebuild over the full log") {
+    val split = d("2020-03-15")
+    val dim0 = Dimension.scd2Build(log.filter($"ts" < split), "k", "ts", Seq("attr"))
+    val applied = Dimension.scd2Apply(dim0, log.filter($"ts" >= split),
+      "k", "ts", Seq("attr"))
+    val full = Dimension.scd2Build(log, "k", "ts", Seq("attr"))
+    assert(collect(applied) == collect(full))
+  }
+
+  test("scd2Apply: unaffected keys and closed rows pass through untouched") {
+    val split = d("2020-03-15")
+    val dim0 = Dimension.scd2Build(log.filter($"ts" < split), "k", "ts", Seq("attr"))
+    // batch touches only key 1
+    val batch = log.filter($"ts" >= split && $"k" === 1L)
+    val applied = Dimension.scd2Apply(dim0, batch, "k", "ts", Seq("attr"))
+    // key 2's pre-split dimension row survives bit-for-bit (still current:
+    // its post-split restatement never arrived)
+    assert(collect(applied.filter($"k" === 2L)) ==
+      collect(dim0.filter($"k" === 2L)))
+    // key 1's closed row (A) is identical to its pre-apply form
+    assert(collect(applied.filter($"k" === 1L && !$"is_current" && $"attr" === "A")) ==
+      collect(dim0.filter($"k" === 1L && $"attr" === "A")))
+  }
+
+  test("scd2Apply: a batch restating the current value adds no row") {
+    val dim0 = Dimension.scd2Build(log, "k", "ts", Seq("attr"))
+    val restate = Seq((2L, d("2021-01-01"), "X")).toDF("k", "ts", "attr")
+    val applied = Dimension.scd2Apply(dim0, restate, "k", "ts", Seq("attr"))
+    assert(collect(applied) == collect(dim0))
+  }
+
+  test("q87 shape on real data: apply-then-read equals full-log rebuild") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("o_orderdate", $"o_orderdate".cast("date"))
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max_by($"o_orderstatus", $"o_orderkey").as("st"))
+      .withColumnRenamed("o_custkey", "k")
+      .withColumnRenamed("o_orderdate", "ts")
+      .withColumnRenamed("st", "attr")
+    val split = d("1997-01-01")
+    val applied = Dimension.scd2Apply(
+      Dimension.scd2Build(orders.filter($"ts" < split), "k", "ts", Seq("attr")),
+      orders.filter($"ts" >= split), "k", "ts", Seq("attr"))
+    val full = Dimension.scd2Build(orders, "k", "ts", Seq("attr"))
+    assert(collect(applied) == collect(full))
+    // interval sanity: per key, exactly one current row; valid_to of each
+    // closed row equals the next row's valid_from
+    val rows = collect(full)
+    rows.groupBy(_._1).foreach { case (_, hist) =>
+      assert(hist.count(_._5) == 1)
+      hist.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
+}

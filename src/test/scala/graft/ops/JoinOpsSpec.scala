@@ -9,8 +9,8 @@ class JoinOpsSpec extends AnyFunSuite with SparkTest {
 
   test("bandedRangeJoin equals the naive non-equi join") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.queries.Queries.normalizeTs(
+      spark.read.parquet(s"$sf0001/events.parquet"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
     val c = ev.filter(col("event_type") === "click")
