@@ -181,6 +181,48 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** mightContain over a serialized Bloom filter, codegen'd: the filter
+    * bytes must be a FOLDABLE expression (a literal broadcast into the
+    * plan — same pattern as the PQ codebooks), deserialized ONCE at plan
+    * time into a task-shared reference object, so the per-row cost is
+    * two hash mixes and k bit probes with zero allocation. This is the
+    * scan-side half of ops/BloomJoin: a 100-TB scan drops sure-negative
+    * rows BEFORE any exchange, and only maybe-positives pay the exact
+    * join. Keys are LongType (the id-shaped case); false positives are
+    * possible by construction — callers must close with an exact join —
+    * false negatives are not. */
+  case class BloomContains(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_contains"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val base = super.checkInputDataTypes()
+      if (!base.isSuccess) base
+      else if (!left.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_contains requires a foldable (literal) filter")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(left.eval().asInstanceOf[Array[Byte]]))
+
+    override def nullSafeEval(bin: Any, key: Any): Any =
+      filter.mightContainLong(key.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloom", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, (_, k) => s"${ev.value} = $ref.mightContainLong($k);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Polynomial rolling hash over the BYTES of a binary column:
     * Σ b·31^i mod 1e9+7, left-to-right — the binary twin of
     * TextFunctions.polyHash (equal on pure-ASCII payloads), codegen'd so
@@ -537,6 +579,8 @@ object CatalystExpressions {
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_bytehash",
       es => BytePolyHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      es => BloomContains(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_tabs", pqDistTable, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_codes", pqEncode, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
@@ -590,6 +634,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bytehash"),
       info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
       es => BytePolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "_FUNC_(filterBytes, key) - Bloom-filter membership probe (literal filter, long key)"),
+      es => BloomContains(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("graft_pq_tabs"),
       info("graft_pq_tabs", "_FUNC_(v, nrm, flatCents, m, ks) - fused per-subspace PQ distance tables"),
       pqDistTable))

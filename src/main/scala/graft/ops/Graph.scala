@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality over a distributed edge list — the
+  * link-graph quality signal (PageRank) corpus curation uses to weight
+  * web sources, kept in FIXED-POINT integer arithmetic so a run is
+  * bit-reproducible on any cluster and exactly replayable by any ANSI
+  * SQL engine (floating-point summation is order-dependent under a
+  * shuffle; integer sums are not).
+  *
+  * Ranks live in units of 1e-9 (`SCALE`): rank 1.0 = 1_000_000_000
+  * units. One iteration is
+  * `u' = (1-α)·SCALE + (αNum · Σ_in (u div outdeg)) div 100` with
+  * integer (truncating) division at both division sites — the exact
+  * arithmetic any replayer reproduces. Overflow headroom: total units ≈
+  * |V|·SCALE, ×αNum must stay under 2^63 → safe through |V| ≈ 10^11.
+  *
+  * Scale shape: per iteration ONE equi-join of the edge list against the
+  * current ranks (shuffle keyed by src — co-locatable by pre-bucketing
+  * the edge list), one keyed aggregation (map-side partial sums), one
+  * left join back to the node set for teleport-only nodes. The edge list
+  * and node set are reused every iteration — cached here, checkpointed
+  * in a long production run to cut lineage. Dangling nodes (no
+  * out-edges) leak their damped mass (the standard simplification);
+  * every node still receives teleport.
+  */
+object Graph {
+
+  val SCALE: Long = 1000000000L
+
+  /** Fixed-point PageRank over `edges(srcCol, dstCol)` (directed; pass
+    * both orientations for an undirected walk). Returns
+    * `(node, rank_units)` for every node appearing in the edge list.
+    * `alphaNum` is the damping factor in percent (85 = the classic
+    * 0.85).
+    *
+    * Plan (the Pregel shape): the deduplicated edge list is hash-
+    * partitioned by `src` ONCE, its out-degree is joined in co-
+    * partitioned (no exchange), and the combined (src, dst, d) relation
+    * is cached — the big side never moves again. Each iteration
+    * exchanges only the RANKS relation (|V| rows, tiny next to |E|) to
+    * the edge partitioning, aggregates contributions with map-side
+    * partials, and left-joins the node set (cached on the same node
+    * hash, so that join is exchange-free too). A periodic
+    * `localCheckpoint` (every `checkpointInterval` iterations) truncates
+    * the growing lineage — each checkpoint is a real job, so the
+    * interval trades scheduling round-trips against plan depth,
+    * optimizer time, and recovery cost on long runs. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, alphaNum: Long = 85L,
+      broadcastRanks: Boolean = false,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).cache()
+    // out-degree groups on the cached partitioning — no exchange — and
+    // the per-edge share denominator rides WITH the edge, so iterations
+    // never re-join it. Cached SORTED on src: InMemoryRelation keeps its
+    // child's outputOrdering, so each iteration's sort-merge join sorts
+    // only the arriving ranks side (|V| rows), never the edges.
+    val degE = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .sortWithinPartitions(col("src")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).cache()
+    var ranks = nodes.withColumn("u", lit(SCALE))
+    for (i <- 1 to iterations) {
+      val ranksSrc = ranks.withColumnRenamed("node", "src")
+      val contribs = degE
+        .join(if (broadcastRanks) broadcast(ranksSrc) else ranksSrc, "src")
+        .select(col("dst").as("node"), expr("u div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($alphaNum * coalesce(c, CAST(0 AS BIGINT))) div 100"))
+            .as("u"))
+      // materialize only every few iterations: each checkpoint is a real
+      // job, so checkpointing every step pays one scheduling+materialize
+      // round trip per iteration; unchecked lineage instead folds the
+      // whole chain into ONE job (cached degE is scanned per iteration
+      // either way). The interval only bounds plan depth / optimizer
+      // time / recovery cost on long runs.
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("u").as("rank_units"))
+  }
+
+  /** The unrolled-iteration ANSI SQL replay of [[pageRank]] for a
+    * DuckDB oracle: identical integer arithmetic, one chained CTE per
+    * iteration (recursive CTEs can't aggregate in the recursive term).
+    * `edgesSql` must produce columns (src, dst), already deduplicated
+    * and bidirectional if the walk is undirected. */
+  def pageRankOracleSql(edgesSql: String, iterations: Int,
+      alphaNum: Long = 85L): String = {
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val iters = (1 to iterations).map { i =>
+      s"r$i AS (SELECT n.node, CAST($teleport + ($alphaNum * coalesce(s.c, 0)) // 100 AS BIGINT) AS u " +
+        s"FROM n LEFT JOIN (SELECT e.dst AS node, sum(r${i - 1}.u // deg.d) AS c " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src " +
+        "GROUP BY e.dst) s ON n.node = s.node)"
+    }.mkString(", ")
+    s"WITH e AS ($edgesSql), " +
+      "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), " +
+      "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      s"r0 AS (SELECT node, CAST($SCALE AS BIGINT) AS u FROM n), " +
+      iters +
+      s" SELECT node, u AS rank_units FROM r$iterations"
+  }
+}

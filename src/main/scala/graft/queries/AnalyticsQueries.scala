@@ -720,7 +720,103 @@ object AnalyticsQueries {
     "Approximate percentiles (Greenwald-Khanna sketch) in the exact " +
       "regime, oracle = the element at rank ceil(p*n)")
 
+  /** Fixed-point PageRank over the supplier↔part bipartite graph from
+    * lineitem (node ids disjoint by parity: supplier → 2k+1, part → 2k),
+    * 5 iterations, damping 0.85, ranks in integer 1e-9 units — the
+    * link-graph source-quality signal corpus curation weights domains
+    * by, bit-reproducible under any shuffle order (integer sums and
+    * truncating division only; see ops/Graph). The oracle replays the
+    * identical arithmetic as unrolled chained CTEs. */
+  private val q90 = Q(
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val rev = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pageRank(fwd.unionAll(rev), "src", "dst", iterations = 5,
+        broadcastRanks = true)
+        .orderBy(col("rank_units").desc, col("node")).limit(100)
+    },
+    Some(graft.ops.Graph.pageRankOracleSql(
+      "SELECT DISTINCT src, dst FROM (" +
+        "SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem " +
+        "UNION ALL SELECT l_partkey*2, l_suppkey*2+1 FROM lineitem)",
+      iterations = 5) + " ORDER BY rank_units DESC, node LIMIT 100"),
+    "Fixed-point PageRank (5 iterations, integer 1e-9 rank units) over " +
+      "the supplier-part bipartite graph: the link-graph quality signal, " +
+      "bit-reproducible and SQL-replayable")
+
+  /** CDC snapshot diff: two deterministic snapshots of orders (inserts =
+    * keys absent from the before image, deletes = keys absent from the
+    * after image, updates = price/priority edits) reconciled by
+    * ops/Cdc.snapshotDiff — ONE full-outer join, output |changes| not
+    * |snapshot|, per-update changed-column list. */
+  private val q91 = Q(
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val before = o.filter(col("o_orderkey") % 7 =!= 0)
+      val after = o.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority", when(col("o_orderkey") % 3 === 0,
+          lit("X-UPDATED")).otherwise(col("o_orderpriority")))
+      graft.ops.Cdc.snapshotDiff(before, after, Seq("o_orderkey"),
+          Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
+        .select(col("o_orderkey"), col("change"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+      "o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0), " +
+      "a AS (SELECT o_orderkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, " +
+      "CASE WHEN o_orderkey % 3 = 0 THEN 'X-UPDATED' ELSE o_orderpriority END AS o_orderpriority " +
+      "FROM orders WHERE o_orderkey % 11 <> 0) " +
+      "SELECT * FROM (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+      "CASE WHEN b.o_orderkey IS NULL THEN 'insert' " +
+      "WHEN a.o_orderkey IS NULL THEN 'delete' " +
+      "WHEN (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority) " +
+      "OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus) " +
+      "OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice) THEN 'update' END AS change, " +
+      "CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey IS NULL THEN '' " +
+      "ELSE concat_ws(',', " +
+      "CASE WHEN b.o_orderpriority IS DISTINCT FROM a.o_orderpriority THEN 'o_orderpriority' END, " +
+      "CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus THEN 'o_orderstatus' END, " +
+      "CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'o_totalprice' END) END AS changed_cols " +
+      "FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey) " +
+      "WHERE change IS NOT NULL ORDER BY o_orderkey"),
+    "CDC snapshot diff: insert/delete/update classification plus " +
+      "changed-column list from ONE full-outer join — ship the diff, " +
+      "never the snapshot")
+
+  /** Per-user EWMA of event values (α = 0.20) in fixed-point units — the
+    * recurrent decay feature (EMA price line, decayed engagement) that
+    * no window frame expresses because row t needs row t-1's OUTPUT.
+    * One keyed shuffle + in-row fold (ops/TimeSeries.ewma); the oracle
+    * replays the recurrence as a recursive CTE in identical integer
+    * arithmetic. */
+  private val q93 = Q(
+    (s, dir) => graft.ops.TimeSeries.ewma(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", alphaNum = 20)
+      .orderBy("user_id", "event_id"),
+    Some("SELECT key AS user_id, id AS event_id, ewma_units FROM (" +
+      graft.ops.TimeSeries.ewmaOracleSql(
+        "SELECT user_id AS key, event_id AS id, " +
+          "CAST(floor(value*1000000 + 0.5) AS BIGINT) AS xu, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+          "FROM events", alphaNum = 20) +
+      ") ORDER BY user_id, event_id"),
+    "Per-user exponentially weighted moving average in fixed-point " +
+      "units: recurrent feature via one keyed shuffle + in-row fold, " +
+      "replayed exactly by a recursive CTE")
+
   val all: Map[String, Q] = Map(
+    "q90_pagerank" -> q90,
+    "q91_snapshot_diff" -> q91,
+    "q93_ewma" -> q93,
     "q52_approx_distinct" -> q52,
     "q53_approx_quantile" -> q53,
     "q45_window_range" -> q45,

@@ -274,7 +274,31 @@ object CurationQueries {
     "Recipe-proportioned mixture sample: per-group quotas from a data " +
       "recipe, deterministic seeded-hash draw within each group")
 
+  // q92: denylist decontamination through the Bloom pre-filter — the
+  // scan-side membership probe (codegen'd, filter shipped as a plan
+  // literal) drops sure-negative docs before any Exchange; only
+  // maybe-positives pay the exact anti join, so the shuffle is sized by
+  // fpp·|corpus|+|matches|, not |corpus|. Result is bit-identical to
+  // the plain anti join (BloomJoinSpec asserts it); the oracle replays
+  // the exact-join semantics.
+  private val q92 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val deny = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      graft.ops.BloomJoin.antiJoin(docs, deny, "doc_id", "doc_id",
+          expectedItems = 1000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang, source FROM documents " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) " +
+      "ORDER BY doc_id"),
+    "Denylist decontamination via Bloom pre-filtered anti join: " +
+      "sure-negatives bypass the shuffle, maybe-positives close with " +
+      "the exact join — bit-identical to the plain anti join")
+
   val all: Map[String, Q] = Map(
+    "q92_bloom_decontaminate" -> q92,
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,
     "q49_pack_bins" -> q49,

@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class TimeSeriesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("ewma recurrence matches a hand fold, first row passes through") {
+    val df = Seq(
+      (1L, ts(1), 10L, 1.0),
+      (1L, ts(2), 11L, 2.0),
+      (1L, ts(3), 12L, 3.0),
+      (2L, ts(1), 20L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value", 20)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // units: x1=1e6, x2=2e6, x3=3e6
+    val y1 = 1000000L
+    val y2 = (20L * 2000000L + 80L * y1) / 100L
+    val y3 = (20L * 3000000L + 80L * y2) / 100L
+    assert(out == Seq((1L, 10L, y1), (1L, 11L, y2), (1L, 12L, y3),
+      (2L, 20L, 5000000L)))
+  }
+
+  test("ordering is by (ts, id) regardless of input row order") {
+    val shuffled = Seq(
+      (1L, ts(3), 12L, 3.0),
+      (1L, ts(1), 10L, 1.0),
+      (1L, ts(2), 11L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value").repartition(3)
+    val ordered = Seq(
+      (1L, ts(1), 10L, 1.0),
+      (1L, ts(2), 11L, 2.0),
+      (1L, ts(3), 12L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewma(df, "user_id", "ts", "event_id", "value", 20)
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(run(shuffled) == run(ordered))
+  }
+
+  test("toUnits is exact on the 1e-6 grid and engine-stable on negatives") {
+    // floor(x·1e6 + 0.5): exact IEEE products here, so the expected
+    // values are pinned — -1.25 → floor(-1249999.5) = -1250000,
+    // -0.000001 → floor(-0.5) = -1; any platform drift fails loudly
+    val vals = Seq(0.0, 1.25, -1.25, 123.456789, -0.000001).toDF("v")
+    val units = vals.select(TimeSeries.toUnits($"v")).as[Long].collect().toSeq
+    assert(units == Seq(0L, 1250000L, -1250000L, 123456789L, -1L))
+  }
+
+  test("ewma on the real events table: one output row per input row") {
+    val ev = graft.queries.Queries.normalizeTs(
+      spark.read.parquet(s"$sf0001/events.parquet"))
+    val out = TimeSeries.ewma(ev, "user_id", "ts", "event_id", "value", 20)
+    assert(out.count() == ev.count())
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+}

@@ -36,7 +36,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q78_merge_upsert", "q79_bucketed_join",
     "q82_incr_agg", "q83_schema_evolution",
     // q87 stores its dimension parquet each call (the q82 shape)
-    "q87_scd2_history")
+    "q87_scd2_history",
+    // q92 builds its Bloom filter (one job over the key side) at
+    // plan-build; its plan property — the probe filtering the scan
+    // below the exact join — is asserted in BloomJoinSpec
+    "q92_bloom_decontaminate")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
