@@ -35,11 +35,32 @@ object BloomJoin {
     bos.toByteArray
   }
 
+  /** The probe hashes LONG keys (BloomContains's contract); a string or
+    * decimal key would be inserted as its own byte encoding by
+    * stat.bloomFilter but probed after cast('long') — false NEGATIVES,
+    * which in antiJoin silently RETAIN true members. Fail fast instead:
+    * only integral types share the long hash on both sides. */
+  private def requireIntegralKeys(big: DataFrame, keys: DataFrame,
+      bigKey: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val ok = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val bt = big.schema(bigKey).dataType
+    val kt = keys.schema(keyCol).dataType
+    require(ok(bt) && ok(kt),
+      s"BloomJoin requires integral key columns (byte/short/int/long); " +
+        s"got $bigKey: ${bt.catalogString}, $keyCol: ${kt.catalogString}")
+  }
+
   /** Exact semi join accelerated by a Bloom pre-filter: rows of `big`
     * whose `bigKey` appears in `keys.keyCol`. */
   def semiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    requireIntegralKeys(big, keys, bigKey, keyCol)
     val bytes = filterBytes(keys, keyCol, expectedItems, fpp)
+    // NULL keys: the probe null-evals to NULL, the filter drops the row —
+    // exactly what left_semi does with a NULL join key, so no coalesce is
+    // needed on this side
     big.filter(call_function("graft_bloom_contains",
         lit(bytes), col(bigKey).cast("long")))
       .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
@@ -51,11 +72,15 @@ object BloomJoin {
     * only maybe-positives are re-checked exactly. */
   def antiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    requireIntegralKeys(big, keys, bigKey, keyCol)
     val bytes = filterBytes(keys, keyCol, expectedItems, fpp)
     val maybe = call_function("graft_bloom_contains",
       lit(bytes), col(bigKey).cast("long"))
-    big.filter(!maybe).unionAll(
-      big.filter(maybe)
+    // NULL keys probe to NULL, which both !maybe and maybe would drop —
+    // but a plain left_anti RETAINS null-key left rows (NULL matches
+    // nothing). Route them into the sure-negative bypass branch.
+    big.filter(coalesce(!maybe, lit(true))).unionAll(
+      big.filter(coalesce(maybe, lit(false)))
         .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_anti"))
   }
 }

@@ -27,6 +27,43 @@ class BloomJoinSpec extends AnyFunSuite with SparkTest {
     assert(fast == exact && exact.nonEmpty)
   }
 
+  test("NULL keys survive the anti join and are dropped by the semi join," +
+    " matching the plain joins") {
+    val withNulls = docs
+      .withColumn("doc_id",
+        when($"doc_id" % 7 === 0, lit(null)).otherwise($"doc_id"))
+    val nNull = withNulls.filter($"doc_id".isNull).count()
+    assert(nNull > 0)
+
+    val fastAnti = BloomJoin.antiJoin(withNulls, deny, "doc_id", "doc_id", 1000L)
+      .select($"doc_id").as[Option[Long]].collect().sorted.toSeq
+    val exactAnti = withNulls.join(deny, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Option[Long]].collect().sorted.toSeq
+    assert(fastAnti == exactAnti)
+    assert(fastAnti.count(_.isEmpty) == nNull, "anti join must RETAIN null keys")
+
+    val fastSemi = BloomJoin.semiJoin(withNulls, deny, "doc_id", "doc_id", 1000L)
+      .select($"doc_id").as[Option[Long]].collect().sorted.toSeq
+    val exactSemi = withNulls.join(deny, Seq("doc_id"), "left_semi")
+      .select($"doc_id").as[Option[Long]].collect().sorted.toSeq
+    assert(fastSemi == exactSemi)
+    assert(!fastSemi.exists(_.isEmpty), "semi join must DROP null keys")
+  }
+
+  test("non-integral key columns are rejected at the entry point") {
+    val strDocs = docs.withColumn("doc_id", $"doc_id".cast("string"))
+    val strDeny = deny.withColumn("doc_id", $"doc_id".cast("string"))
+    val e1 = intercept[IllegalArgumentException] {
+      BloomJoin.antiJoin(strDocs, deny.withColumn("doc_id", $"doc_id".cast("string")),
+        "doc_id", "doc_id", 1000L)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(docs, strDeny, "doc_id", "doc_id", 1000L)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("no false negatives: the probe admits every true member") {
     val bf = deny.stat.bloomFilter("doc_id", 1000L, 0.01)
     val members = deny.as[Long].collect()
