@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, RuntimeReplaceable, UnaryExpression, UnscaledValue, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, RuntimeReplaceable, TernaryExpression, UnaryExpression, UnscaledValue, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -538,6 +538,113 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-row term-frequency map of an array<string> token list:
+    * array<struct<term, tf>> sorted by term, empty tokens skipped — the
+    * in-row form of `explode → groupBy(doc, term) → count`. Term counts
+    * within a document are row-local by definition, so computing them in
+    * the scan projection removes the per-TOKEN exchange entirely (the
+    * largest shuffle of the TF-IDF pipeline: T token rows vs the T'
+    * distinct (doc, term) pairs that actually need to move). */
+  case class WordCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_word_counts"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new java.util.TreeMap[String, Array[Long]]()
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i).toString
+        if (t.nonEmpty) {
+          val c = counts.get(t)
+          if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+        }
+        i += 1
+      }
+      val out = new Array[Any](counts.size())
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), e.getValue()(0))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** One O(n) pass of the EWMA recurrence over a key's time-sorted rows:
+    * y_1 = x_1 (or `(a·x_1 + b·init) div 100` when an `init` state from a
+    * previous segment is present), y_t = (a·x_t + b·y_{t−1}) div 100 in
+    * integer units, a = alphaNum, b = 100−a — the compiled form of the
+    * aggregate-HOF fold whose `concat(acc, array(...))` accumulator
+    * copied the growing output array on every row (O(n²) time and
+    * allocation per key; hot keys degraded sharply). Division is Java
+    * long `/` — identical to Spark's `div` (truncation toward zero) that
+    * the HOF used, so swapping implementations changes no result hash.
+    *
+    * Input: array<struct<ts, id: long, xu: long>> ALREADY sorted (the
+    * caller sort_arrays by (ts, id)); fields are read by ordinal 1/2, the
+    * ts field only drives the sort. `init` is the chained boundary state
+    * for segmented evaluation (ops/TimeSeries.ewmaSegmented); NULL means
+    * "no prior state" and the first row passes through. */
+  case class EwmaFold(rows: Expression, alpha: Expression, init: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = rows
+    override def second: Expression = alpha
+    override def third: Expression = init
+    override def nullable: Boolean = rows.nullable
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("y", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_ewma_fold"
+
+    override def checkInputDataTypes(): TypeCheckResult = rows.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 3 &&
+        st(1).dataType == LongType && st(2).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ewma_fold expects array<struct<ts, id: bigint, xu: bigint>>, " +
+          s"got ${other.catalogString}")
+    }
+
+    // eval is overridden (not nullSafeEval): init is legitimately NULL
+    // for the unseeded first segment, and TernaryExpression's default
+    // would short-circuit the whole fold to NULL
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val rs = rows.eval(input)
+      if (rs == null) return null
+      val arr = rs.asInstanceOf[ArrayData]
+      val a = alpha.eval(input).asInstanceOf[Int].toLong
+      val b = 100L - a
+      val i0 = init.eval(input)
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var has = i0 != null
+      var prev = if (has) i0.asInstanceOf[Long] else 0L
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 3)
+        val xu = r.getLong(2)
+        val y = if (has) (a * xu + b * prev) / 100L else { has = true; xu }
+        prev = y
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(r.getLong(1), y)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): Expression = copy(rows = f, alpha = s, init = t)
+  }
+
   /** [[UnscaledValue]] constrained to scale-6 decimals — the registered
     * `graft_unscaled`. Catalyst's raw UnscaledValue is scale-blind:
     * applied to a decimal whose scale is not 6 it silently mis-scales
@@ -590,6 +697,10 @@ object CatalystExpressions {
     reg.createOrReplaceTempFunction("graft_word_windows",
       es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_ewma_fold",
+      es => EwmaFold(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_counts",
+      es => WordCounts(es.head), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -653,6 +764,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info("graft_word_windows", "_FUNC_(text, width, stride) - overlapping word windows (context segmentation)"),
       es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_word_counts"),
+      info("graft_word_counts", "_FUNC_(tokens) - per-row term-frequency pairs (term, tf), term-sorted, empties skipped"),
+      es => WordCounts(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_ewma_fold"),
+      info("graft_ewma_fold", "_FUNC_(rows, alphaNum, init) - O(n) EWMA fold over time-sorted rows (init = chained segment state or NULL)"),
+      es => EwmaFold(es.head, es(1), es(2))))
     e.injectFunction((FunctionIdentifier("graft_unscaled"),
       info("graft_unscaled", "_FUNC_(dec) - unscaled long of a decimal(p,6) (fast-sum plumbing)"),
       es => UnscaledMicros(es.head)))

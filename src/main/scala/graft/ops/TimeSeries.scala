@@ -27,30 +27,98 @@ object TimeSeries {
     * Output: (keyCol, idCol, ewma_units), one row per input row.
     *
     * Scale shape: ONE keyed shuffle (groupBy key); the fold runs in-row
-    * over the key's sorted events via the aggregate HOF — parallelism =
-    * key count, state = one key's rows. The recurrence is inherently
+    * over the key's sorted events via the compiled EwmaFold expression —
+    * one O(n) pass per key (the aggregate-HOF form it replaces copied
+    * its accumulator array per row: O(n²) per key). Parallelism = key
+    * count, state = one key's rows. The recurrence is inherently
     * sequential per key (y_t needs y_{t−1}), so per-key linearity is the
-    * floor any engine pays; for keys too hot to hold in one task, bound
-    * the series first (segment by day and chain boundary states — the
-    * q82 incremental-state shape). */
+    * floor any engine pays; for keys too hot to hold in one task, use
+    * [[ewmaSegmented]], which bounds task state to one segment and
+    * chains boundary states (bit-equal, spec-asserted). */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valueCol: String, alphaNum: Int): DataFrame = {
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
-    val a = alphaNum
-    val b = 100 - alphaNum
-    df.select(col(keyCol), struct(col(tsCol).as("ts"), col(idCol).as("id"),
+    graft.functions.CatalystExpressions.register(df.sparkSession)
+    df.select(col(keyCol), struct(col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
         toUnits(col(valueCol)).as("xu")).as("r"))
       .groupBy(keyCol)
       .agg(sort_array(collect_list(col("r"))).as("rs"))
-      .select(col(keyCol), explode(expr(
-        s"""aggregate(rs,
-           |  CAST(array() AS ARRAY<STRUCT<id: BIGINT, y: BIGINT>>),
-           |  (acc, r) -> concat(acc, array(named_struct(
-           |    'id', r.id,
-           |    'y', CASE WHEN size(acc) = 0 THEN r.xu
-           |         ELSE ($a * r.xu + $b * element_at(acc, -1).y) div 100
-           |         END))))""".stripMargin)).as("e"))
+      .select(col(keyCol), explode(call_function("graft_ewma_fold",
+        col("rs"), lit(alphaNum), lit(null).cast("long"))).as("e"))
       .select(col(keyCol), col("e.id").as(idCol), col("e.y").as("ewma_units"))
+  }
+
+  /** [[ewma]] with bounded per-task state: the series is cut into
+    * chronological segments (`segment` — e.g. `to_date(ts)`), each
+    * segment folds with one keyed shuffle over ONLY its own rows, and the
+    * per-key boundary state (the segment's final y) seeds the next
+    * segment's fold via EwmaFold's `init` argument. Bit-equal to the
+    * whole-series [[ewma]] (spec-asserted): seeding y₀ makes the first
+    * row of segment s compute `(α·x + (100−α)·y₀) div 100` — exactly the
+    * step the unsegmented fold performs at that row.
+    *
+    * Scale shape: a driver loop over the ORDERED DISTINCT segment values
+    * (a bounded collect — calendar days/hours, the same driver-side-state
+    * class as the IVF codebooks), one job per segment. Task memory is one
+    * key's rows *within one segment* instead of the whole series — the
+    * hot-key mitigation for keys whose full history cannot hold in a
+    * task. The carried state relation is |keys| rows, localCheckpointed
+    * each step so lineage stays flat across segments; keys absent from a
+    * segment carry their state through unchanged (union + max_by merge —
+    * one keyed aggregation, never a join, so the per-segment stats
+    * estimate stays additive). The state DataFrame is rebuilt from the
+    * checkpointed RDD each step: a checkpointed Dataset CARRIES its
+    * origin plan's statistics, and threading them through the
+    * seed-join → fold → merge cycle compounds sizeInBytes
+    * multiplicatively across segments (observed: BigInt stats whose bit
+    * count doubled per segment — planning time went exponential past
+    * ~20 segments). Rebuilding from the RDD resets to a constant
+    * default estimate; AQE re-plans the seed join from actual runtime
+    * sizes, so the estimate's coarseness costs nothing. */
+  def ewmaSegmented(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaNum: Int,
+      segment: Column): DataFrame = {
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    graft.functions.CatalystExpressions.register(df.sparkSession)
+    val withSeg = df.withColumn("__seg", segment)
+    val segs = withSeg.select(col("__seg")).distinct()
+      .orderBy(col("__seg")).collect().map(_.get(0))
+    if (segs.isEmpty) return ewma(df, keyCol, tsCol, idCol, valueCol, alphaNum)
+    var state: DataFrame = null // (keyCol, __y0): last y per key so far
+    val outs = Seq.newBuilder[DataFrame]
+    for (sv <- segs) {
+      val rows = withSeg.filter(col("__seg") <=> lit(sv))
+        .select(col(keyCol), struct(col(tsCol).as("ts"),
+          col(idCol).cast("long").as("id"),
+          toUnits(col(valueCol)).as("xu")).as("r"))
+        .groupBy(keyCol)
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      val seeded =
+        if (state == null) rows.withColumn("__y0", lit(null).cast("long"))
+        else rows.join(state, Seq(keyCol), "left")
+      // localCheckpoint: `folded` is read twice (output + next state), and
+      // eager materialization keeps each segment's fold one bounded job
+      val folded = seeded.select(col(keyCol),
+        call_function("graft_ewma_fold",
+          col("rs"), lit(alphaNum), col("__y0")).as("es"))
+        .localCheckpoint()
+      outs += folded
+        .select(col(keyCol), explode(col("es")).as("e"))
+        .select(col(keyCol), col("e.id").as(idCol), col("e.y").as("ewma_units"))
+      val segState = folded.select(col(keyCol),
+        element_at(col("es"), -1).getField("y").as("__y0"))
+      val merged =
+        if (state == null) segState
+        // newer segment wins per key (__p 1 beats 0); each side holds at
+        // most one row per key, so max_by is deterministic
+        else state.withColumn("__p", lit(0))
+          .unionAll(segState.withColumn("__p", lit(1)))
+          .groupBy(keyCol).agg(max_by(col("__y0"), col("__p")).as("__y0"))
+      val ck = merged.localCheckpoint()
+      state = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    outs.result().reduce(_ unionAll _)
   }
 
   /** The recursive-CTE ANSI SQL replay of [[ewma]] for a DuckDB oracle:

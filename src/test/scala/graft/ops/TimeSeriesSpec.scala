@@ -55,6 +55,38 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTest {
     assert(units == Seq(0L, 1250000L, -1250000L, 123456789L, -1L))
   }
 
+  test("ewmaSegmented is bit-equal to the whole-series ewma, including " +
+    "keys that skip segments") {
+    // key 1 spans 3 days; key 2 appears on day 1 and day 3 only (its
+    // state must carry THROUGH day 2's full-outer merge); key 3 exists
+    // in one segment only
+    val df = Seq(
+      (1L, ts(10), 1L, 1.0), (1L, ts(20), 2L, 2.5),
+      (1L, ts(86400 + 10), 3L, 3.0), (1L, ts(86400 + 20), 4L, 0.5),
+      (1L, ts(2 * 86400 + 5), 5L, 9.0),
+      (2L, ts(15), 6L, 4.0),
+      (2L, ts(2 * 86400 + 9), 7L, 6.0),
+      (3L, ts(86400 + 1), 8L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val whole = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value", 20)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val seg = TimeSeries.ewmaSegmented(df, "user_id", "ts", "event_id",
+        "value", 20, to_date($"ts"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(seg == whole && whole.size == 8)
+  }
+
+  test("ewmaSegmented on the real events table matches ewma bit-for-bit") {
+    val ev = graft.queries.Queries.normalizeTs(
+      spark.read.parquet(s"$sf0001/events.parquet"))
+    val whole = TimeSeries.ewma(ev, "user_id", "ts", "event_id", "value", 20)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val seg = TimeSeries.ewmaSegmented(ev, "user_id", "ts", "event_id",
+        "value", 20, to_date($"ts"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(seg == whole && whole.nonEmpty)
+  }
+
   test("ewma on the real events table: one output row per input row") {
     val ev = graft.queries.Queries.normalizeTs(
       spark.read.parquet(s"$sf0001/events.parquet"))
