@@ -47,11 +47,22 @@ object Graph {
     * `localCheckpoint` (every `checkpointInterval` iterations) truncates
     * the growing lineage — each checkpoint is a real job, so the
     * interval trades scheduling round-trips against plan depth,
-    * optimizer time, and recovery cost on long runs. */
+    * optimizer time, and recovery cost on long runs.
+    *
+    * Rank-relation strategy: `broadcastRanks = None` (default) picks
+    * broadcast-vs-shuffle from |V| — broadcasting skips the per-iteration
+    * rank exchange + edge-side sort, but ships the WHOLE rank relation to
+    * every executor each iteration, so it is only right when |V| is
+    * genuinely small (a graph-scale dimension table). The cutover is
+    * `broadcastMaxNodes` (default 1M nodes ≈ 16 MB of (long, long) rows —
+    * the classic autoBroadcast scale); anything larger takes the
+    * scale-safe shuffle path, where only |V| rows move per iteration
+    * against the never-moving cached edges. `Some(b)` forces a side. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, alphaNum: Long = 85L,
-      broadcastRanks: Boolean = false,
-      checkpointInterval: Int = 4): DataFrame = {
+      broadcastRanks: Option[Boolean] = None,
+      checkpointInterval: Int = 4,
+      broadcastMaxNodes: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
@@ -67,11 +78,15 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(col("node")).cache()
+    // |V| is needed anyway (the count materializes the node cache every
+    // caller pays for); it doubles as the broadcast-vs-shuffle estimate
+    val useBroadcast = chooseRankStrategy(nodes.count(), broadcastMaxNodes,
+      broadcastRanks)
     var ranks = nodes.withColumn("u", lit(SCALE))
     for (i <- 1 to iterations) {
       val ranksSrc = ranks.withColumnRenamed("node", "src")
       val contribs = degE
-        .join(if (broadcastRanks) broadcast(ranksSrc) else ranksSrc, "src")
+        .join(if (useBroadcast) broadcast(ranksSrc) else ranksSrc, "src")
         .select(col("dst").as("node"), expr("u div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
       ranks = nodes.join(contribs, Seq("node"), "left")
@@ -88,8 +103,25 @@ object Graph {
       if (i % checkpointInterval == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"), col("u").as("rank_units"))
+    // materialize the final ranks (one eager localCheckpoint), then drop
+    // the three cached relations: returning them lazily would pin edge-
+    // scale executor storage until LRU eviction across repeated calls in
+    // one session (bench reps), and unpersisting without materializing
+    // would silently recompute the whole iteration chain from scratch at
+    // first use. The checkpoint blocks free themselves when the returned
+    // plan is GC'd.
+    val out = ranks.select(col("node"), col("u").as("rank_units")).localCheckpoint()
+    e.unpersist()
+    degE.unpersist()
+    nodes.unpersist()
+    out
   }
+
+  /** The broadcast-vs-shuffle decision, separated so the boundary is
+    * unit-testable: broadcast iff |V| ≤ maxNodes, unless forced. */
+  private[graft] def chooseRankStrategy(nV: Long, maxNodes: Long,
+      forced: Option[Boolean]): Boolean =
+    forced.getOrElse(nV <= maxNodes)
 
   /** The unrolled-iteration ANSI SQL replay of [[pageRank]] for a
     * DuckDB oracle: identical integer arithmetic, one chained CTE per

@@ -734,8 +734,7 @@ object AnalyticsQueries {
         (col("l_partkey") * 2).as("dst"))
       val rev = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.ops.Graph.pageRank(fwd.unionAll(rev), "src", "dst", iterations = 5,
-        broadcastRanks = true)
+      graft.ops.Graph.pageRank(fwd.unionAll(rev), "src", "dst", iterations = 5)
         .orderBy(col("rank_units").desc, col("node")).limit(100)
     },
     Some(graft.ops.Graph.pageRankOracleSql(

@@ -38,16 +38,16 @@ object PrProbe {
     for (k <- Seq(1, 1, 2, 5)) {
       t(s"pageRank k=$k") {
         graft.ops.Graph.pageRank(edges, "src", "dst", iterations = k,
-          broadcastRanks = true, checkpointInterval = 1).count()
+          broadcastRanks = Some(true), checkpointInterval = 1).count()
       }
     }
     t("pageRank k=5 nochk") {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = true, checkpointInterval = 99).count()
+        broadcastRanks = Some(true), checkpointInterval = 99).count()
     }
     t("pageRank k=5 shuffle") {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = false, checkpointInterval = 1).count()
+        broadcastRanks = Some(false), checkpointInterval = 1).count()
     }
     val fn = graft.SparkEntry.queries("q90_pagerank")
     t("q90 via query (1st)")(fn(spark, dir).count())
@@ -63,32 +63,32 @@ object PrProbe {
     val edges2 = fwd2.unionAll(rev2)
     t("pageRank on table() edges") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true).count()
+        broadcastRanks = Some(true)).count()
     }
     t("pageRank on table() edges 2nd") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true).count()
+        broadcastRanks = Some(true)).count()
     }
     t("query minus topk") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true)
+        broadcastRanks = Some(true))
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     t("topk, AQE off") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true)
+        broadcastRanks = Some(true))
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     }
     t("topk, AQE off, chk1") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true, checkpointInterval = 1)
+        broadcastRanks = Some(true), checkpointInterval = 1)
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     t("topk, AQE on, chk1") {
       graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = true, checkpointInterval = 1)
+        broadcastRanks = Some(true), checkpointInterval = 1)
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     }
     spark.stop()

@@ -32,6 +32,24 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(r(3L) == (100L - 85L) * Graph.SCALE / 100L, "teleport-only spoke")
   }
 
+  test("rank-strategy selection: broadcast iff |V| <= broadcastMaxNodes, " +
+    "forced override wins") {
+    assert(Graph.chooseRankStrategy(1000000L, 1000000L, None))
+    assert(!Graph.chooseRankStrategy(1000001L, 1000000L, None))
+    assert(!Graph.chooseRankStrategy(10L, 1000000L, Some(false)))
+    assert(Graph.chooseRankStrategy(10000000000L, 1000000L, Some(true)))
+  }
+
+  test("broadcast and shuffle rank paths are bit-identical") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val edges = li.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst"))
+    val b = Graph.pageRank(edges, "src", "dst", iterations = 3,
+      broadcastRanks = Some(true)).as[(Long, Long)].collect().sorted.toSeq
+    val s = Graph.pageRank(edges, "src", "dst", iterations = 3,
+      broadcastRanks = Some(false)).as[(Long, Long)].collect().sorted.toSeq
+    assert(b == s && b.nonEmpty)
+  }
+
   test("deterministic under repartitioning (integer arithmetic, no FP order)") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     def edges(parts: Int) = {
