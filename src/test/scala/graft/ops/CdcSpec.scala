@@ -39,6 +39,34 @@ class CdcSpec extends AnyFunSuite with SparkTest {
     assert(Cdc.snapshotDiff(snap, snap, Seq("k"), Seq("s", "v")).isEmpty)
   }
 
+  test("bucketed snapshots diff with zero Exchange (co-located full-outer)") {
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val o = spark.read.parquet(s"$sf0001/orders.parquet")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("s"), $"o_totalprice".as("v"))
+      val before = o.filter($"k" % 7 =!= 0)
+      val after = o.filter($"k" % 11 =!= 0)
+        .withColumn("v", when($"k" % 5 === 0, $"v" + 1.0).otherwise($"v"))
+      graft.io.Lake.writeBucketed(before, "cdc_before", "k", 4, Some("k"))
+      graft.io.Lake.writeBucketed(after, "cdc_after", "k", 4, Some("k"))
+
+      val diff = Cdc.snapshotDiff(spark.table("cdc_before"),
+        spark.table("cdc_after"), Seq("k"), Seq("s", "v"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle; plan was:\n$plan")
+
+      // and the co-located diff is still the diff
+      val expected = collect(Cdc.snapshotDiff(before, after, Seq("k"), Seq("s", "v")))
+      assert(collect(diff) == expected && expected.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS cdc_before")
+      spark.sql("DROP TABLE IF EXISTS cdc_after")
+    }
+  }
+
   test("real-table diff: output is |changes|, classes partition the keys") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .select($"o_orderkey".as("k"), $"o_orderstatus".as("s"), $"o_totalprice".as("v"))
