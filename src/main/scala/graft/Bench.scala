@@ -303,11 +303,23 @@ object Bench {
     // methodology is self-describing.
     val timeBudgetS =
       sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "600").toDouble
-    val baseReps = if (warmSum * 5 > timeBudgetS) 3 else 5
+    // Sweep reserve (r10): the r9 official artifact recorded
+    // retry_sweeps:0 with 51 unclean reps — the base passes had consumed
+    // the whole 600 s budget, so the sweep's 0.8×budget deadline was
+    // already in the past and the recovery pass was dead code exactly
+    // when it was needed. Reserve a slice of the budget up front: the
+    // rep-degradation projection and the extras' soft deadline both
+    // target (budget − reserve), and the sweep is additionally
+    // guaranteed a minimum window past whatever the main pass consumed.
+    val sweepReserveS =
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_RESERVE_S", "90").toDouble
+    val mainBudgetS = math.max(timeBudgetS - sweepReserveS, timeBudgetS * 0.5)
+    val baseReps = if (warmSum * 5 > mainBudgetS) 3 else 5
     val maxReps = if (baseReps == 3) 5 else 8
     if (baseReps == 3)
       System.err.println(f"bench: projected ${warmSum * 5}%.0f s exceeds " +
-        f"budget $timeBudgetS%.0f s — degrading to min-of-3 reps")
+        f"main budget $mainBudgetS%.0f s — degrading to min-of-3 reps")
+    def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
 
     var midrunWaits = 0
     var everContended = !startOk
@@ -374,11 +386,15 @@ object Bench {
         pw += 1
         midrunWaits += 1
       }
-      // rep loop: base reps, then extras until two clean reps exist
+      // rep loop: base reps, then extras until two clean reps exist.
+      // Extras also stop at the main-pass soft deadline so the sweep
+      // reserve survives a long contention window (the sweep is the
+      // better use of the remaining clock: it re-waits for quiet first).
       var rep = 0
       while (!st.failed &&
         (rep < baseReps ||
-          (st.clean < 2 && rep < maxReps && extraUsed < extraRepBudget))) {
+          (st.clean < 2 && rep < maxReps && extraUsed < extraRepBudget &&
+            elapsedS < mainBudgetS))) {
         if (rep >= baseReps) extraUsed += 1
         repOnce(fn, st, force = rep < baseReps)
         rep += 1
@@ -400,11 +416,54 @@ object Bench {
     // budget — an artifact with some unclean queries beats an rc-124.
     val retryRepBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_REPS", "80").toInt
     val retryWaitBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_WAITS", "8").toInt
-    val retryDeadlineS = timeBudgetS * 0.8
-    def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
+    // Sweep deadline (r10): 0.8×budget as before, but never less than the
+    // reserved window past NOW — when the main pass overran the budget
+    // (r9: 602 s of base passes), the old gate made the sweep dead code
+    // with 51 queries unclean; unclean>0 must always imply >=1 sweep.
+    val retryDeadlineS = math.max(timeBudgetS * 0.8,
+      elapsedS + math.min(sweepReserveS, 60.0))
     var retryUsed = 0
     var retryWaits = 0
     var sweep = 0
+
+    // Artifact assembly, callable at any point (pre-sweep checkpoint +
+    // final): every field recomputes from live state.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    def r3(v: Double): String = f"$v%.3f"
+    def currentResults: Seq[(String, Double)] = timedQueries.map { case (name, _) =>
+      val st = state(name)
+      name -> (if (st.failed) -1.0 else st.ts.min)
+    }
+    def currentUnclean: Seq[String] =
+      state.collect { case (n, st) if st.clean < 2 => n }.toSeq
+    def fullLine(): String = {
+      val results = currentResults
+      val unclean = currentUnclean
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val uncleanJson = unclean.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""sf":"$sfDir","load_start":${attempts.last},"load_end":$externalLoad,""" +
+        s""""load_raw_end":$loadAvg,"own_load_end":$ownEwma,""" +
+        s""""load_gate":$loadGate,"load_attempts":${attempts.mkString("[", ",", "]")},""" +
+        s""""midrun_waits":$midrunWaits,"load_gated_ok":${!everContended},""" +
+        s""""probe_ref_ms":$bestProbe,"probe_ref_source":"$probeRefSource",""" +
+        s""""probe_ok":${unclean.isEmpty},""" +
+        s""""unclean":$uncleanJson,"extra_reps":$extraUsed,""" +
+        s""""retry_reps":$retryUsed,"retry_sweeps":$sweep,""" +
+        s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
+    }
+    def writeFullArtifact(): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (fullLine() + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"bench: could not write $outFile: $e") }
+
+    // checkpoint the full-diagnostic artifact BEFORE sweeping: if the
+    // driver kills the process mid-sweep, the main pass's numbers and
+    // cleanliness accounting survive on disk
+    writeFullArtifact()
     while (sweep < 5 && retryUsed < retryRepBudget && elapsedS < retryDeadlineS &&
       state.values.exists(st => !st.failed && st.clean < 2)) {
       sweep += 1
@@ -440,18 +499,11 @@ object Bench {
       }
     }
 
-    val unclean = state.collect { case (n, st) if st.clean < 2 => n }.toSeq
-    val results = timedQueries.map { case (name, _) =>
-      val st = state(name)
-      name -> (if (st.failed) -1.0 else st.ts.min)
-    }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val uncleanJson = unclean.map("\"" + _ + "\"").mkString("[", ",", "]")
-
     // Two emissions, one format contract ({"metric","value","unit",
     // "queries","sf"}, one line):
     //  - the FILE gets the full-diagnostic line — per-query keys in
-    //    full, nanosecond precision, every gate/probe field;
+    //    full, nanosecond precision, every gate/probe field (written by
+    //    writeFullArtifact above: once pre-sweep, finally here);
     //  - STDOUT gets a COMPACT twin — qNN short keys (the driver
     //    contract's own example spells "q1"), 3-decimal seconds, summary
     //    diagnostics — because the driver records only the LAST 2000
@@ -462,19 +514,9 @@ object Bench {
     //    mid-line. The compact twin is ~1.2 KB at the current surface
     //    and printed LAST, after spark.stop(), so nothing can interleave
     //    before process exit.
-    def r3(v: Double): String = f"$v%.3f"
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""sf":"$sfDir","load_start":${attempts.last},"load_end":$externalLoad,""" +
-      s""""load_raw_end":$loadAvg,"own_load_end":$ownEwma,""" +
-      s""""load_gate":$loadGate,"load_attempts":${attempts.mkString("[", ",", "]")},""" +
-      s""""midrun_waits":$midrunWaits,"load_gated_ok":${!everContended},""" +
-      s""""probe_ref_ms":$bestProbe,"probe_ref_source":"$probeRefSource",""" +
-      s""""probe_ok":${unclean.isEmpty},""" +
-      s""""unclean":$uncleanJson,"extra_reps":$extraUsed,""" +
-      s""""retry_reps":$retryUsed,"retry_sweeps":$sweep,""" +
-      s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
+    val results = currentResults
+    val unclean = currentUnclean
+    val total = results.map(_._2).filter(_ >= 0).sum
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else r3(v))
     }.mkString("{", ",", "}")
@@ -482,11 +524,7 @@ object Bench {
       s""""queries":$qsShort,"sf":"$sfDir","probe_ok":${unclean.isEmpty},""" +
       s""""unclean_n":${unclean.size},"base_reps":$baseReps,""" +
       s""""load_gated_ok":${!everContended},"detail":"BENCH_LOCAL.json"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"bench: could not write $outFile: $e") }
+    writeFullArtifact()
     persistProbeRef()
     spark.stop()
     println(compactLine)
