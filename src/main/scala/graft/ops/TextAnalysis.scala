@@ -157,31 +157,45 @@ object TextAnalysis {
     * one exactly-rounded division) — the same bit-portability rule as
     * [[bigramLmScore]]: ln() is not reproducible across engines, ×,÷ are.
     *
-    * Shape at scale (corpus token count = T, vocabulary = V, docs = N):
-    *  - explode → per-(doc,term) count: one keyed shuffle over T terms
-    *    with map-side partial aggregation;
-    *  - document frequency: a second agg over the (doc,term) frame —
-    *    |V| rows out, joined back onto the tf frame with the strategy
-    *    left to AQE: it broadcasts while |V| fits (no shuffle of the big
-    *    side) and degrades to a shuffle join when the vocabulary does
-    *    not — a mandatory broadcast hint here would OOM at exactly the
-    *    corpus scale this operator exists for;
+    * Shape at scale (corpus token count = T, distinct (doc,term) pairs =
+    * T' ≪ T, vocabulary = V, docs = N):
+    *  - per-doc term frequencies are computed IN THE ROW by the compiled
+    *    `WordCounts` projection (term counts within a doc are row-local
+    *    by definition) — the per-TOKEN shuffle of the naive
+    *    explode→groupBy(doc,term) plan never happens; only the T'
+    *    distinct pairs ever reach an exchange;
+    *  - document frequency: one count over the pair frame — |V| rows
+    *    out, joined back onto the pairs with the strategy left to AQE:
+    *    it broadcasts while |V| fits (the pair side then reaches the
+    *    top-k window with NO exchange before it) and degrades to a
+    *    shuffle join when the vocabulary does not — a mandatory
+    *    broadcast hint here would OOM at exactly the corpus scale this
+    *    operator exists for (an explicit term-repartition + pinned SMJ
+    *    was measured no faster: Catalyst does not reuse the exchange
+    *    across the agg and join consumers, so the pin only removed
+    *    AQE's freedom);
     *  - N arrives as a broadcast 1-row aggregate (no driver round-trip,
     *    stays one job);
     *  - top-k per doc: row_number window partitioned by doc — shuffles
-    *    the (doc,term) frame once, k·N rows out. Ties broken by term asc
-    *    so the cut is total-ordered and engine-independent. */
+    *    the pair frame once, k·N rows out. Ties broken by term asc so
+    *    the cut is total-ordered and engine-independent.
+    * A hot term (stop-word) still contributes only ONE pair row per doc
+    * (tf is folded in-row), so the df aggregation's skew exposure is
+    * bounded by document count, and the shuffle-join fallback streams
+    * the hot partition through a counter and a merge side — cost
+    * imbalance, never memory. */
   def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
     val live = docs.filter(col(textCol).isNotNull)
-    val terms = live
-      .select(col(idCol), explode(words(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val pairs = live
+      .select(col(idCol), explode(call_function("graft_word_counts",
+        words(col(textCol)))).as("tc"))
+      .select(col(idCol), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = live.agg(count(lit(1)).as("n"))
-    val scored = tf
+    val scored = pairs
       .join(df, "term")
       .join(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
