@@ -66,22 +66,44 @@ object Graph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
+    // ONE shuffle for dedup + placement: hash(src) co-locates equal
+    // (src, dst) pairs, and HashPartitioning(src) satisfies the dedup
+    // aggregation's ClusteredDistribution(src, dst), so dropDuplicates
+    // runs exchange-free on the repartitioned data and the cache keeps
+    // the src placement (a separate distinct() before the repartition
+    // paid a second full-edge-list exchange for nothing)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).cache()
-    // out-degree groups on the cached partitioning — no exchange — and
-    // the per-edge share denominator rides WITH the edge, so iterations
-    // never re-join it. Cached SORTED on src: InMemoryRelation keeps its
-    // child's outputOrdering, so each iteration's sort-merge join sorts
-    // only the arriving ranks side (|V| rows), never the edges.
-    val degE = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .sortWithinPartitions(col("src")).cache()
+      .repartition(col("src")).dropDuplicates("src", "dst").cache()
+    // distinct() already leaves HashPartitioning(node) — exactly the
+    // clustering the iteration aggregation produces; an explicit
+    // repartition(node) on top would be one more exchange of the node set
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).cache()
+      .union(e.select(col("dst").as("node"))).distinct().cache()
     // |V| is needed anyway (the count materializes the node cache every
     // caller pays for); it doubles as the broadcast-vs-shuffle estimate
     val useBroadcast = chooseRankStrategy(nodes.count(), broadcastMaxNodes,
       broadcastRanks)
+    // out-degree groups on the cached partitioning — no exchange — and
+    // the per-edge share denominator rides WITH the edge, so iterations
+    // never re-join it. APPENDED: one zero-contribution sentinel row per
+    // node (src = dst = node, d so large that u div d = 0) — every node
+    // then appears both as a src (so the inner join against ranks keeps
+    // it alive) and as a dst (so the aggregation emits its rank even
+    // with no real in-edges). That removes the per-iteration left join
+    // against the node set entirely: one join + one aggregation per
+    // iteration, and the sum is unchanged (+0).
+    val degERaw = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(Long.MaxValue).as("d")))
+    // The union discards the children's partitioning. On the SMJ path,
+    // re-place by src and sort once at build time (InMemoryRelation
+    // keeps its child's outputOrdering, so each iteration sorts only
+    // the arriving |V|-row ranks side, never the edges). On the
+    // broadcast path the join streams the cache as-is — placement and
+    // order buy nothing, so skip both build shuffles.
+    val degE = (if (useBroadcast) degERaw
+      else degERaw.repartition(col("src")).sortWithinPartitions(col("src")))
+      .cache()
     var ranks = nodes.withColumn("u", lit(SCALE))
     for (i <- 1 to iterations) {
       val ranksSrc = ranks.withColumnRenamed("node", "src")
@@ -89,17 +111,17 @@ object Graph {
         .join(if (useBroadcast) broadcast(ranksSrc) else ranksSrc, "src")
         .select(col("dst").as("node"), expr("u div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($alphaNum * coalesce(c, CAST(0 AS BIGINT))) div 100"))
-            .as("u"))
+      ranks = contribs.select(col("node"),
+        (lit(teleport) + expr(s"($alphaNum * c) div 100")).as("u"))
       // materialize only every few iterations: each checkpoint is a real
       // job, so checkpointing every step pays one scheduling+materialize
       // round trip per iteration; unchecked lineage instead folds the
       // whole chain into ONE job (cached degE is scanned per iteration
       // either way). The interval only bounds plan depth / optimizer
-      // time / recovery cost on long runs.
+      // time / recovery cost on long runs — EXCEPT on the broadcast
+      // path, where every iteration's broadcast build re-executes the
+      // chain since the last materialization; there a short interval is
+      // the difference between linear and quadratic re-execution.
       if (i % checkpointInterval == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }

@@ -49,6 +49,14 @@ object PrProbe {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
         broadcastRanks = Some(false), checkpointInterval = 1).count()
     }
+    t("pageRank k=5 shuf-lazy") {
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
+        broadcastRanks = Some(false), checkpointInterval = 99).count()
+    }
+    t("pageRank k=5 bc-chk2") {
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
+        broadcastRanks = Some(true), checkpointInterval = 2).count()
+    }
     val fn = graft.SparkEntry.queries("q90_pagerank")
     t("q90 via query (1st)")(fn(spark, dir).count())
     t("q90 via query (2nd)")(fn(spark, dir).count())
