@@ -570,4 +570,39 @@ object Dedup {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
   }
+
+  /** Blocked fuzzy entity linkage: pairs of DISTINCT attribute values
+    * within `1 ≤ levenshtein ≤ maxDist`, each annotated with how many
+    * records carry it — the record-linkage / entity-resolution step
+    * (near-identical vendor names, product titles, author strings) that
+    * exact dedup can't see.
+    *
+    * Scale shape, in order of defense against the quadratic trap:
+    *  1. collapse to DISTINCT values first (one keyed agg) — a 100 TB
+    *     corpus has bounded distinct entities, and carrying the record
+    *     count per value means the expensive comparison runs once per
+    *     value pair, never once per record pair;
+    *  2. candidates come from an EQUI-join on `blockCol` (phonetic
+    *     bucket, token, length band — caller-supplied), so the edit
+    *     distance — O(len²) per evaluation, the hot cost — touches only
+    *     in-block pairs, never all pairs (and the block key is part of
+    *     the declared semantics, replayed by the oracle);
+    *  3. `valA < valB` halves the candidate space and makes the pair
+    *     set orientation-canonical.
+    * The distance itself is Spark's codegen'd levenshtein — identical
+    * to every other engine's classic edit distance. */
+  def fuzzyLinkPairs(records: DataFrame, valueCol: String, blockCol: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val vals = records.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+      .withColumn("blk", blockCol)
+    val a = vals.select(col("blk"), col(valueCol).as("val_a"), col("n").as("n_a"))
+    val b = vals.select(col("blk"), col(valueCol).as("val_b"), col("n").as("n_b"))
+    a.join(b, "blk")
+      .filter(col("val_a") < col("val_b"))
+      .withColumn("dist", levenshtein(col("val_a"), col("val_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("val_a"), col("val_b"), col("dist"), col("n_a"), col("n_b"))
+  }
 }

@@ -207,6 +207,60 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** BM25 ranked retrieval: the top-`k` documents for a bag of query
+    * terms under the classic Okapi scoring
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * k1 = 1.2, b = 0.75 — the lexical-retrieval twin of the ANN pack
+    * (and the standard hard-negative miner for retrieval training
+    * sets). The idf is the plain ratio `(N−df+0.5)/(df+0.5)` instead of
+    * its log: per-term monotone, and every operation stays one
+    * exactly-rounded IEEE step, replayable in any engine — the same
+    * bit-portability rule as [[tfIdfTopK]]/[[bigramLmScore]]. Per-doc
+    * term contributions are summed in term order (sorted fold from
+    * 0.0), so the double addition order is engine-independent; the
+    * score is rounded to 6 dp.
+    *
+    * Shape at scale: term frequencies and document length fold IN THE
+    * ROW (`WordCounts` + one small-array HOF); rows explode only to the
+    * QUERY terms (≤ |q| rows per doc survive the filter, pushed into
+    * the same projection), so the per-doc frame that shuffles is
+    * O(N·|q|), never corpus-token-sized. df and the (N, Σdl) stats are
+    * broadcast 1-row/|q|-row aggregates; the final top-k is a
+    * TakeOrdered, never a global sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val live = docs.filter(col(textCol).isNotNull)
+    val withTf = live
+      .select(col(idCol), call_function("graft_word_counts",
+        words(col(textCol))).as("tcs"))
+      .withColumn("dl",
+        expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)"))
+    val stats = withTf.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val qp = withTf
+      .select(col(idCol), col("dl"), explode(col("tcs")).as("tc"))
+      .select(col(idCol), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = qp
+      .join(broadcast(dfq), "term")
+      .join(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+      .withColumn("c",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(transform(array_sort(collect_list(struct(term, c))), " +
+          "x -> x.c), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("s"))
+      .select(col(idCol), col("n_terms"), round(col("s"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately the
     * common subset of Java regex and RE2 syntax (character classes and
     * bounded repetition only — no backreferences, no lookaround) so the

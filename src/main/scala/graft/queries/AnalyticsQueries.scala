@@ -812,7 +812,85 @@ object AnalyticsQueries {
       "units: recurrent feature via one keyed shuffle + in-row fold, " +
       "replayed exactly by a recursive CTE")
 
+  /** Interval coalescing: pad each event to a 5-minute activity window
+    * and merge each user's overlapping-or-touching windows into maximal
+    * disjoint spans (ops/Intervals.mergeIntervals — one keyed window +
+    * an exchange-free span aggregation). The batch sessionization /
+    * validity-compaction primitive, replayed exactly by the oracle's
+    * identical running-max sweep. */
+  private val q94 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("e_ts"))
+      graft.ops.Intervals.mergeIntervals(ev, "user_id", "s_ts", "e_ts",
+          "event_id")
+        .select(col("user_id"), col("span_start"), col("span_end"),
+          col("n_merged"))
+        .orderBy("user_id", "span_start")
+    },
+    Some("SELECT key AS user_id, span_start, span_end, n_merged FROM (" +
+      graft.ops.Intervals.mergeIntervalsOracleSql(
+        "SELECT user_id AS key, event_id AS id, ts AS s, " +
+          "ts + INTERVAL 5 MINUTE AS e FROM events") +
+      ") ORDER BY user_id, span_start"),
+    "Interval coalescing: merge overlapping 5-minute activity windows " +
+      "per user into disjoint spans — one keyed window sweep plus an " +
+      "exchange-free aggregation")
+
+  /** Robust per-group anomaly detection: median / MAD (median absolute
+    * deviation) per event type in fixed-point 1e-6 units — the
+    * outlier-resistant z-score (mean/stddev break under the very
+    * outliers being hunted). Rank-based medians (the element at rank
+    * ceil(0.5·n), q53's exact-regime sketch) keep every step integer —
+    * engine-independent, no interpolation, no FP thresholds. Shape:
+    * two sketch aggregations + one counting aggregation, each a full
+    * scan with map-side partials and a 5-row shuffle; the per-type
+    * stats ride back as broadcast joins. */
+  private val q96 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("v"), lit(0.5), lit(1000000)).as("med_units"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("v") - col("med_units")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("ad"), lit(0.5), lit(1000000)).as("mad_units"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med_units")).as("med_units"),
+          max(col("mad_units")).as("mad_units"),
+          count(lit(1)).as("n"),
+          sum(when(col("ad") > lit(3L) * col("mad_units"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, " +
+      "CAST(floor(value*1000000 + 0.5) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT event_type, v, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM e), " +
+      "med AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS med_units " +
+      "FROM m GROUP BY event_type), " +
+      "d AS (SELECT e.event_type, med.med_units, abs(e.v - med.med_units) AS ad " +
+      "FROM e JOIN med USING (event_type)), " +
+      "m2 AS (SELECT event_type, ad, row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM d), " +
+      "mad AS (SELECT event_type, max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN ad END) AS mad_units " +
+      "FROM m2 GROUP BY event_type) " +
+      "SELECT d.event_type, max(d.med_units) AS med_units, " +
+      "max(mad.mad_units) AS mad_units, count(*) AS n, " +
+      "CAST(sum(CASE WHEN d.ad > 3*mad.mad_units THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+      "FROM d JOIN mad USING (event_type) GROUP BY d.event_type " +
+      "ORDER BY d.event_type"),
+    "Robust anomaly stats per event type: rank-based median and MAD in " +
+      "integer units, outliers = |v - med| > 3*MAD — exact, " +
+      "interpolation-free, engine-independent")
+
   val all: Map[String, Q] = Map(
+    "q94_interval_merge" -> q94,
+    "q96_robust_zscore" -> q96,
     "q90_pagerank" -> q90,
     "q91_snapshot_diff" -> q91,
     "q93_ewma" -> q93,

@@ -731,7 +731,63 @@ object TrainingDataQueries {
     "Stateful streaming sessionization (flatMapGroupsWithState, 30-minute " +
       "gap); oracle is the declarative batch window formulation")
 
+  /** BM25 ranked retrieval over the corpus for a 3-term keyword query —
+    * the lexical-retrieval twin of the ANN pack and the standard
+    * hard-negative miner for retrieval training data. Ratio idf (no
+    * ln, same bit-portability rule as q80), per-doc contributions
+    * summed in term order, score rounded to 6 dp; tf and doc length
+    * fold in-row (WordCounts), only query-term rows ever shuffle. */
+  private val q95 = Q(
+    (s, dir) => TextAnalysis.bm25TopK(table(s, dir, "documents"),
+      Seq("join", "scan", "spark"), k = 25),
+    Some("WITH tok AS (SELECT doc_id, w AS term FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents " +
+      "WHERE text IS NOT NULL) WHERE w <> ''), " +
+      "dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+      "WHERE term IN ('join', 'scan', 'spark') GROUP BY doc_id, term), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "c AS (SELECT tf.doc_id, tf.term, " +
+      "((st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2) / " +
+      "(tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))) AS c " +
+      "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "sc AS (SELECT doc_id, count(*) AS n_terms, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)), " +
+      "(a, b) -> a + b) AS s FROM c GROUP BY doc_id) " +
+      "SELECT doc_id, n_terms, " +
+      "CAST(round(CAST(CAST(s AS VARCHAR) AS DECIMAL(28,18)), 6) AS DOUBLE) AS bm25 " +
+      "FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25"),
+    "BM25 top-25 docs for a keyword query: ratio idf, term-ordered " +
+      "contribution fold, in-row tf/doc-length — only query-term rows " +
+      "shuffle")
+
+  /** Blocked fuzzy entity linkage over part names: distinct values
+    * first (record counts ride along), candidates from an equi-join on
+    * the head noun (the block key), levenshtein <= 2 on candidates
+    * only — never all pairs. The entity-resolution step exact dedup
+    * cannot see; the oracle replays the identical blocked join. */
+  private val q97 = Q(
+    (s, dir) => Dedup.fuzzyLinkPairs(
+        table(s, dir, "part").select(col("p_name")),
+        "p_name", element_at(split(col("p_name"), " "), 2), maxDist = 2)
+      .orderBy("val_a", "val_b"),
+    Some("WITH v AS (SELECT p_name, count(*) AS n, " +
+      "string_split(p_name, ' ')[2] AS blk FROM part " +
+      "WHERE p_name IS NOT NULL GROUP BY p_name) " +
+      "SELECT a.p_name AS val_a, b.p_name AS val_b, " +
+      "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, " +
+      "a.n AS n_a, b.n AS n_b " +
+      "FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name " +
+      "WHERE levenshtein(a.p_name, b.p_name) <= 2 " +
+      "ORDER BY val_a, val_b"),
+    "Blocked fuzzy entity linkage: distinct part names, head-noun " +
+      "blocking, edit distance <= 2 on in-block candidates only")
+
   val all: Map[String, Q] = Map(
+    "q95_bm25" -> q95,
+    "q97_fuzzy_link" -> q97,
     "q32_stream_sessionize" -> q32,
     "q20_dedup_minhash_lsh" -> q20,
     "q21_dedup_simhash" -> q21,

@@ -347,4 +347,25 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got == byChunk)
     assert(got.nonEmpty, "expected shared chunks in the test corpus")
   }
+
+  test("fuzzyLinkPairs: distinct-first, blocked, thresholded, counted") {
+    val recs = Seq(
+      "red bolt", "red bolt", "red bolt", // 3 records of one value
+      "ted bolt",                         // dist 1 to red bolt, same block
+      "red ring",                         // different block: never compared
+      "blue bolt",                        // dist 3 to red bolt: over threshold
+      "ted ring", "ted ring"              // dist 1 to red ring, same block
+    ).toDF("nm")
+    val got = Dedup.fuzzyLinkPairs(recs, "nm",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("nm"), " "), 2), maxDist = 2)
+      .as[(String, String, Long, Long, Long)].collect().sorted.toSeq
+    // blue bolt is in the bolt block but lev("blue bolt","ted bolt") = 4
+    // and lev("blue bolt","red bolt") = 3 - both over the threshold;
+    // red ring vs red/ted bolt are never even compared (different block)
+    assert(got == Seq(
+      ("red bolt", "ted bolt", 1L, 3L, 1L),
+      ("red ring", "ted ring", 1L, 1L, 2L)))
+  }
 }

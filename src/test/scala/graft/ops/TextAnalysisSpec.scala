@@ -106,6 +106,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       (4L, 0L, 0.0), (5L, 3L, d5)))
   }
 
+  test("bm25TopK matches a hand-computed score; docs without query terms drop") {
+    val docs = Seq(
+      (1L, "join join scan x"),   // dl 4: join tf=2, scan tf=1
+      (2L, "scan y z"),           // dl 3: scan tf=1
+      (3L, "nothing relevant")    // dl 2: no query terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("join", "scan"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // N=3, sdl=9, avgdl=3.0; df(join)=1, df(scan)=2
+    val avgdl = 9.0 / 3
+    def part(tf: Long, dl: Long, df: Long): Double =
+      ((3L - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(part(2L, 4L, 1L) + part(1L, 4L, 2L)) // fold in term order
+    val d2 = r6(part(1L, 3L, 2L))
+    assert(got.map(_._1) == Seq(1L, 2L), got.toString) // doc 3 absent
+    assert(got == Seq((1L, 2L, d1), (2L, 1L, d2)), got.toString)
+  }
+
   test("redactPii counts and redacts emails/phones; clean text untouched") {
     val docs = Seq(
       (1L, "reach me at bob.smith@corp.example.org or +1-415-5550"),

@@ -53,8 +53,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q55_ann_recall_sample", "q71_pq_topk",
     // q80 joins a broadcast 1-row aggregate (the corpus size N) — the
     // q04 watermark shape: linear, not quadratic; q81's grid likewise
-    // cross-joins the broadcast 1-row min/max span
-    "q80_tfidf", "q81_gapfill")
+    // cross-joins the broadcast 1-row min/max span; q95 crosses the
+    // broadcast 1-row (N, sum dl) corpus stats the same way
+    "q80_tfidf", "q81_gapfill", "q95_bm25")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -123,6 +124,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("Join"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "banded range join degraded to nested loop")
+  }
+
+  test("q95: BM25 top-k plans as TakeOrdered, never a global sort") {
+    val plan = planOf("q95_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("q72: the read-back filter reaches the ORC scan as a pushed filter") {
