@@ -189,10 +189,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CatalystExpressions.register(docs.sparkSession)
     val live = docs.filter(col(textCol).isNotNull)
+    // explode_OUTER: plain explode makes Generate inject a
+    // size(..)>0 && isnotnull(..) pre-filter that re-evaluates the
+    // WordCounts expression (CodegenFallback — no subexpression
+    // elimination) up to three times per row; the outer variant skips
+    // the filter, and the term-less docs it keeps surface as null
+    // terms that the downstream equi-join drops anyway
     val pairs = live
-      .select(col(idCol), explode(call_function("graft_word_counts",
+      .select(col(idCol), explode_outer(call_function("graft_word_counts",
         words(col(textCol)))).as("tc"))
       .select(col(idCol), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .filter(col("term").isNotNull)
     val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = live.agg(count(lit(1)).as("n"))
     val scored = pairs
@@ -238,8 +245,11 @@ object TextAnalysis {
       .withColumn("dl",
         expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)"))
     val stats = withTf.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // explode_OUTER for the same reason as [[tfIdfTopK]]: the inner
+    // Generate's injected pre-filter re-evaluates the (non-codegen)
+    // WordCounts chain; the isin filter below drops the null terms
     val qp = withTf
-      .select(col(idCol), col("dl"), explode(col("tcs")).as("tc"))
+      .select(col(idCol), col("dl"), explode_outer(col("tcs")).as("tc"))
       .select(col(idCol), col("dl"), col("tc.term").as("term"),
         col("tc.tf").as("tf"))
       .filter(col("term").isin(queryTerms: _*))
