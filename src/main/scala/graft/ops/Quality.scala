@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the pre-ingest gate every production
+  * pipeline runs before admitting a batch (null keys, duplicate keys,
+  * domain violations, broken foreign keys, out-of-range measures): each
+  * constraint yields one row `(check_name, n_violations, n_checked)`,
+  * and a batch is admitted iff every `n_violations` is 0.
+  *
+  * Scale shape: all ROW-LOCAL checks (not-null, range, set-membership,
+  * arbitrary predicates) fuse into ONE aggregation pass over the table —
+  * a single scan with map-side partials, however many checks ride on it.
+  * Set-level checks cost what they must: uniqueness is one keyed
+  * aggregation (count keys seen twice), a foreign key is one left-anti
+  * join against the referenced keys (hash/broadcast by size, orphans
+  * counted — never a full materialization). The result is a handful of
+  * 1-to-few-row frames unioned driver-free.
+  */
+object Quality {
+
+  /** A row-local constraint: `ok` must evaluate true for the row to
+    * pass; NULL counts as a violation (three-valued logic is exactly the
+    * trap these audits exist to catch). */
+  final case class RowCheck(name: String, ok: Column)
+
+  def notNull(name: String, c: Column): RowCheck = RowCheck(name, c.isNotNull)
+  def inRange(name: String, c: Column, lo: Column, hi: Column): RowCheck =
+    RowCheck(name, c.isNotNull && c >= lo && c <= hi)
+  def inSet(name: String, c: Column, values: Seq[Any]): RowCheck =
+    RowCheck(name, c.isin(values: _*))
+
+  /** All row-local checks in ONE pass: each check contributes
+    * `sum(ok fails → 1)` to the same aggregation. */
+  def rowAudit(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "rowAudit needs at least one check")
+    val total = count(lit(1))
+    val aggs = checks.map(ch =>
+      sum(when(coalesce(ch.ok, lit(false)), 0L).otherwise(1L)).as(ch.name)) :+
+      total.as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single result row into (check_name, n_violations, n_checked)
+    val stacked = checks.map(ch =>
+      // backticks: check names are dotted (table.column.kind) and a bare
+      // col() would parse the dots as nested-field access
+      struct(lit(ch.name).as("check_name"),
+        col("`" + ch.name + "`").as("n_violations"),
+        col("__n").as("n_checked")))
+    one.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.check_name"), col("r.n_violations"), col("r.n_checked"))
+  }
+
+  /** Uniqueness of `keyCols`: n_violations = number of rows carrying a
+    * key that occurs more than once (so a clean table scores 0 and a
+    * fully-duplicated key of multiplicity m scores m). One keyed
+    * aggregation + one tiny final aggregation. */
+  def uniqueAudit(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame = {
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__m"))
+      .agg(coalesce(sum(when(col("__m") > 1, col("__m")).otherwise(0L)),
+        lit(0L)).as("n_violations"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_checked"))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+  }
+
+  /** Referential integrity: rows of `df` whose `fkCol` has no match in
+    * `ref.refCol` (NULL fks are orphans too — use a separate notNull
+    * check to distinguish). One left-anti join, strategy left to the
+    * planner. */
+  def fkAudit(df: DataFrame, name: String, fkCol: String, ref: DataFrame,
+      refCol: String): DataFrame = {
+    // n_checked rides as a broadcast 1-row aggregate (the q04 watermark
+    // shape) — no driver action, the audit stays a lazy single plan
+    val n = df.agg(count(lit(1)).as("n_checked"))
+    df.join(ref.select(col(refCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .join(broadcast(n))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+  }
+
+  /** Union audit reports into the admission gate's single frame. */
+  def report(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "report needs at least one audit")
+    parts.reduce(_ unionAll _).orderBy("check_name")
+  }
+}

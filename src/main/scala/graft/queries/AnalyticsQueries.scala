@@ -888,7 +888,134 @@ object AnalyticsQueries {
       "integer units, outliers = |v - med| > 3*MAD — exact, " +
       "interpolation-free, engine-independent")
 
+  /** Declarative data-quality audit (the pre-ingest admission gate):
+    * six constraints over orders+lineitem — nulls, uniqueness, domain,
+    * range, referential integrity — each one row (constraint,
+    * n_violations, n_checked). All row-local checks on a table fuse
+    * into ONE aggregation pass (ops/Quality.rowAudit); uniqueness is
+    * one keyed agg; the FK check is one left-anti join with its
+    * n_checked riding as a broadcast 1-row count. */
+  private val q98 = Q(
+    (s, dir) => {
+      import graft.ops.Quality
+      val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      Quality.report(Seq(
+        Quality.rowAudit(o, Seq(
+          Quality.notNull("orders.o_orderkey.not_null", col("o_orderkey")),
+          Quality.inRange("orders.o_totalprice.range", col("o_totalprice"),
+            lit(0.0), lit(1.0e9)),
+          Quality.inSet("orders.o_orderstatus.domain", col("o_orderstatus"),
+            Seq("F", "O", "P")))),
+        Quality.uniqueAudit(o, "orders.o_orderkey.unique", Seq("o_orderkey")),
+        Quality.fkAudit(li, "lineitem.l_orderkey.fk_orders", "l_orderkey",
+          o, "o_orderkey"),
+        Quality.rowAudit(li, Seq(
+          Quality.inRange("lineitem.l_quantity.range", col("l_quantity"),
+            lit(1.0), lit(50.0))))))
+    },
+    Some("SELECT * FROM (" +
+      "SELECT 'orders.o_orderkey.not_null' AS check_name, " +
+      "CAST(count(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, false) THEN 1 END) AS BIGINT) AS n_violations, " +
+      "count(*) AS n_checked FROM orders " +
+      "UNION ALL SELECT 'orders.o_totalprice.range', " +
+      "CAST(count(CASE WHEN NOT coalesce(o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 1000000000.0, false) THEN 1 END) AS BIGINT), " +
+      "count(*) FROM orders " +
+      "UNION ALL SELECT 'orders.o_orderstatus.domain', " +
+      "CAST(count(CASE WHEN NOT coalesce(o_orderstatus IN ('F', 'O', 'P'), false) THEN 1 END) AS BIGINT), " +
+      "count(*) FROM orders " +
+      "UNION ALL SELECT 'orders.o_orderkey.unique', " +
+      "CAST(coalesce(sum(CASE WHEN m > 1 THEN m ELSE 0 END), 0) AS BIGINT), " +
+      "CAST(coalesce(sum(m), 0) AS BIGINT) " +
+      "FROM (SELECT count(*) AS m FROM orders GROUP BY o_orderkey) " +
+      "UNION ALL SELECT 'lineitem.l_orderkey.fk_orders', " +
+      "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT), " +
+      "(SELECT count(*) FROM lineitem) " +
+      "UNION ALL SELECT 'lineitem.l_quantity.range', " +
+      "CAST(count(CASE WHEN NOT coalesce(l_quantity IS NOT NULL AND l_quantity >= 1.0 AND l_quantity <= 50.0, false) THEN 1 END) AS BIGINT), " +
+      "count(*) FROM lineitem" +
+      ") ORDER BY check_name"),
+    "Data-quality audit: 6 constraints (null/unique/domain/range/FK) " +
+      "fused into one pass per table + one keyed agg + one anti join")
+
+  /** Equi-width histogram of event values per type: 20 bins over the
+    * GLOBAL [min,max] span (comparable across types), the span riding
+    * as a broadcast 1-row aggregate — bin assignment is a row-local
+    * projection, the count one keyed agg. bin = least(floor((v−min)/w),
+    * 19) with identical parenthesization on both sides, so every IEEE
+    * step matches. */
+  private val q99 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+      val mm = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      ev.join(broadcast(mm))
+        .withColumn("bin", least(
+          floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / lit(20.0))), lit(19.0)).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+    Some("WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events) " +
+      "SELECT event_type, " +
+      "CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19.0) AS BIGINT) AS bin, " +
+      "count(*) AS n FROM events CROSS JOIN mm " +
+      "GROUP BY event_type, bin ORDER BY event_type, bin"),
+    "Equi-width 20-bin histogram per event type over the global span " +
+      "(broadcast 1-row min/max, row-local binning, one keyed agg)")
+
+  /** Per-type Pearson correlation of value vs hour-of-day, computed
+    * from EXACT integer sufficient statistics: value in 1e-6 units and
+    * hour as integers, the six sums (n, Σx, Σy, Σx², Σy², Σxy)
+    * accumulated in DECIMAL(38,0) — order-independent under any
+    * shuffle, bit-replayable — then ONE double conversion per sum and
+    * a fixed-parenthesization corr formula, rounded to 6 dp. The
+    * shape every sufficient-statistics feature job uses: one scan, one
+    * 5-row shuffle, no second pass. */
+  private val q100 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round(
+            ((d(col("n")) * d(col("sxy"))) - (d(col("sx")) * d(col("sy")))) /
+              sqrt(((d(col("n")) * d(col("sxx"))) - (d(col("sx")) * d(col("sx")))) *
+                ((d(col("n")) * d(col("syy"))) - (d(col("sy")) * d(col("sy"))))),
+            6).as("corr6"))
+        .orderBy("event_type")
+    },
+    Some("WITH s AS (SELECT event_type, count(*) AS n, " +
+      "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+      "CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy, " +
+      "CAST(sum(x*y) AS DOUBLE) AS sxy FROM " +
+      "(SELECT event_type, CAST(floor(value*1000000 + 0.5) AS BIGINT) AS x, " +
+      "CAST(hour(ts) AS BIGINT) AS y FROM events) GROUP BY event_type) " +
+      "SELECT event_type, n, " +
+      "CAST(round(CAST(CAST(" +
+      "((CAST(n AS DOUBLE) * sxy) - (sx * sy)) / " +
+      "sqrt(((CAST(n AS DOUBLE) * sxx) - (sx * sx)) * " +
+      "((CAST(n AS DOUBLE) * syy) - (sy * sy)))" +
+      " AS VARCHAR) AS DECIMAL(28,18)), 6) AS DOUBLE) AS corr6 " +
+      "FROM s ORDER BY event_type"),
+    "Pearson correlation per event type from exact integer sufficient " +
+      "statistics (decimal sums, order-independent), one double " +
+      "conversion per sum, fixed-parenthesization formula, 6 dp")
+
   val all: Map[String, Q] = Map(
+    "q98_quality_audit" -> q98,
+    "q99_histogram" -> q99,
+    "q100_correlation" -> q100,
     "q94_interval_merge" -> q94,
     "q96_robust_zscore" -> q96,
     "q90_pagerank" -> q90,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class QualitySpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long, Long)].collect().toSeq
+
+  test("rowAudit: one pass counts nulls, range breaks, and domain breaks") {
+    val t = Seq(
+      (Some(1L), Some(10.0), Some("F")),
+      (None, Some(-5.0), Some("X")),       // null key, range, domain
+      (Some(3L), None, None),              // null measure + null status: both violations
+      (Some(4L), Some(99.0), Some("O"))
+    ).toDF("k", "v", "st")
+    val got = rows(Quality.rowAudit(t, Seq(
+      Quality.notNull("k.not_null", $"k"),
+      Quality.inRange("v.range", $"v", lit(0.0), lit(50.0)),
+      Quality.inSet("st.domain", $"st", Seq("F", "O", "P")))))
+    assert(got == Seq(
+      ("k.not_null", 1L, 4L),
+      ("v.range", 3L, 4L),   // -5 out of range, null v, 99 out of range
+      ("st.domain", 2L, 4L)))
+  }
+
+  test("uniqueAudit counts every row of a duplicated key") {
+    val t = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
+    assert(rows(Quality.uniqueAudit(t, "k.unique", Seq("k"))) ==
+      Seq(("k.unique", 5L, 6L)))
+  }
+
+  test("fkAudit counts orphans including NULL foreign keys") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    assert(rows(Quality.fkAudit(child, "fk.ref", "fk", parent, "pk")) ==
+      Seq(("fk.ref", 2L, 4L)))
+  }
+
+  test("report unions audits ordered; clean real tables audit to zero") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val got = rows(Quality.report(Seq(
+      Quality.uniqueAudit(o, "b.unique", Seq("o_orderkey")),
+      Quality.rowAudit(o, Seq(
+        Quality.notNull("a.not_null", $"o_orderkey"))))))
+    assert(got.map(_._1) == Seq("a.not_null", "b.unique"))
+    assert(got.forall(_._2 == 0L))
+    assert(got.forall(_._3 > 0L))
+  }
+}

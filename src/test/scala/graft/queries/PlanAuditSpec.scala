@@ -54,8 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // q80 joins a broadcast 1-row aggregate (the corpus size N) — the
     // q04 watermark shape: linear, not quadratic; q81's grid likewise
     // cross-joins the broadcast 1-row min/max span; q95 crosses the
-    // broadcast 1-row (N, sum dl) corpus stats the same way
-    "q80_tfidf", "q81_gapfill", "q95_bm25")
+    // broadcast 1-row (N, sum dl) corpus stats, q98 the 1-row FK
+    // n_checked count, q99 the 1-row global min/max span the same way
+    "q80_tfidf", "q81_gapfill", "q95_bm25", "q98_quality_audit",
+    "q99_histogram")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
