@@ -1012,7 +1012,35 @@ object AnalyticsQueries {
       "statistics (decimal sums, order-independent), one double " +
       "conversion per sum, fixed-parenthesization formula, 6 dp")
 
+  /** Streaming twin of q93: the EWMA recurrence evaluated incrementally
+    * with flatMapGroupsWithState — per-key state is ONE long (the last
+    * y), identical integer arithmetic to the batch fold, so the sink
+    * hash-matches q93's recursive-CTE oracle (batch-equivalence, the
+    * q19/q32 pattern). */
+  private val q101 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stream = Queries.stagedEventStream(s, dir, "q101")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("xu"))
+        .as[graft.streaming.EwmaStream.VEv]
+      val out = graft.streaming.EwmaStream.streaming(stream, alphaNum = 20)
+      Queries.runToMemorySink(out.toDF(), "q101", "update")
+        .orderBy("user_id", "event_id")
+    },
+    Some("SELECT key AS user_id, id AS event_id, ewma_units FROM (" +
+      graft.ops.TimeSeries.ewmaOracleSql(
+        "SELECT user_id AS key, event_id AS id, " +
+          "CAST(floor(value*1000000 + 0.5) AS BIGINT) AS xu, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+          "FROM events", alphaNum = 20) +
+      ") ORDER BY user_id, event_id"),
+    "Streaming per-key EWMA (flatMapGroupsWithState, 16-byte state per " +
+      "key): hash-equal to the batch fold and its recursive-CTE oracle")
+
   val all: Map[String, Q] = Map(
+    "q101_stream_ewma" -> q101,
     "q98_quality_audit" -> q98,
     "q99_histogram" -> q99,
     "q100_correlation" -> q100,

@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q41_json_roundtrip", "q42_csv_roundtrip", "q72_orc_roundtrip",
     "q19_stream_tumbling",
     "q32_stream_sessionize", "q39_stream_dedup", "q40_stream_join",
+    "q101_stream_ewma",
     "q23_dedup_embedding", "q29_ann_ivf", "q74_ivf_pq",
     "q51_decontaminate_mat",
     "q54_ann_recall", "q56_ann_index_roundtrip", "q57_pairs_index_roundtrip",
