@@ -211,4 +211,70 @@ object Sketches {
       .flatMap(identity)
       .toDF("item", "cnt", "err")
   }
+
+  /** KMV (k minimum values) distinct-count sketch — Bar-Yossef et al.,
+    * "Counting distinct elements in a data stream" (RANDOM 2002): keep
+    * the k SMALLEST distinct hash values of a key; the k-th smallest
+    * h_k estimates the distinct count as (k−1)·M / h_k (hashes uniform
+    * on [0, M)). Unlike HLL (q52, register-max merge), a KMV sketch is
+    * fully expressible in relational algebra with an integer hash, so
+    * the whole pipeline — sketch build, MERGE, estimate — is exactly
+    * SQL-replayable, and merging is literally set-union-then-retake-k:
+    * the property that lets per-partition / per-day sketches roll up
+    * without rescanning anything.
+    *
+    * The hash is the seeded affine map `(a·x + b) mod P` (P = 2³¹−1;
+    * a·x stays far under 2⁶³ for any realistic id, so the arithmetic
+    * never relies on engine-specific overflow). Hash collisions fold
+    * identically in every engine — the estimator sees hash-distinct,
+    * which is the sketch's contract.
+    *
+    * Scale shape: one distinct aggregation (the only full shuffle,
+    * map-side partials absorb repeats) + one k-bounded window per
+    * group (parallelism = group count, state = top-k heap — never a
+    * global sort). */
+  val KmvP: Long = 2147483647L
+  val KmvA: Long = 1103515245L
+  val KmvB: Long = 12345L
+
+  def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (key * KmvA + KmvB) % KmvP
+
+  /** Per-group k-min set: (group, h, r) with r = rank of h among the
+    * group's distinct hashes, r ≤ k. The mergeable sketch itself. */
+  def kmvMinSet(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      keyCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    df.select(groupCol.as("grp"), kmvHash(keyCol).as("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** MERGE k-min sets into one sketch under a new group label: union of
+    * the member sketches' RAW hash values (re-hashing would destroy the
+    * estimator's uniformity), dedup, re-take the k smallest. Touches
+    * only sketch rows — the per-partition / per-day rollup that never
+    * rescans the base data. */
+  def kmvMerge(minSets: DataFrame, newGroup: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    minSets.select(lit(newGroup).as("grp"), col("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** Distinct-count estimates from a k-min set: one row per group,
+    * `(grp, m, est)` where m = |sketch| and est = m exactly while the
+    * sketch is unsaturated (m < k — the sketch HOLDS every distinct
+    * hash) and the (k−1)·M div h_k estimator once saturated. Integer
+    * arithmetic end to end. */
+  def kmvEstimate(minSet: DataFrame, k: Int): DataFrame =
+    minSet.groupBy(col("grp"))
+      .agg(count(lit(1)).as("m"),
+        max(when(col("r") === k, col("h"))).as("hk"))
+      .select(col("grp"), col("m"),
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"${(k - 1).toLong * KmvP} div hk")).as("est"))
 }

@@ -1039,7 +1039,49 @@ object AnalyticsQueries {
     "Streaming per-key EWMA (flatMapGroupsWithState, 16-byte state per " +
       "key): hash-equal to the batch fold and its recursive-CTE oracle")
 
+  /** KMV distinct-count sketches per event type PLUS their MERGE: the
+    * '__all' row is computed from the five per-type k-min sets alone
+    * (union → re-take k smallest → same estimator) — the per-partition /
+    * per-day rollup property, demonstrated without rescanning the
+    * table. Exactly SQL-replayable end to end (integer hash, integer
+    * estimator), unlike HLL's opaque registers (q52's boolean check). */
+  private val q102 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val k = 32
+      val ev = table(s, dir, "events")
+      // materialize the ≤ 5·k-row sketch ONCE (eager localCheckpoint):
+      // it feeds both the merge and the estimate union, and re-deriving
+      // it means re-paying the full distinct shuffle per consumer —
+      // exactly the rescan the mergeable sketch exists to avoid
+      val perType = Sketches.kmvMinSet(ev, col("event_type"), col("user_id"), k)
+        .localCheckpoint()
+      val merged = Sketches.kmvMerge(perType, "__all", k)
+      Sketches.kmvEstimate(perType.unionByName(merged), k)
+        .select(col("grp").as("scope"), col("m"), col("est"))
+        .orderBy("scope")
+    },
+    Some {
+      val k = 32
+      val est = s"${(k - 1).toLong * 2147483647L}"
+      "WITH dh AS (SELECT DISTINCT event_type AS grp, " +
+        "(user_id * 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        s"mins AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh), " +
+        s"sk AS (SELECT grp, h, r FROM mins WHERE r <= $k), " +
+        "mall AS (SELECT '__all' AS grp, h, row_number() OVER (ORDER BY h) AS r " +
+        "FROM (SELECT DISTINCT h FROM sk)), " +
+        s"allsk AS (SELECT grp, h, r FROM mall WHERE r <= $k), " +
+        "u AS (SELECT * FROM sk UNION ALL SELECT * FROM allsk) " +
+        s"SELECT grp AS scope, count(*) AS m, CAST(CASE WHEN count(*) < $k THEN count(*) " +
+        s"ELSE $est // max(CASE WHEN r = $k THEN h END) END AS BIGINT) AS est " +
+        "FROM u GROUP BY grp ORDER BY scope"
+    },
+    "KMV distinct sketches per event type + their union-merge rollup " +
+      "('__all' from the sketches alone): mergeable, integer-exact, " +
+      "fully SQL-replayable")
+
   val all: Map[String, Q] = Map(
+    "q102_kmv_distinct" -> q102,
     "q101_stream_ewma" -> q101,
     "q98_quality_audit" -> q98,
     "q99_histogram" -> q99,

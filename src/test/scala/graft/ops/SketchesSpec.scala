@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTest
@@ -110,5 +111,39 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
     // the dominant item survives any split
     assert(out.map(_.item).contains("w1"))
+  }
+
+  test("KMV: exact below saturation, estimator within tolerance above it") {
+    import spark.implicits._
+    val k = 64
+    // 20 distinct ids < k: the sketch holds every hash -> m == est == 20
+    val small = (1L to 20L).map(i => ("a", i)).toDF("g", "id")
+    val smallEst = Sketches.kmvEstimate(
+      Sketches.kmvMinSet(small, col("g"), col("id"), k), k)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(smallEst == Seq(("a", 20L, 20L)))
+    // 10k distinct ids >> k: estimate within the sketch's error regime
+    // (std error ~ 1/sqrt(k-1) ~ 12.6%; 3 sigma ~ 38%)
+    val big = (1L to 10000L).map(i => ("b", i)).toDF("g", "id")
+    val Seq((_, m, est)) = Sketches.kmvEstimate(
+      Sketches.kmvMinSet(big, col("g"), col("id"), k), k)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(m == k.toLong)
+    assert(est > 6200 && est < 13800, s"estimate $est for true 10000")
+  }
+
+  test("KMV merge of per-group sketches equals the direct sketch of the union") {
+    import spark.implicits._
+    val k = 16
+    val df = (1L to 500L).map(i => (s"g${i % 5}", i)).toDF("g", "id")
+    val perGroup = Sketches.kmvMinSet(df, col("g"), col("id"), k)
+    val merged = Sketches.kmvMerge(perGroup, "all", k)
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    val direct = Sketches.kmvMinSet(df.withColumn("g", lit("all")),
+        col("g"), col("id"), k)
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    // any globally-k-smallest hash is also among its own group's k
+    // smallest, so the union of sketches contains the direct k-min set
+    assert(merged == direct && direct.size == k)
   }
 }

@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // q92 builds its Bloom filter (one job over the key side) at
     // plan-build; its plan property — the probe filtering the scan
     // below the exact join — is asserted in BloomJoinSpec
-    "q92_bloom_decontaminate")
+    "q92_bloom_decontaminate",
+    // q102 materializes its per-type k-min sketch (one job) at
+    // plan-build so the merge and the estimate share it
+    "q102_kmv_distinct")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
