@@ -87,4 +87,50 @@ object Dimension {
       .unionByName(closed)
       .unionByName(scd2Build(events, keyCol, tsCol, attrCols))
   }
+
+  /** Point-in-time join: each fact row picks up the dimension attributes
+    * that were valid AT the fact's timestamp — the feature-store
+    * "PIT-correctness" lookup that prevents training-label leakage (a
+    * fact must never see a dimension version from its future) and the
+    * standard fact⋈SCD2 enrichment.
+    *
+    * Semantics: the version with the LARGEST `valid_from` ≤ fact time
+    * (valid_from inclusive, matching [[scd2Build]]'s half-open
+    * intervals); facts before a key's first version get NULL attributes
+    * (left semantics).
+    *
+    * Scale shape — the q18 as-of shape, not an interval join: version
+    * rows and fact rows UNION into one relation tagged so a version
+    * sorts before a fact at the same instant, ONE window per key carries
+    * the latest attribute struct forward (`last(…, ignoreNulls)` over an
+    * incremental frame — O(1) state per row), facts filter back out. One
+    * keyed shuffle of |facts|+|versions| rows, no join node at all — a
+    * BETWEEN-join on the validity interval would plan as a range join
+    * and shuffle-or-nested-loop at 100× this; the oracle replays exactly
+    * that declarative interval join, so the equivalence is hash-checked.
+    *
+    * `dim` needs `(keyCol, valid_from, attrCols…)`; rename attribute
+    * columns first if they would collide with fact columns. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTimeCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "pitJoin needs at least one attribute column")
+    val attrStruct = struct(attrCols.map(col): _*)
+    val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
+    val vRows = dim.select(col(keyCol).as("__key"),
+      col("valid_from").as("__t"), lit(0).as("__k"),
+      attrStruct.as("__attrs"))
+    val attrType = vRows.schema("__attrs").dataType
+    val fRows = facts.select(col(keyCol).as("__key"),
+      col(factTimeCol).as("__t"), lit(1).as("__k"),
+      lit(null).cast(attrType).as("__attrs"), factStruct.as("__fact"))
+    val factType = fRows.schema("__fact").dataType
+    val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vRows.withColumn("__fact", lit(null).cast(factType))
+      .unionByName(fRows)
+      .withColumn("__a", last(col("__attrs"), ignoreNulls = true).over(w))
+      .filter(col("__k") === 1)
+      .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
+        attrCols.map(c => col("__a." + c)): _*)
+  }
 }

@@ -96,4 +96,55 @@ class DimensionSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("pitJoin: inclusive valid_from, latest version wins, " +
+    "pre-history facts get NULL, plan has no join node") {
+    import spark.implicits._
+    def d(s: String) = Date.valueOf(s)
+    // key 1: versions A@jan B@mar; key 2: one version X@feb
+    val changes = Seq(
+      (1L, d("2024-01-01"), "A"), (1L, d("2024-03-01"), "B"),
+      (2L, d("2024-02-01"), "X")
+    ).toDF("k", "ts", "v")
+    val dim = Dimension.scd2Build(changes, "k", "ts", Seq("v"))
+      .withColumnRenamed("v", "v_at")
+    val facts = Seq(
+      (10L, 1L, d("2023-12-31")), // before first version -> NULL
+      (11L, 1L, d("2024-01-01")), // exactly at valid_from -> A (inclusive)
+      (12L, 1L, d("2024-02-15")), // between versions -> A
+      (13L, 1L, d("2024-03-01")), // at the change -> B
+      (14L, 1L, d("2024-12-01")), // open current interval -> B
+      (15L, 2L, d("2024-05-05"))  // other key -> X
+    ).toDF("fid", "k", "t")
+    val pit = Dimension.pitJoin(facts, dim, "k", "t", Seq("v_at"))
+    val got = pit.select($"fid", $"v_at").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, None), (11L, Some("A")), (12L, Some("A")),
+      (13L, Some("B")), (14L, Some("B")), (15L, Some("X"))))
+    val plan = pit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pitJoin must not plan a join:\n$plan")
+  }
+
+  test("pitJoin equals the declarative interval join on the real table") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val log = orders.groupBy($"o_custkey", $"o_orderdate")
+      .agg(max_by($"o_orderstatus", $"o_orderkey").as("o_orderstatus"))
+    val dim = Dimension.scd2Build(log, "o_custkey", "o_orderdate",
+        Seq("o_orderstatus"))
+      .withColumnRenamed("o_orderstatus", "status_at_order")
+    val facts = orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val pit = Dimension.pitJoin(facts, dim, "o_custkey", "o_orderdate",
+        Seq("status_at_order"))
+      .select($"o_orderkey", $"status_at_order")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val interval = facts.join(dim,
+        facts("o_custkey") === dim("o_custkey") &&
+          dim("valid_from") <= facts("o_orderdate") &&
+          (dim("valid_to").isNull || facts("o_orderdate") < dim("valid_to")),
+        "left")
+      .select($"o_orderkey", $"status_at_order")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(pit == interval && pit.nonEmpty)
+  }
 }
