@@ -1122,7 +1122,42 @@ object AnalyticsQueries {
       "feature-store no-leakage lookup): union+window as-of shape, " +
       "hash-checked against the declarative interval join")
 
+  /** Cohort retention: users grouped by first-activity day (the
+    * cohort), activity counted per whole-week offset from that day —
+    * the engagement matrix every event product reads daily. Shape:
+    * first-activity via one keyed min-aggregation, joined back onto the
+    * event stream (strategy left to AQE — the first-activity relation
+    * is |users|, broadcastable until it isn't), the (cohort, offset,
+    * user) frame DISTINCTED before counting (one narrow shuffle — a
+    * countDistinct would Expand-double the rows instead), then the
+    * count per cell. All date arithmetic integer (datediff div 7),
+    * replayed exactly. */
+  private val q104 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("cohort_day"),
+          expr("datediff(d, cohort_day) div 7").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), " +
+      "f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id), " +
+      "cells AS (SELECT DISTINCT f.cohort_day, " +
+      "datediff('day', f.cohort_day, ev.d) // 7 AS week_offset, ev.user_id " +
+      "FROM ev JOIN f USING (user_id)) " +
+      "SELECT cohort_day, week_offset, count(*) AS n_users FROM cells " +
+      "GROUP BY cohort_day, week_offset ORDER BY cohort_day, week_offset"),
+    "Cohort retention matrix: first-activity cohorts x whole-week " +
+      "offsets, distinct-before-count (no Expand), integer date math")
+
   val all: Map[String, Q] = Map(
+    "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,
     "q102_kmv_distinct" -> q102,
     "q101_stream_ewma" -> q101,
