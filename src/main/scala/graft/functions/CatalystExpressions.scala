@@ -609,7 +609,15 @@ object CatalystExpressions {
     override def checkInputDataTypes(): TypeCheckResult = rows.dataType match {
       case ArrayType(st: StructType, _) if st.length == 3 &&
         st(1).dataType == LongType && st(2).dataType == LongType =>
-        TypeCheckResult.TypeCheckSuccess
+        // alpha/init are read by asInstanceOf in eval — reject wrong
+        // types at ANALYSIS time, not as a runtime ClassCastException
+        // (a SQL caller passing a BIGINT alpha must get an AnalysisError)
+        if (alpha.dataType != IntegerType) TypeCheckResult.TypeCheckFailure(
+          s"graft_ewma_fold expects alpha: int, got ${alpha.dataType.catalogString}")
+        else if (init.dataType != LongType && init.dataType != NullType)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_ewma_fold expects init: bigint (or NULL), got ${init.dataType.catalogString}")
+        else TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"graft_ewma_fold expects array<struct<ts, id: bigint, xu: bigint>>, " +
           s"got ${other.catalogString}")

@@ -237,15 +237,29 @@ object Sketches {
   val KmvA: Long = 1103515245L
   val KmvB: Long = 12345L
 
+  /** Seeded affine hash, TOTAL over every bigint key: the key is first
+    * reduced mod P (pmod → canonical non-negative residue, so negative
+    * keys don't leak Spark's sign-keeping `%` into the sketch), then
+    * the affine map runs on a value < 2P — (2P)·A ≈ 2⁶² stays inside a
+    * long for ANY input, where the raw `key·A` overflowed past ~8.4e9.
+    * For keys already in [0, P) this is bit-identical to the plain
+    * `(a·x + b) mod P`, and the SQL twin `(((x % P)·A + B) % P + P) % P`
+    * is congruent for all keys (the m<0 branch differs by P·A ≡ 0). */
   def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (key * KmvA + KmvB) % KmvP
+    pmod(pmod(key, lit(KmvP)) * KmvA + KmvB, lit(KmvP))
 
   /** Per-group k-min set: (group, h, r) with r = rank of h among the
     * group's distinct hashes, r ≤ k. The mergeable sketch itself. */
   def kmvMinSet(df: DataFrame, groupCol: org.apache.spark.sql.Column,
       keyCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    val kt = df.select(keyCol).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)(kt),
+      s"KMV requires an integral key column (byte/short/int/long) so the " +
+        s"affine hash is exact and SQL-replayable; got ${kt.catalogString}")
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
     df.select(groupCol.as("grp"), kmvHash(keyCol).as("h")).distinct()
       .withColumn("r", row_number().over(w))

@@ -183,7 +183,17 @@ object TextAnalysis {
     * (tf is folded in-row), so the df aggregation's skew exposure is
     * bounded by document count, and the shuffle-join fallback streams
     * the hot partition through a counter and a merge side — cost
-    * imbalance, never memory. */
+    * imbalance, never memory.
+    *
+    * PRECONDITION — `idCol` must be unique (one row per document).
+    * The in-row tf fold treats each ROW as a document: a duplicated
+    * doc_id would inflate df by the duplicate count and emit one top-k
+    * list per physical row (where the old explode→groupBy formulation
+    * silently merged them). Callers holding a multi-row-per-doc frame
+    * must pre-aggregate (`groupBy(id).agg(concat_ws(" ", collect_list
+    * (text)))`) BEFORE calling — that shuffle is the caller's
+    * data-model cost, not something to re-pay here for the
+    * already-unique common case. */
   def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

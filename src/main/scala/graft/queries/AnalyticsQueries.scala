@@ -949,17 +949,22 @@ object AnalyticsQueries {
     (s, dir) => {
       val ev = table(s, dir, "events").select(col("event_type"), col("value"))
       val mm = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      // degenerate all-equal span: width 0 → 0/0 = NaN, and Spark's
+      // floor→bigint maps NaN to 0 while DuckDB keeps NaN (least → 19) —
+      // guard the case to bin 0 IDENTICALLY on both sides
       ev.join(broadcast(mm))
-        .withColumn("bin", least(
-          floor((col("value") - col("vmin")) /
-            ((col("vmax") - col("vmin")) / lit(20.0))), lit(19.0)).cast("long"))
+        .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / lit(20.0))), lit(19.0)).cast("long")))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
     },
     Some("WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events) " +
       "SELECT event_type, " +
-      "CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19.0) AS BIGINT) AS bin, " +
+      "CASE WHEN vmax = vmin THEN 0 ELSE " +
+      "CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19.0) AS BIGINT) END AS bin, " +
       "count(*) AS n FROM events CROSS JOIN mm " +
       "GROUP BY event_type, bin ORDER BY event_type, bin"),
     "Equi-width 20-bin histogram per event type over the global span " +
@@ -1065,7 +1070,8 @@ object AnalyticsQueries {
       val k = 32
       val est = s"${(k - 1).toLong * 2147483647L}"
       "WITH dh AS (SELECT DISTINCT event_type AS grp, " +
-        "(user_id * 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        "(((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 " +
+        "+ 2147483647) % 2147483647 AS h FROM events), " +
         s"mins AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh), " +
         s"sk AS (SELECT grp, h, r FROM mins WHERE r <= $k), " +
         "mall AS (SELECT '__all' AS grp, h, row_number() OVER (ORDER BY h) AS r " +

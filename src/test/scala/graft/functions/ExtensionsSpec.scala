@@ -23,6 +23,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     assert(sim != 0L)
   }
 
+  test("graft_ewma_fold rejects mistyped alpha/init at analysis time") {
+    graft.functions.CatalystExpressions.register(spark)
+    val rows = "array(named_struct('ts', 1L, 'id', 1L, 'xu', 100L))"
+    // BIGINT alpha: was a runtime ClassCastException, must be an analysis error
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_ewma_fold($rows, CAST(20 AS BIGINT), NULL)").collect()
+    }
+    assert(e1.getMessage.contains("alpha"))
+    // INT init: same
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT graft_ewma_fold($rows, 20, 7)").collect()
+    }
+    assert(e2.getMessage.contains("init"))
+    // well-typed calls still pass: NULL init and BIGINT init
+    val ok1 = spark.sql(s"SELECT graft_ewma_fold($rows, 20, NULL) AS r")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ok1.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 100L)))
+    val ok2 = spark.sql(
+      s"SELECT graft_ewma_fold($rows, 20, CAST(0 AS BIGINT)) AS r")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ok2.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 20L)))
+  }
+
   test("GraftExtensions injects every registered function at the extension point") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -132,6 +132,30 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(est > 6200 && est < 13800, s"estimate $est for true 10000")
   }
 
+  test("kmvHash is total: negative and huge keys land in [0,P) and match BigInt") {
+    import spark.implicits._
+    val keys = Seq(-1L, -2147483648L, Long.MinValue, Long.MaxValue,
+      8400000000L, 0L, 42L, 2147483646L)
+    val got = keys.toDF("id")
+      .select(col("id"), Sketches.kmvHash(col("id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    keys.foreach { key =>
+      val ref = ((BigInt(key) * Sketches.KmvA + Sketches.KmvB)
+        .mod(BigInt(Sketches.KmvP))).toLong
+      assert(got(key) == ref, s"key $key: got ${got(key)}, want $ref")
+      assert(got(key) >= 0L && got(key) < Sketches.KmvP)
+    }
+  }
+
+  test("kmvMinSet rejects non-integral key columns at call time") {
+    import spark.implicits._
+    val df = Seq(("a", "not-a-number")).toDF("g", "id")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvMinSet(df, col("g"), col("id"), 8)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("KMV merge of per-group sketches equals the direct sketch of the union") {
     import spark.implicits._
     val k = 16

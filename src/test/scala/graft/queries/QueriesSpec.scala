@@ -122,6 +122,21 @@ class QueriesSpec extends AnyFunSuite with SparkTest {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q99 histogram degenerate all-equal span bins to 0, not NaN-floor") {
+    import spark.implicits._
+    // vmax == vmin -> width 0 -> 0/0 = NaN without the guard; Spark's
+    // floor->bigint maps NaN to 0 while DuckDB's least() yields 19 — the
+    // guard pins bin 0 identically on both sides (ADVICE r10)
+    val dir = java.nio.file.Files.createTempDirectory("q99deg").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 5.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.all("q99_histogram").fn(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("click", 0L, 1L), ("view", 0L, 1L)))
+  }
+
   test("q17 top-k neighbors are genuinely the nearest (spot check one query)") {
     val out = Queries.all("q17_knn_cosine").fn(spark, sf0001)
     val firstQ = out.filter(col("qid") === 0L).orderBy("rnk")
