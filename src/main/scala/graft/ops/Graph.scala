@@ -66,44 +66,39 @@ object Graph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
-    // ONE shuffle for dedup + placement: hash(src) co-locates equal
-    // (src, dst) pairs, and HashPartitioning(src) satisfies the dedup
-    // aggregation's ClusteredDistribution(src, dst), so dropDuplicates
-    // runs exchange-free on the repartitioned data and the cache keeps
-    // the src placement (a separate distinct() before the repartition
-    // paid a second full-edge-list exchange for nothing)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).dropDuplicates("src", "dst").cache()
-    // distinct() already leaves HashPartitioning(node) — exactly the
-    // clustering the iteration aggregation produces; an explicit
-    // repartition(node) on top would be one more exchange of the node set
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    // |V| is needed anyway (the count materializes the node cache every
-    // caller pays for); it doubles as the broadcast-vs-shuffle estimate
-    val useBroadcast = chooseRankStrategy(nodes.count(), broadcastMaxNodes,
-      broadcastRanks)
-    // out-degree groups on the cached partitioning — no exchange — and
-    // the per-edge share denominator rides WITH the edge, so iterations
-    // never re-join it. APPENDED: one zero-contribution sentinel row per
-    // node (src = dst = node, d so large that u div d = 0) — every node
-    // then appears both as a src (so the inner join against ranks keeps
-    // it alive) and as a dst (so the aggregation emits its rank even
-    // with no real in-edges). That removes the per-iteration left join
-    // against the node set entirely: one join + one aggregation per
-    // iteration, and the sum is unchanged (+0).
-    val degERaw = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
-        lit(Long.MaxValue).as("d")))
-    // The union discards the children's partitioning. On the SMJ path,
-    // re-place by src and sort once at build time (InMemoryRelation
-    // keeps its child's outputOrdering, so each iteration sorts only
-    // the arriving |V|-row ranks side, never the edges). On the
-    // broadcast path the join streams the cache as-is — placement and
-    // order buy nothing, so skip both build shuffles.
-    val degE = (if (useBroadcast) degERaw
-      else degERaw.repartition(col("src")).sortWithinPartitions(col("src")))
-      .cache()
+    val degERaw = edgeRelation(edges, srcCol, dstCol)
+    // ONE cached materialization (r10 had three — e, nodes, degE — plus
+    // an unconditional eager count; the fused relation subsumes all of
+    // them: real edges carry their degree, sentinel rows ARE the node
+    // set). Strategy + materialization per case:
+    //  - forced side: build directly in the right shape, ZERO extra jobs
+    //    (the cache fills lazily under iteration 1);
+    //  - auto: cache the shape-neutral relation and read |V| off its
+    //    sentinel rows — the SAME job that fills the cache, so the
+    //    estimate is free; only a genuinely large graph (> maxNodes)
+    //    pays a re-shape, from the cache, never from source.
+    var degE: DataFrame = null
+    var useBroadcast = false
+    broadcastRanks match {
+      case Some(b) =>
+        useBroadcast = chooseRankStrategy(0L, broadcastMaxNodes, broadcastRanks)
+        degE = (if (b) degERaw else placedBySrc(degERaw)).cache()
+      case None =>
+        val degE0 = degERaw.cache()
+        val nV = degE0.filter(col("d") === Long.MaxValue).count()
+        useBroadcast = chooseRankStrategy(nV, broadcastMaxNodes, broadcastRanks)
+        if (useBroadcast) degE = degE0
+        else {
+          // InMemoryRelation keeps its child's outputOrdering, so each
+          // iteration sorts only the arriving |V|-row ranks side,
+          // never the edges
+          degE = placedBySrc(degE0).cache()
+          degE.count() // fill from degE0 BEFORE dropping it
+          degE0.unpersist()
+        }
+    }
+    val nodes = degE.filter(col("d") === Long.MaxValue)
+      .select(col("src").as("node"))
     var ranks = nodes.withColumn("u", lit(SCALE))
     for (i <- 1 to iterations) {
       val ranksSrc = ranks.withColumnRenamed("node", "src")
@@ -133,10 +128,90 @@ object Graph {
     // first use. The checkpoint blocks free themselves when the returned
     // plan is GC'd.
     val out = ranks.select(col("node"), col("u").as("rank_units")).localCheckpoint()
-    e.unpersist()
     degE.unpersist()
-    nodes.unpersist()
     out
+  }
+
+  /** The fused edge relation both entry points share: deduplicated
+    * (src, dst) pairs carrying their out-degree `d`, PLUS one
+    * zero-contribution sentinel row per node (src = dst = node,
+    * d = Long.MaxValue so `u div d = 0`). Every node then appears both
+    * as a src (the inner join against ranks keeps it alive) and as a
+    * dst (the aggregation emits its rank even with no real in-edges) —
+    * no per-iteration left join against a node set, and the node set
+    * itself is recoverable as `d = Long.MaxValue` (no second relation).
+    *
+    * ONE shuffle for dedup + placement: hash(src) co-locates equal
+    * (src, dst) pairs, and HashPartitioning(src) satisfies the dedup
+    * aggregation's ClusteredDistribution(src, dst), so dropDuplicates,
+    * the degree aggregation, AND the node-distinct all run on the same
+    * exchange — Catalyst reuses it across the three consumers
+    * (ReusedExchange) within the one materialization job. */
+  private def edgeRelation(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(Long.MaxValue).as("d")))
+  }
+
+  /** Re-place the fused relation by src and sort within partitions —
+    * the build-once layout the SMJ iteration path streams against. */
+  private def placedBySrc(degERaw: DataFrame): DataFrame =
+    degERaw.repartition(col("src")).sortWithinPartitions(col("src"))
+
+  /** Write the fused edge relation ONCE as a bucketed, bucket-sorted
+    * lake table (the docstring's promised durable variant): dedup,
+    * out-degree, and node sentinels are all prepaid at build time, and
+    * the table is bucketed by `src` with one file per bucket, so
+    * [[pageRankFromIndex]] serves iterations with ZERO build shuffles —
+    * the placed table never moves; only ranks do. The pre-repartition
+    * into exactly `buckets` tasks uses the same murmur3 hash family as
+    * the bucket-id assignment, so each task holds exactly one bucket's
+    * rows → one file per bucket → the scan advertises its sort order
+    * and the per-iteration SMJ never re-sorts the edge side.
+    *
+    * This is the 100 TB shape: the in-memory [[pageRank]] caches the
+    * placed relation (right while it fits executor storage); the index
+    * variant streams it from the lake each iteration — disk-backed,
+    * no cache pressure, and the build cost amortizes across every
+    * later run exactly like the ANN/shingle indexes (q56–q61). */
+  def writeEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
+      tableName: String, buckets: Int): Unit = {
+    val degERaw = edgeRelation(edges, srcCol, dstCol)
+    graft.io.Lake.writeBucketed(degERaw.repartition(buckets, col("src")),
+      tableName, "src", buckets, Some("src"))
+  }
+
+  /** [[pageRank]] served from a [[writeEdgeIndex]] table: identical
+    * arithmetic and results (spec-asserted bit-equal), but the edge
+    * side of every iteration is the placed bucketed scan — no dedup,
+    * no degree aggregation, no node-set derivation, no exchange on the
+    * edge side ever (PlanAudit-asserted: the only shuffle per
+    * iteration moves the |V|-row rank relation). */
+  def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, iterations: Int, alphaNum: Long = 85L,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val degE = spark.table(tableName)
+    var ranks = degE.filter(col("d") === Long.MaxValue)
+      .select(col("src").as("node")).withColumn("u", lit(SCALE))
+    for (i <- 1 to iterations) {
+      val ranksSrc = ranks.withColumnRenamed("node", "src")
+      val contribs = degE.join(ranksSrc, "src")
+        .select(col("dst").as("node"), expr("u div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = contribs.select(col("node"),
+        (lit(teleport) + expr(s"($alphaNum * c) div 100")).as("u"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("u").as("rank_units"))
   }
 
   /** The broadcast-vs-shuffle decision, separated so the boundary is

@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: where does q90's time go — edge prep, one iteration, five? */
+/** Dev probe: where does q90's time go under the r11 fused setup —
+  * one cached degE materialization (+free |V| off the sentinels),
+  * per-iteration cost, checkpoint cadence, and the q105 index split
+  * (build vs serve). Run twice and trust the later lines (warm JVM). */
 object PrProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -11,94 +14,65 @@ object PrProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", graft.queries.Queries.scratchRoot + "/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[prprobe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.3f s ($n rows)")
+      println(f"[prprobe] $name%-32s ${(System.nanoTime() - t0) / 1e9}%6.3f s ($n rows)")
     }
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.queries.Queries.table(spark, dir, "lineitem")
     val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
     val rev = li.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
     val edges = fwd.unionAll(rev)
-    t("distinct+repartition+cache") {
-      edges.select(col("src"), col("dst")).distinct()
-        .repartition(col("src")).cache().count()
-    }
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).cache()
-    val degE = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .sortWithinPartitions(col("src")).cache()
-    t("degE cache")(degE.count())
+
+    // the fused setup alone: one cache fill + sentinel count
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).cache()
-    t("nodes cache")(nodes.count())
+    val degERaw = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(Long.MaxValue).as("d")))
+    val degE0 = degERaw.cache()
+    t("fused degE cache + |V| count")(degE0.filter(col("d") === Long.MaxValue).count())
+    degE0.unpersist(true)
+
     for (k <- Seq(1, 1, 2, 5)) {
-      t(s"pageRank k=$k") {
-        graft.ops.Graph.pageRank(edges, "src", "dst", iterations = k,
-          broadcastRanks = Some(true), checkpointInterval = 1).count()
+      t(s"pageRank auto k=$k") {
+        graft.ops.Graph.pageRank(edges, "src", "dst", iterations = k).count()
       }
     }
-    t("pageRank k=5 nochk") {
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true), checkpointInterval = 99).count()
+    for (chk <- Seq(1, 2, 4, 99)) {
+      t(s"pageRank bc k=5 chk=$chk") {
+        graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
+          broadcastRanks = Some(true), checkpointInterval = chk).count()
+      }
     }
-    t("pageRank k=5 shuffle") {
+    t("pageRank shuffle k=5") {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = Some(false), checkpointInterval = 1).count()
+        broadcastRanks = Some(false)).count()
     }
-    t("pageRank k=5 shuf-lazy") {
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = Some(false), checkpointInterval = 99).count()
+    // q105 split: build vs serve
+    t("writeEdgeIndex (build)") {
+      graft.ops.Graph.writeEdgeIndex(edges, "src", "dst", "pr_probe_idx", 8); 0L
     }
-    t("pageRank k=5 bc-chk2") {
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true), checkpointInterval = 2).count()
+    t("pageRankFromIndex k=5 (serve)") {
+      graft.ops.Graph.pageRankFromIndex(spark, "pr_probe_idx", 5).count()
+    }
+    t("pageRankFromIndex k=5 (serve2)") {
+      graft.ops.Graph.pageRankFromIndex(spark, "pr_probe_idx", 5).count()
     }
     val fn = graft.SparkEntry.queries("q90_pagerank")
     t("q90 via query (1st)")(fn(spark, dir).count())
     t("q90 via query (2nd)")(fn(spark, dir).count())
-    val plan = fn(spark, dir).queryExecution.optimizedPlan.toString
-    println("[prprobe] q90 optimized plan uses cache: " +
-      plan.contains("InMemoryRelation") + "; scans: " +
-      "Relation".r.findAllIn(plan).size)
-    // isolate: same edges built the query's way (via Queries.table)
-    val li2 = graft.queries.Queries.table(spark, dir, "lineitem")
-    val fwd2 = li2.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
-    val rev2 = li2.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges2 = fwd2.unionAll(rev2)
-    t("pageRank on table() edges") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true)).count()
-    }
-    t("pageRank on table() edges 2nd") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true)).count()
-    }
-    t("query minus topk") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true))
-        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t("topk, AQE off") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true))
-        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
-    }
-    t("topk, AQE off, chk1") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true), checkpointInterval = 1)
-        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    t("topk, AQE on, chk1") {
-      graft.ops.Graph.pageRank(edges2, "src", "dst", iterations = 5,
-        broadcastRanks = Some(true), checkpointInterval = 1)
-        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
-    }
+    val fn5 = graft.SparkEntry.queries("q105_pagerank_index")
+    t("q105 via query (1st)")(fn5(spark, dir).count())
+    t("q105 via query (2nd)")(fn5(spark, dir).count())
+    spark.sql("DROP TABLE IF EXISTS pr_probe_idx")
     spark.stop()
   }
 }

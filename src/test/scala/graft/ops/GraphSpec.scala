@@ -50,6 +50,55 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(b == s && b.nonEmpty)
   }
 
+  test("pageRankFromIndex equals in-memory pageRank bit-for-bit") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val fwd = li.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst"))
+    val rev = li.select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(rev)
+    try {
+      Graph.writeEdgeIndex(edges, "src", "dst", "pr_edges_spec", buckets = 4)
+      val served = Graph.pageRankFromIndex(spark, "pr_edges_spec", iterations = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val direct = Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(served == direct && served.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS pr_edges_spec")
+  }
+
+  test("pageRankFromIndex iteration joins shuffle ONLY the rank side") {
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+      Graph.writeEdgeIndex(edges, "src", "dst", "pr_edges_plan", buckets = 4)
+      val degE = spark.table("pr_edges_plan")
+      val ranks = degE.filter($"d" === Long.MaxValue)
+        .select($"src".as("node")).withColumn("u", lit(Graph.SCALE))
+      // iteration-1 join: BOTH sides come off the placed table (ranks
+      // init is the sentinel filter), so the SMJ is fully co-located —
+      // zero shuffles; later iterations exchange only the |V|-row
+      // aggregated rank relation, never the edge scan
+      val joined = degE.join(ranks.withColumnRenamed("node", "src"), "src")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"iteration-1 join must be exchange-free; plan was:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"edge side must be the bucketed scan; plan was:\n$plan")
+      // full-iteration shape: the contribution aggregation re-keys by
+      // dst, so exactly ONE shuffle (of |V|-scale aggregated rows) per
+      // iteration — the edge table never moves
+      val iter = joined
+        .select($"dst".as("node"), expr("u div d").as("c"))
+        .groupBy("node").agg(sum($"c").as("c"))
+      val iterPlan = iter.queryExecution.executedPlan.toString
+      assert(iterPlan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"one iteration must shuffle exactly once (the agg); plan was:\n$iterPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS pr_edges_plan")
+    }
+  }
+
   test("deterministic under repartitioning (integer arithmetic, no FP order)") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     def edges(parts: Int) = {
