@@ -900,19 +900,24 @@ object AnalyticsQueries {
       import graft.ops.Quality
       val o = table(s, dir, "orders")
       val li = table(s, dir, "lineitem")
+      // fused shape (r11): one keyed pass over orders carries the three
+      // row checks AND uniqueness AND doubles as the FK reference (same
+      // subtree → reused exchange); lineitem's FK + range check share
+      // one left-join pass — two scans total where the r10 composition
+      // ran five (tools/Q98Probe: 0.50 → 0.11 s, identical report)
+      val oChecks = Seq(
+        Quality.notNull("orders.o_orderkey.not_null", col("o_orderkey")),
+        Quality.inRange("orders.o_totalprice.range", col("o_totalprice"),
+          lit(0.0), lit(1.0e9)),
+        Quality.inSet("orders.o_orderstatus.domain", col("o_orderstatus"),
+          Seq("F", "O", "P")))
+      val keyed = Quality.keyedPass(o, Seq("o_orderkey"), oChecks)
       Quality.report(Seq(
-        Quality.rowAudit(o, Seq(
-          Quality.notNull("orders.o_orderkey.not_null", col("o_orderkey")),
-          Quality.inRange("orders.o_totalprice.range", col("o_totalprice"),
-            lit(0.0), lit(1.0e9)),
-          Quality.inSet("orders.o_orderstatus.domain", col("o_orderstatus"),
-            Seq("F", "O", "P")))),
-        Quality.uniqueAudit(o, "orders.o_orderkey.unique", Seq("o_orderkey")),
-        Quality.fkAudit(li, "lineitem.l_orderkey.fk_orders", "l_orderkey",
-          o, "o_orderkey"),
-        Quality.rowAudit(li, Seq(
-          Quality.inRange("lineitem.l_quantity.range", col("l_quantity"),
-            lit(1.0), lit(50.0))))))
+        Quality.keyedReport(keyed, "orders.o_orderkey.unique", oChecks),
+        Quality.fkRowAudit(li, "lineitem.l_orderkey.fk_orders", "l_orderkey",
+          keyed, "o_orderkey", Seq(
+            Quality.inRange("lineitem.l_quantity.range", col("l_quantity"),
+              lit(1.0), lit(50.0))))))
     },
     Some("SELECT * FROM (" +
       "SELECT 'orders.o_orderkey.not_null' AS check_name, " +

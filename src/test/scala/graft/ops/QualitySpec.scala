@@ -41,6 +41,40 @@ class QualitySpec extends AnyFunSuite with SparkTest {
       Seq(("fk.ref", 2L, 4L)))
   }
 
+  test("fused keyedPass/keyedReport/fkRowAudit equals the composed audits") {
+    val o = Seq(
+      (Some(1L), Some(10.0), Some("F")),
+      (Some(1L), Some(-5.0), Some("X")),   // dup key + range + domain
+      (None, Some(20.0), Some("O")),       // null key
+      (Some(3L), None, Some("P"))          // null measure
+    ).toDF("k", "v", "st")
+    val child = Seq((Some(1L), 5.0), (Some(9L), -1.0), (None, 3.0))
+      .toDF("fk", "q")
+    val oChecks = Seq(
+      Quality.notNull("o.k.not_null", $"k"),
+      Quality.inRange("o.v.range", $"v", lit(0.0), lit(50.0)),
+      Quality.inSet("o.st.domain", $"st", Seq("F", "O", "P")))
+    val cChecks = Seq(Quality.inRange("c.q.range", $"q", lit(0.0), lit(10.0)))
+    val keyed = Quality.keyedPass(o, Seq("k"), oChecks)
+    val fused = rows(Quality.report(Seq(
+      Quality.keyedReport(keyed, "o.k.unique", oChecks),
+      Quality.fkRowAudit(child, "c.fk.ref", "fk", keyed, "k", cChecks))))
+    val composed = rows(Quality.report(Seq(
+      Quality.rowAudit(o, oChecks),
+      Quality.uniqueAudit(o, "o.k.unique", Seq("k")),
+      Quality.fkAudit(child, "c.fk.ref", "fk", o, "k"),
+      Quality.rowAudit(child, cChecks))))
+    assert(fused == composed)
+    // and the values are the expected ones, not accidentally-equal noise
+    assert(fused == Seq(
+      ("c.fk.ref", 2L, 3L),       // fk=9 orphan + NULL fk
+      ("c.q.range", 1L, 3L),      // -1 out of range
+      ("o.k.not_null", 1L, 4L),
+      ("o.k.unique", 2L, 4L),     // both rows of k=1
+      ("o.st.domain", 1L, 4L),
+      ("o.v.range", 2L, 4L)))     // -5 + null v
+  }
+
   test("report unions audits ordered; clean real tables audit to zero") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val got = rows(Quality.report(Seq(
