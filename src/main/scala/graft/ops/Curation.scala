@@ -60,6 +60,41 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Near-dup-aware train/val/test split — the leakage guard
+    * [[assignSplit]] alone cannot give: a near-duplicate of a test
+    * document must not land in train (it would leak the evaluation
+    * set into training), so every connected component of the near-dup
+    * pair graph is routed WHOLLY into one split. The split key is the
+    * component's min-id label ([[Dedup.connectedComponents]]) for
+    * paired docs and the doc's own id for singletons; bucketing is the
+    * same multiplicative [[idHash]] arithmetic as [[assignSplit]], so
+    * singleton assignments are IDENTICAL to the plain split and the
+    * whole operator is SQL-replayable (recursive-CTE components + the
+    * q47 hash formula).
+    *
+    * Scale shape: components run over the PAIR set (≪ corpus — only
+    * near-dup members appear); the label relation joins back onto the
+    * corpus with the strategy left to AQE (it broadcasts while the
+    * paired subset is small, the common regime); the split itself is a
+    * row-local projection. Returns `docs` plus `cluster_key` (the
+    * routing key) and `split`. */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages train=$trainPct val=$valPct")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("lbl").as("__ck"))
+    val keyed = docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_key",
+        coalesce(col("__ck"), col(idCol).cast("long")))
+      .drop("__ck")
+    val bucket = idHash(col("cluster_key")) % lit(100)
+    keyed.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-group balanced downsample: keep at most `keep` rows per group,
     * chosen by hash order (deterministic, unbiased by ingestion order;
     * ties broken by id). The canonical class-rebalance step before

@@ -785,7 +785,41 @@ object TrainingDataQueries {
     "Blocked fuzzy entity linkage: distinct part names, head-noun " +
       "blocking, edit distance <= 2 on in-block candidates only")
 
+  /** Near-dup-aware split decontamination (the q47+q50 generalization):
+    * train/val/test assignment where a whole near-dup connected
+    * component (q62's clusters over q20's pair set) lands in ONE
+    * split — the leakage guard production training pipelines need
+    * (a near-duplicate of a test doc must not train). Split key =
+    * cluster min-id for paired docs, own id for singletons; bucket =
+    * the q47 multiplicative hash, so singleton assignments equal the
+    * plain q47 split. Fully SQL-replayed: recursive-CTE components +
+    * the q47 hash arithmetic. */
+  private val q106 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      graft.ops.Curation.clusterAwareSplit(docs, "doc_id", pairs,
+          trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("cluster_key"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = "(((coalesce(c.cluster, d.doc_id) % 2147483648) * 2654435761 " +
+        "+ 2654435769) % 4294967296)"
+      duckNearDupEdges +
+        " SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_key, " +
+        s"CASE WHEN $h % 100 < 80 THEN 'train' " +
+        s"WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id " +
+        "ORDER BY d.doc_id"
+    },
+    "Cluster-aware 80/10/10 split: near-dup components routed wholly " +
+      "into one split (no train/test leakage through near-duplicates), " +
+      "singletons identical to the plain q47 split")
+
   val all: Map[String, Q] = Map(
+    "q106_cluster_split" -> q106,
     "q95_bm25" -> q95,
     "q97_fuzzy_link" -> q97,
     "q32_stream_sessionize" -> q32,

@@ -25,6 +25,31 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id migrated") }
   }
 
+  test("clusterAwareSplit: components share one split, singletons match assignSplit") {
+    // components: {1,2,3} (chain), {10,11}; singletons: 20, 21, 22
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val out = Curation.clusterAwareSplit(corpus, "doc_id", pairs)
+      .select($"doc_id", $"cluster_key", $"split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // whole component -> one split, keyed by the min id
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // singletons: cluster_key = own id, split identical to the plain split
+    val plain = Curation.assignSplit(corpus, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    Seq(20L, 21L, 22L).foreach { id =>
+      assert(byId(id)._2 == id && byId(id)._3 == plain(id))
+    }
+    // cluster members take the split of their min-id representative
+    assert(byId(1L)._3 == plain(1L) && byId(10L)._3 == plain(10L))
+    // exhaustive and typed
+    assert(out.size == 8 && out.forall(r => Set("train", "val", "test")(r._3)))
+  }
+
   test("idHash never overflows/goes negative for any non-negative long id") {
     val huge = Seq(0L, 1L, 2147483647L, 2147483648L, 3470000000L,
       4294967296L, Long.MaxValue).toDF("id")
