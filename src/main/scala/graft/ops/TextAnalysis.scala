@@ -290,6 +290,100 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 
+  /** BM25 "more-like-this": for every QUERY document (rows matching
+    * `isQuery`), the top-`k` most similar OTHER documents under Okapi
+    * scoring over word-`shingleWidth`-gram terms — the per-document
+    * lexical retrieval that pairs with per-document ANN search in a
+    * hybrid (RRF) stack, where [[bm25TopK]] serves a single external
+    * keyword query. Shingle terms (not bare words) keep the ranking
+    * selective on small-vocabulary corpora and phrase-aware on any
+    * corpus; the arithmetic is [[bm25TopK]]'s exactly (ratio idf,
+    * k1 = 1.2, b = 0.75, term-ordered contribution fold, 6-dp round),
+    * with dl = the document's total shingle count.
+    *
+    * Shape at scale — the classic inverted-index retrieval join:
+    *  - ONE tokenize pass ([[graft.functions.CatalystExpressions.WordCounts]]
+    *    over the non-distinct shingle list), materialized; the
+    *    (id, isQuery, dl, term, tf) posting frame derives from it once;
+    *  - candidates come from the equi-join of query-doc terms against
+    *    the posting frame — never doc×doc; the candidate volume is
+    *    Σ_t df(t) over query terms, and a HOT shingle (boilerplate
+    *    phrase) is the skew exposure: at corpus scale cap or drop
+    *    stop-shingles (df ceiling) exactly as web search engines do;
+    *  - df and (N, Σdl) are aggregates of the same frame; the final
+    *    per-query top-k is a k-bounded window, never a global sort.
+    * Returns (qid, rnk, id, n_terms, bm25). */
+  def bm25MoreLikeThis(docs: DataFrame, isQuery: Column, k: Int,
+      shingleWidth: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && shingleWidth >= 1, s"invalid k=$k width=$shingleWidth")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val live = docs.filter(col(textCol).isNotNull)
+    val ws = words(col(textCol))
+    // non-distinct shingle list (tf needs occurrence counts, so the
+    // distinct graft_word_ngrams shingle set is not usable here) via the
+    // COMPILED WordWindows kernel at stride 1 — a declarative
+    // transform(sequence(...), concat_ws(element_at(ws, ...))) lambda
+    // re-evaluates the split() per element (~3·|shingles| tokenize
+    // passes per doc; tools/RrfProbe measured the posting build at
+    // 5.1 s vs ~0.3 s compiled). Docs shorter than the width window to
+    // ONE short gram in WordWindows, so gate to the empty list — those
+    // docs carry no shingle terms, matching dl = 0.
+    val grams = when(size(ws) >= shingleWidth,
+      call_function("graft_word_windows", col(textCol), lit(shingleWidth),
+        lit(1))).otherwise(array().cast("array<string>"))
+    // the posting frame re-derives per consumer, deliberately UNLIKE
+    // [[bm25TopK]]'s checkpoint: here the tokenize chain is fully
+    // compiled (WordWindows + WordCounts), so re-running it three times
+    // inside ONE job is cheaper than a 260k-row materialization barrier
+    // (tools/RrfProbe A/B: no-checkpoint 1.16 s vs checkpointed ~2.0 s
+    // at sf0.1 — the opposite trade from q95's interpreted-projection
+    // case); dl = shingle count, computable in codegen from the token
+    // count alone (n − width + 1, floored at 0)
+    val posted = live
+      .select(col(idCol).as("id"), isQuery.as("__isq"),
+        greatest(size(ws) - (shingleWidth - 1), lit(0)).cast("long").as("dl"),
+        explode_outer(call_function("graft_word_counts", grams)).as("tc"))
+      .select(col("id"), col("__isq"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
+    // N and Σdl need no tokenize at all — one pure-codegen pass
+    val stats = live.agg(count(lit(1)).as("n"),
+      sum(greatest(size(ws) - (shingleWidth - 1), lit(0)).cast("long")).as("sdl"))
+    val terms = posted.filter(col("term").isNotNull)
+    val dfq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = terms.filter(col("__isq"))
+      .select(col("id").as("qid"), col("term"))
+    val contrib = qt
+      .join(terms.select(col("id"), col("dl"), col("term"), col("tf")), "term")
+      .filter(col("id") =!= col("qid"))
+      .join(dfq, "term")
+      .join(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n"))
+      .withColumn("c",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    // rank on the ROUNDED score (the bm25TopK convention): the fold
+    // makes s bit-identical across engines, so rounding is too, and the
+    // (bm25 desc, id) cut is total-ordered on both sides.
+    // ONE exchange serves both tails: hash(qid) placement satisfies the
+    // (qid, id) aggregation's clustering AND the window's, so the
+    // explicit repartition replaces two back-to-back shuffles of the
+    // scored frame with one.
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col("id").asc)
+    contrib.repartition(col("qid")).groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(transform(array_sort(collect_list(struct(term, c))), " +
+          "x -> x.c), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("s"))
+      .withColumn("bm25", round(col("s"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("bm25"))
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately the
     * common subset of Java regex and RE2 syntax (character classes and
     * bounded repetition only — no backreferences, no lookaround) so the

@@ -818,7 +818,70 @@ object TrainingDataQueries {
       "into one split (no train/test leakage through near-duplicates), " +
       "singletons identical to the plain q47 split")
 
+  /** Hybrid retrieval fusion (the RAG-stack shape): per query doc,
+    * reciprocal-rank fusion of the ANN cosine top-10 (served from the
+    * durable IVF index, q56's path at k=10) and the BM25 more-like-this
+    * top-10 over word-3-gram shingle terms — rank-only combination in
+    * fixed-point integer units (1e12 div (60+rank)), bit-reproducible
+    * and fully SQL-replayed (IVF CTE chain + inverted-index BM25 CTEs +
+    * the integer RRF fold). Queries = the q55/q56 set (id % 10 = 0);
+    * doc_id and vec_id share the id space (TESTDATA: one embedding per
+    * document). */
+  private val q107 = Q(
+    (s, dir) => {
+      // first-touch index build keyed by sf dir (the q84/q85 steady-state
+      // pattern): production admits vectors through appendToIndex at
+      // ingest; the hybrid-search serve reads only the index tables
+      val scratch = s"${Queries.scratchRoot}/q107-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // register up front: on the serve-only (index-exists) path no
+      // table() call precedes the graft_dot use inside the IVF serve
+      graft.functions.CatalystExpressions.register(s)
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment"))
+        Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+      val sem = Similarity.ivfTopKFromIndex(s, scratch,
+          col("vec_id") % 10 === 0, k = 10, nProbe = 2)
+        .select(col("qid"), col("neighbor").as("id"), col("rnk"))
+      val lex = TextAnalysis.bm25MoreLikeThis(table(s, dir, "documents"),
+          col("doc_id") % 10 === 0, k = 10)
+        .select(col("qid"), col("id"), col("rnk"))
+      graft.ops.Fusion.rrfFuse(Seq(sem, lex), topK = 10)
+        .orderBy("qid", "rnk")
+    },
+    Some(duckIvf +
+      ", wq AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), " +
+      s"pst AS (SELECT doc_id, unnest(${Queries.duckWordGramsList("ws", 3)}) AS term FROM wq), " +
+      "dlt AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS dl FROM wq), " +
+      "st2 AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dlt), " +
+      "tfq AS (SELECT doc_id, term, count(*) AS tf FROM pst GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1), " +
+      "qt AS (SELECT doc_id AS qid, term FROM tfq WHERE doc_id % 10 = 0), " +
+      "cnd AS (SELECT qt.qid, t.doc_id AS id, t.term, t.tf, d.dl " +
+      "FROM qt JOIN tfq t USING (term) JOIN dlt d ON d.doc_id = t.doc_id " +
+      "WHERE t.doc_id <> qt.qid), " +
+      "ctr AS (SELECT qid, id, term, " +
+      "((st2.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf * 2.2) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(st2.sdl AS DOUBLE) / st2.n)))) AS c " +
+      "FROM cnd JOIN dfq USING (term) CROSS JOIN st2), " +
+      "lsc AS (SELECT qid, id, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)), " +
+      "(a, b) -> a + b) AS s FROM ctr GROUP BY 1, 2), " +
+      "lexr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid " +
+      s"ORDER BY ${dround6("s")} DESC, id) AS rnk FROM lsc), " +
+      "fu AS (SELECT qid, id, rnk FROM lexr WHERE rnk <= 10 " +
+      "UNION ALL SELECT qid, neighbor AS id, rnk FROM r WHERE rnk <= 10), " +
+      "ff AS (SELECT qid, id, CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf, " +
+      "count(*) AS n_lists FROM fu GROUP BY 1, 2), " +
+      "fr AS (SELECT qid, id, rrf, n_lists, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY rrf DESC, id) AS rnk FROM ff) " +
+      "SELECT qid, rnk, id, rrf, n_lists FROM fr WHERE rnk <= 10 " +
+      "ORDER BY qid, rnk"),
+    "Hybrid retrieval: integer reciprocal-rank fusion of served-IVF " +
+      "cosine top-10 and shingle-BM25 more-like-this top-10 per query " +
+      "doc — the RAG hybrid-search shape, bit-reproducible")
+
   val all: Map[String, Q] = Map(
+    "q107_hybrid_rrf" -> q107,
     "q106_cluster_split" -> q106,
     "q95_bm25" -> q95,
     "q97_fuzzy_link" -> q97,

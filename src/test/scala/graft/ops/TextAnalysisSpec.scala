@@ -127,6 +127,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq((1L, 2L, d1), (2L, 1L, d2)), got.toString)
   }
 
+  test("bm25MoreLikeThis: exact twin ranks first, self excluded, short docs inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // query
+      (1L, "alpha beta gamma delta epsilon"),   // exact twin -> rank 1
+      (2L, "alpha beta gamma zeta eta"),        // shares 1 shingle
+      (3L, "totally different words here now"), // shares none
+      (4L, "xy")                                // < 3 words: no shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25MoreLikeThis(docs, col("doc_id") === 0L, k = 5)
+      .select($"qid", $"rnk", $"id").as[(Long, Long, Long)].collect().toSeq.sorted
+    // candidates = docs sharing >= 1 shingle with doc 0, never itself
+    assert(out.map(_._3).toSet == Set(1L, 2L))
+    assert(out == Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
   test("redactPii counts and redacts emails/phones; clean text untouched") {
     val docs = Seq(
       (1L, "reach me at bob.smith@corp.example.org or +1-415-5550"),

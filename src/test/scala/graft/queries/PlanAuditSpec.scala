@@ -59,9 +59,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // q04 watermark shape: linear, not quadratic; q81's grid likewise
     // cross-joins the broadcast 1-row min/max span; q95 crosses the
     // broadcast 1-row (N, sum dl) corpus stats, q98 the 1-row FK
-    // n_checked count, q99 the 1-row global min/max span the same way
+    // n_checked count, q99 the 1-row global min/max span the same way;
+    // q107's lexical side crosses the same broadcast 1-row corpus
+    // stats as q95
     "q80_tfidf", "q81_gapfill", "q95_bm25", "q98_quality_audit",
-    "q99_histogram")
+    "q99_histogram", "q107_hybrid_rrf")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
