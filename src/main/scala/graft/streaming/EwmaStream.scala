@@ -49,12 +49,66 @@ object EwmaStream {
 
   /** Streaming EWMA over a typed event stream (ts in µs, value already
     * in integer units). Update mode: each event's smoothed value emits
-    * in the micro-batch that consumed it. */
+    * in the micro-batch that consumed it.
+    *
+    * STATE-RETENTION CONTRACT: `NoTimeout` — per-key state is a single
+    * long (the smallest possible recurrent state), but keys NEVER
+    * expire: over an unbounded key space (user ids grow forever) the
+    * state store grows monotonically at 16 bytes/key. That is the
+    * correct default for a bounded key universe (devices, symbols,
+    * tenants); a production run over unbounded keys wants
+    * [[streamingWithTtl]], which evicts idle keys on an event-time
+    * timeout (the [[Sessionize.streamingClosed]] pattern). */
   def streaming(events: Dataset[VEv], alphaNum: Int): Dataset[YOut] = {
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         ewmaGroup(alphaNum.toLong))
+  }
+
+  private[streaming] def ewmaGroupTtl(alphaNum: Long, ttlMs: Long)(
+      userId: Long, events: Iterator[VEv],
+      state: GroupState[YState]): Iterator[YOut] = {
+    if (state.hasTimedOut) {
+      // idle past the TTL: drop the 16-byte state; the key's next event
+      // restarts the recurrence (y = x), exactly the fresh-key branch
+      state.remove()
+      Iterator.empty
+    } else {
+      val evs = events.toSeq
+      val out = ewmaGroup(alphaNum)(userId, evs.iterator, state)
+      if (state.exists && evs.nonEmpty) {
+        // evict when event time passes last-seen + ttl; the max() guard
+        // keeps the timestamp legal for keys already older than the
+        // watermark (Spark rejects timeouts at/behind it)
+        val lastMs = evs.map(_.ts_us).max / 1000L
+        state.setTimeoutTimestamp(
+          math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out
+    }
+  }
+
+  /** [[streaming]] with BOUNDED state for unbounded key spaces: a key
+    * idle for `ttlMinutes` of event time (measured from the stream's
+    * watermark) has its state evicted, so the store holds only
+    * recently-active keys. Semantics of eviction are explicit and
+    * documented: the evicted key's NEXT event restarts the recurrence
+    * at `y = x` — after `ttl` of silence the stale state's weight
+    * `(1−α)^n` is negligible anyway, which is what makes a TTL sound
+    * for EWMA where it would be lossy for a sum. Keys that stay live
+    * (events within every TTL window) emit values BIT-IDENTICAL to
+    * [[streaming]] (spec-asserted). Requires a watermark on the source
+    * (the EventTimeTimeout contract, as [[Sessionize.streamingClosed]]). */
+  def streamingWithTtl(events: Dataset[VEv], alphaNum: Int,
+      ttlMinutes: Int): Dataset[YOut] = {
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    require(ttlMinutes >= 1, "ttlMinutes must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        ewmaGroupTtl(alphaNum.toLong, ttlMinutes * 60000L))
   }
 }
