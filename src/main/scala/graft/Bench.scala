@@ -425,6 +425,7 @@ object Bench {
     var retryUsed = 0
     var retryWaits = 0
     var sweep = 0
+    var salvageUsed = 0
 
     // Artifact assembly, callable at any point (pre-sweep checkpoint +
     // final): every field recomputes from live state.
@@ -452,6 +453,7 @@ object Bench {
         s""""probe_ok":${unclean.isEmpty},""" +
         s""""unclean":$uncleanJson,"extra_reps":$extraUsed,""" +
         s""""retry_reps":$retryUsed,"retry_sweeps":$sweep,""" +
+        s""""salvage_reps":$salvageUsed,""" +
         s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
     }
     def writeFullArtifact(): Unit =
@@ -498,6 +500,49 @@ object Bench {
         }
       }
     }
+
+    // Majority-unclean salvage (r11, VERDICT r10 item 6): an artifact
+    // with unclean_n > n/2 is barely usable for regression reading, and
+    // the judge's r10 evidence says the clean window often arrives
+    // later on the same host (57 → 35 unclean an hour apart). When the
+    // normal sweeps end majority-unclean and the driver's kill deadline
+    // is still ahead, keep hunting up to 0.9×budget: extra sweeps with
+    // fresh consecutive-unclean counters and their own rep budget.
+    // Clean-only admission is unchanged — salvage reps join the min
+    // pool only when provably clean, so more hunting can only recover
+    // cleanliness, never fake a faster min.
+    val salvageDeadlineS = timeBudgetS * 0.9
+    val salvageRepBudget =
+      sys.env.getOrElse("SPARK_GRAFT_SALVAGE_REPS", "120").toInt
+    while (currentUnclean.size * 2 > timedQueries.size &&
+      elapsedS < salvageDeadlineS && sweep < 12 &&
+      salvageUsed < salvageRepBudget &&
+      state.values.exists(st => !st.failed && st.clean < 2)) {
+      sweep += 1
+      var quiet = probeQuiet(sampleProbe())
+      while (!quiet && elapsedS < salvageDeadlineS) {
+        System.err.println(f"bench[salvage-$sweep]: probe slow " +
+          f"(ref ${bestProbe}%.1f ms), waiting ${waitMs / 1000}s " +
+          f"(majority unclean: ${currentUnclean.size}/${timedQueries.size})")
+        Thread.sleep(waitMs)
+        quiet = probeQuiet(sampleProbe())
+      }
+      var consecUnclean = 0
+      if (quiet) timedQueries.foreach { case (name, fn) =>
+        val st = state(name)
+        var tries = 0
+        while (consecUnclean < 3 && !st.failed && st.clean < 2 && tries < 3 &&
+          salvageUsed < salvageRepBudget && elapsedS < salvageDeadlineS) {
+          salvageUsed += 1
+          tries += 1
+          if (repOnce(fn, st, force = false)) consecUnclean = 0
+          else consecUnclean += 1
+        }
+      }
+    }
+    if (salvageUsed > 0)
+      System.err.println(s"bench: salvage pass took $salvageUsed reps; " +
+        s"unclean now ${currentUnclean.size}/${timedQueries.size}")
 
     // Two emissions, one format contract ({"metric","value","unit",
     // "queries","sf"}, one line):
