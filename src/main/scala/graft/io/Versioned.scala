@@ -1,0 +1,189 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet lake: a manifest log that adds the three
+  * transactional properties the reference's `format("delta")` relied on
+  * — ATOMIC commits, SNAPSHOT-ISOLATED reads, and TIME TRAVEL — on top
+  * of plain parquet files, with no extra jars (the carried environment
+  * gap: no Delta on this classpath; `Lake.resolveFormat` still honors
+  * real Delta if its jars ever appear).
+  *
+  * Protocol (the log-structured core of every lakehouse format):
+  *  - data files are IMMUTABLE and land under `<path>/data/<uuid>/` —
+  *    a fresh directory per commit, invisible to every reader until
+  *    published (readers never list `data/`, they read manifests);
+  *  - a commit publishes by writing the file list to a temp name and
+  *    RENAMING it to `<path>/_log/v<N>.manifest` — rename is the atomic
+  *    primitive (HDFS and POSIX renames are atomic; an S3 deployment
+  *    swaps this step for a conditional PUT, same protocol);
+  *  - concurrent writers race on the SAME version number and the
+  *    rename/create of an existing name fails → the loser re-reads the
+  *    log and retries against the next version (optimistic concurrency,
+  *    bounded attempts) — append commits compose, never overwrite each
+  *    other's files;
+  *  - a reader resolves its manifest ONCE; because data files are
+  *    immutable and manifests are never edited, the snapshot stays
+  *    consistent for the lifetime of the plan no matter how many
+  *    commits land meanwhile (snapshot isolation), and any retained
+  *    version remains readable (`readAsOf`).
+  *
+  * Scale shape: the log is metadata-sized (one line per file per
+  * version); listing it is one directory scan, never a data scan. Data
+  * reads are ordinary pruned parquet scans over the manifest's explicit
+  * file list — pushdown, column pruning, and partition-style row-group
+  * skipping all apply unchanged. Orphans from crashed pre-publish
+  * writers are invisible (no manifest references them) and reclaimed by
+  * [[vacuum]]. */
+object Versioned {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(path: String) = new Path(s"$path/_log")
+
+  private def manifestPath(path: String, v: Long) =
+    new Path(logDir(path), f"v$v%07d.manifest")
+
+  private val ManifestName = """v(\d{7})\.manifest""".r
+
+  /** All committed versions, ascending; empty for a fresh path. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val dir = logDir(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(v) => v.toLong
+    }.sorted
+  }
+
+  /** Latest committed version, if any. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  private def readManifest(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val in = f.open(manifestPath(path, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as a new version. `mode`:
+    *  - `"append"`: the new version references the previous version's
+    *    files PLUS the new ones (the running-table shape);
+    *  - `"overwrite"`: the new version references only the new files —
+    *    prior files stay on disk so every earlier version keeps reading
+    *    (time travel) until [[vacuum]] reclaims them.
+    * Returns the committed version number. */
+  def commit(df: DataFrame, path: String, mode: String = "append",
+      maxAttempts: Int = 10): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    // 1. land immutable data files in a commit-private directory
+    val dataDir = s"$path/data/${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newFiles = f.listStatus(new Path(dataDir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
+    f.mkdirs(logDir(path))
+    // 2. optimistic publish loop: losers of a version race retry on the
+    // re-read log; append semantics compose across racing writers
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = latestVersion(spark, path)
+      val next = prev.map(_ + 1L).getOrElse(1L)
+      val files = mode match {
+        case "append" =>
+          prev.map(readManifest(spark, path, _)).getOrElse(Nil) ++ newFiles
+        case "overwrite" => newFiles
+      }
+      val tmp = new Path(logDir(path), s".tmp-${java.util.UUID.randomUUID}")
+      val out = f.create(tmp, false)
+      try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // rename-to-target is the atomic commit point. On HDFS the rename
+      // itself refuses an existing target (fully atomic CAS); on a local
+      // FS java's rename would replace, so the exists-guard narrows the
+      // race to a window acceptable for single-host dev — a real object
+      // store swaps this step for a conditional PUT (docstring)
+      val won = !f.exists(manifestPath(path, next)) &&
+        f.rename(tmp, manifestPath(path, next))
+      if (won) return next
+      f.delete(tmp, false)
+    }
+    throw new IllegalStateException(
+      s"Versioned.commit: lost the publish race $maxAttempts times at $path")
+  }
+
+  /** Snapshot read. `version = None` reads the latest commit; `Some(v)`
+    * time-travels. The returned frame is pinned to that version's
+    * immutable file list — later commits never leak in. */
+  def readAsOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $path"))
+    val files = readManifest(spark, path, v)
+    require(files.nonEmpty, s"version $v at $path has an empty manifest")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Admission-gated commit — the transactional form of the
+    * data-quality gate ([[graft.ops.Quality]]'s contract: a batch is
+    * admitted iff every `n_violations` is 0): commit `df` only when the
+    * audit `report` is clean, otherwise leave the lake UNTOUCHED (no
+    * data files published, no version consumed — rejected batches are
+    * invisible to every reader, which is the whole point of pairing the
+    * audit with an atomic commit rather than an in-place append).
+    * Returns the committed version, or None for a rejected batch. The
+    * report scan is metadata-sized (one row per check). */
+  def commitIfClean(df: DataFrame, path: String, mode: String,
+      report: DataFrame): Option[Long] = {
+    val dirty = report.filter(org.apache.spark.sql.functions
+      .col("n_violations") > 0L).count()
+    if (dirty == 0L) Some(commit(df, path, mode)) else None
+  }
+
+  /** Commit history as a frame: (version, n_files) per commit —
+    * metadata-only, no data scan. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, path)
+      .map(v => (v, readManifest(spark, path, v).size.toLong))
+      .toDF("version", "n_files")
+  }
+
+  /** Reclaim storage: keep the newest `retainVersions` manifests, delete
+    * every data file referenced ONLY by dropped versions, plus orphans
+    * from crashed pre-publish writers (data files no retained manifest
+    * references). Time travel to a dropped version stops working — the
+    * explicit retention trade every lakehouse vacuum makes. */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, path)
+    val all = versions(spark, path)
+    if (all.isEmpty) return
+    val (dropped, retained) = all.splitAt(math.max(all.size - retainVersions, 0))
+    val keep = retained.flatMap(readManifest(spark, path, _)).toSet
+    // delete unreferenced data files (covers dropped-version files AND
+    // crashed writers' orphans), then empty commit dirs, then manifests
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { commitDir =>
+        val files = f.listStatus(commitDir.getPath).toSeq
+        files.filter(s => s.getPath.getName.endsWith(".parquet") &&
+            !keep.contains(s.getPath.toString))
+          .foreach(s => f.delete(s.getPath, false))
+        val left = f.listStatus(commitDir.getPath)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        if (!left) f.delete(commitDir.getPath, true)
+      }
+    }
+    dropped.foreach(v => f.delete(manifestPath(path, v), false))
+  }
+}

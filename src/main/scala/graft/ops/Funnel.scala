@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis — the product-analytics conversion
+  * query: how many users performed step 1, then step 2 STRICTLY LATER,
+  * then step 3 later still, for an ordered list of event types. A user
+  * reaches stage i iff there exist events e_1 < e_2 < … < e_i (strict
+  * event-time order) with the required types — the standard funnel
+  * semantics (each stage matched by its EARLIEST eligible event, which
+  * is provably equivalent to the chained-min formulation the SQL oracle
+  * replays: min ts of step i among events after stage i−1's match).
+  *
+  * Shape at scale: ONE keyed shuffle (groupBy user, collect+sort the
+  * user's events — the q93 fold shape), then a row-local O(n) stage
+  * fold with O(1) state (stage index + last matched ts: no growing
+  * accumulator, so hot users cost linear time); stage counts are a
+  * second tiny aggregation over |users| rows. Never a self-join per
+  * stage — the naive k-step formulation joins the event table k times. */
+object Funnel {
+
+  /** Per-step reach: (step_idx, step, n_users, conv6) where n_users =
+    * users whose ordered history matches the first `step_idx` steps and
+    * conv6 = n_users·1e6 div step-1 reach (integer fixed point; 0 rows
+    * reaching step 1 yields conv6 = 0 rather than a division error). */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step types are ambiguous — encode repeats as distinct types")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .select(col(userCol).as("u"),
+        struct(unix_micros(col(tsCol)).as("ts_us"),
+          col(idCol).cast("long").as("id"),
+          col(typeCol).as("et")).as("r"))
+      .groupBy(col("u")).agg(sort_array(collect_list(col("r"))).as("rs"))
+    val stepsSql = steps.map(s => "'" + s + "'").mkString("array(", ", ", ")")
+    // O(1)-state stage fold over the time-sorted history: advance when
+    // the next required type appears strictly after the last match
+    val staged = perUser.select(col("u"), expr(
+      s"""aggregate(rs,
+         |  named_struct('stage', 0, 'last', CAST(${Long.MinValue} AS BIGINT)),
+         |  (acc, x) -> IF(acc.stage < ${steps.size}
+         |      AND x.et = element_at($stepsSql, acc.stage + 1)
+         |      AND x.ts_us > acc.last,
+         |    named_struct('stage', acc.stage + 1, 'last', x.ts_us),
+         |    acc)).stage""".stripMargin).as("stage"))
+    val reach = staged.filter(col("stage") >= 1)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_at"))
+    // users reaching step i = Σ users whose FINAL stage ≥ i. The final-
+    // stage histogram is sparse (a stage nobody ends at has no row), so
+    // densify onto the full step domain FIRST, then run the descending
+    // cumulative — all over ≤ |steps| rows, metadata-sized
+    val stepNames = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("step_idx", "step")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("step_idx").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    stepNames
+      .join(reach, stepNames("step_idx") === reach("stage"), "left")
+      .withColumn("n_users", sum(coalesce(col("n_at"), lit(0L))).over(w))
+      .withColumn("n1", max(when(col("step_idx") === 1L, col("n_users")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("conv6", when(col("n1") > 0L,
+        expr("(n_users * 1000000) div n1")).otherwise(lit(0L)))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conv6"))
+      .orderBy("step_idx")
+  }
+}

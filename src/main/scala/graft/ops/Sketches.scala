@@ -279,6 +279,57 @@ object Sketches {
       .filter(col("r") <= k)
   }
 
+  /** Pairwise SET-OPERATION estimates from k-min sketches (Beyer et al.,
+    * SIGMOD'07 — the property that makes KMV more than a counter): for
+    * every unordered group pair (a, b), the K smallest distinct hashes
+    * of the UNION of the two sketches form a valid sketch of A∪B, and
+    * the fraction of them present in BOTH sketches estimates the
+    * Jaccard similarity — so intersection sizes and overlap coefficients
+    * of arbitrary group pairs come from the sketch rows ALONE, never a
+    * rescan of base data (the audience-overlap / segment-intersection
+    * query shape). All arithmetic integer and truncating:
+    * `K = min(k, |union hashes|)`, `matches = |hashes in both|` among
+    * the K smallest, `union_est` exact while unsaturated else
+    * `(K−1)·P div h_K`, `inter_est = matches·union_est div K`,
+    * `jaccard6 = matches·1e6 div K` — bit-replayable in any SQL engine.
+    *
+    * Scale shape: input is sketch rows (≤ k per group); the pair frame
+    * is |pairs|·≤2k rows — metadata-sized however big the base corpus —
+    * one union aggregation + one k-bounded window per pair. */
+  def kmvPairStats(minSets: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val g = minSets.select(col("grp")).distinct()
+    val pg = g.select(col("grp").as("ga"))
+      .join(g.select(col("grp").as("gb")), col("ga") < col("gb"))
+    val ua = pg.join(minSets.select(col("grp").as("ga"), col("h")), "ga")
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+    val ub = pg.join(minSets.select(col("grp").as("gb"), col("h")), "gb")
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0L).as("ina"), lit(1L).as("inb"))
+    val u = ua.unionAll(ub)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val cw = Window.partitionBy(col("ga"), col("gb"))
+    val ranked = u.withColumn("r", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("kk", least(col("cnt"), lit(k.toLong)))
+      .filter(col("r") <= col("kk"))
+    ranked.groupBy(col("ga"), col("gb"))
+      .agg(max(col("kk")).as("kk"),
+        sum(col("ina") * col("inb")).as("matches"),
+        max(when(col("r") === col("kk"), col("h"))).as("hk"),
+        max(col("cnt")).as("cnt"))
+      .select(col("ga"), col("gb"), col("kk").as("k_used"), col("matches"),
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(s"${(k - 1).toLong * KmvP} div hk")).as("union_est"))
+      .withColumn("inter_est",
+        expr("(matches * union_est) div k_used"))
+      .withColumn("jaccard6", expr("(matches * 1000000) div k_used"))
+  }
+
   /** Distinct-count estimates from a k-min set: one row per group,
     * `(grp, m, est)` where m = |sketch| and est = m exactly while the
     * sketch is unsaturated (m < k — the sketch HOLDS every distinct

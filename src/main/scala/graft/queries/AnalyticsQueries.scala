@@ -1193,7 +1193,192 @@ object AnalyticsQueries {
       "(dedup+degree+sentinels prepaid, src-bucketed), iterate with " +
       "zero edge-side shuffles — same ranks as q90")
 
+  /** Versioned-lake time travel (the transactional triad the
+    * reference's `format("delta")` relied on, supplied by
+    * `io/Versioned`'s manifest log over plain parquet): three commits —
+    * append, append, overwrite — then every HISTORICAL version read
+    * back via its immutable manifest and aggregated. v1 and v2 stay
+    * readable AFTER the overwrite (time travel); the oracle replays
+    * each snapshot's content predicate directly against the base table,
+    * so the whole commit/read-as-of path is hash-checked. */
+  private val q108 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      val scratch = s"${Queries.scratchRoot}/q108-vlake"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Versioned.commit(o.filter(col("o_orderkey") % 3 === 0), scratch, "append")
+      Versioned.commit(o.filter(col("o_orderkey") % 3 === 1), scratch, "append")
+      Versioned.commit(o.filter(col("o_orderkey") % 3 === 2), scratch, "overwrite")
+      Seq(1L, 2L, 3L).map { v =>
+        Versioned.readAsOf(s, scratch, Some(v))
+          .agg(count(lit(1)).as("n"),
+            graft.ops.BarOps.moneySum(col("o_totalprice")).as("total"))
+          .select(lit(v).as("version"), col("n"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    },
+    Some("SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, " +
+      Queries.dsum("o_totalprice") + " AS total FROM orders WHERE o_orderkey % 3 = 0 " +
+      "UNION ALL SELECT 2, count(*), " +
+      Queries.dsum("o_totalprice") + " FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
+      "UNION ALL SELECT 3, count(*), " +
+      Queries.dsum("o_totalprice") + " FROM orders WHERE o_orderkey % 3 = 2 " +
+      "ORDER BY version"),
+    "Versioned-lake time travel: append/append/overwrite manifest " +
+      "commits, every historical snapshot read back through its " +
+      "immutable manifest and aggregated — atomic commit + snapshot " +
+      "isolation + time travel over plain parquet")
+
+  /** KMV set-operation estimates (the q102 extension that makes the
+    * sketch family complete): pairwise audience overlap between event
+    * types — intersection size, union size, Jaccard — computed from the
+    * per-type k-min sketches ALONE (sketch rows in, estimates out; the
+    * base table is scanned once to build the sketches and never again,
+    * the segment-overlap query shape at any corpus scale). Integer
+    * arithmetic end to end, fully SQL-replayed. */
+  private val q109 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val k = 32
+      val ev = table(s, dir, "events")
+      val perType = Sketches.kmvMinSet(ev, col("event_type"), col("user_id"), k)
+        .localCheckpoint()
+      Sketches.kmvPairStats(perType, k)
+        .orderBy("ga", "gb")
+    },
+    Some {
+      val k = 32
+      val est = s"${(k - 1).toLong * 2147483647L}"
+      "WITH dh AS (SELECT DISTINCT event_type AS grp, " +
+        "(((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 " +
+        "+ 2147483647) % 2147483647 AS h FROM events), " +
+        "mins AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh), " +
+        s"sk AS (SELECT grp, h FROM mins WHERE r <= $k), " +
+        "g AS (SELECT DISTINCT grp FROM sk), " +
+        "pg AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp), " +
+        "u0 AS (SELECT pg.ga, pg.gb, s.h, " +
+        "CASE WHEN s.grp = pg.ga THEN 1 ELSE 0 END AS ina, " +
+        "CASE WHEN s.grp = pg.gb THEN 1 ELSE 0 END AS inb " +
+        "FROM pg JOIN sk s ON s.grp IN (pg.ga, pg.gb)), " +
+        "u AS (SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb " +
+        "FROM u0 GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r, " +
+        "count(*) OVER (PARTITION BY ga, gb) AS cnt FROM u), " +
+        s"kept AS (SELECT *, least(cnt, $k) AS kk FROM rk WHERE r <= least(cnt, $k)), " +
+        "agg AS (SELECT ga, gb, max(kk) AS k_used, " +
+        "CAST(sum(ina * inb) AS BIGINT) AS matches, " +
+        "max(CASE WHEN r = kk THEN h END) AS hk, max(cnt) AS cnt FROM kept GROUP BY 1, 2), " +
+        s"est AS (SELECT ga, gb, k_used, matches, " +
+        s"CAST(CASE WHEN cnt < $k THEN cnt ELSE $est // hk END AS BIGINT) AS union_est " +
+        "FROM agg) " +
+        "SELECT ga, gb, k_used, matches, union_est, " +
+        "CAST((matches * union_est) // k_used AS BIGINT) AS inter_est, " +
+        "CAST((matches * 1000000) // k_used AS BIGINT) AS jaccard6 " +
+        "FROM est ORDER BY ga, gb"
+    },
+    "KMV pairwise set operations: audience overlap between event types " +
+      "(intersection/union/Jaccard estimates) from the k-min sketches " +
+      "alone — no base rescan, integer-exact, SQL-replayable")
+
+  /** Quality-gated transactional ingest (the q98 audit COMPOSED with
+    * the q108 versioned lake — the admission gate as every production
+    * pipeline actually runs it): batch 1 (clean orders) audits green
+    * and COMMITS; batch 2 carries injected violations (NULL keys from a
+    * modulo filter's complement trick, out-of-range prices) and is
+    * REJECTED — no data files published, no version consumed, the lake
+    * still reads batch 1 exactly. Output = batch 2's violation report
+    * plus the surviving lake content's (count, money total), all
+    * replayable against the base table. */
+  private val q110 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      import graft.ops.Quality
+      val scratch = s"${Queries.scratchRoot}/q110-gated"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def checks = Seq(
+        Quality.notNull("key.not_null", col("o_orderkey")),
+        Quality.inRange("price.range", col("o_totalprice"), lit(0.0), lit(1.0e9)))
+      val b1 = o.filter(col("o_orderkey") % 2 === 0)
+      val b2 = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+      val v1 = Versioned.commitIfClean(b1, scratch, "append",
+        Quality.rowAudit(b1, checks))
+      require(v1.contains(1L), "clean batch must commit as v1")
+      val v2 = Versioned.commitIfClean(b2, scratch, "append",
+        Quality.rowAudit(b2, checks))
+      require(v2.isEmpty, "dirty batch must be rejected")
+      val lake = Versioned.readAsOf(s, scratch)
+        .agg(count(lit(1)).as("n_violations"),
+          graft.ops.BarOps.moneySum(col("o_totalprice")).as("total"))
+        .select(lit("lake.committed").as("check_name"),
+          col("n_violations"), col("total"))
+      Quality.rowAudit(b2, checks)
+        .select(col("check_name"), col("n_violations"),
+          col("n_checked").cast("double").as("total"))
+        .unionAll(lake)
+        .orderBy("check_name")
+    },
+    Some("WITH b2 AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+      "ELSE o_orderkey END AS k, " +
+      "CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END) % 5 = 0 " +
+      "THEN -o_totalprice ELSE o_totalprice END AS p " +
+      "FROM orders WHERE o_orderkey % 2 = 1) " +
+      "SELECT 'key.not_null' AS check_name, " +
+      "CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_violations, " +
+      "CAST(count(*) AS DOUBLE) AS total FROM b2 " +
+      "UNION ALL SELECT 'lake.committed', count(*), " +
+      Queries.dsum("o_totalprice") + " FROM orders WHERE o_orderkey % 2 = 0 " +
+      "UNION ALL SELECT 'price.range', " +
+      "CAST(count(CASE WHEN NOT coalesce(p IS NOT NULL AND p >= 0.0 AND p <= 1000000000.0, false) THEN 1 END) AS BIGINT), " +
+      "CAST(count(*) AS DOUBLE) FROM b2 " +
+      "ORDER BY check_name"),
+    "Quality-gated transactional ingest: clean batch commits, dirty " +
+      "batch rejected with the lake untouched (no version consumed) — " +
+      "the audit + atomic-commit admission gate")
+
+  /** Ordered-step funnel (view → click → purchase): the conversion
+    * query of every product-analytics stack, computed in ONE keyed
+    * shuffle + an O(1)-state stage fold per user (ops/Funnel) — never
+    * the naive k self-joins. The oracle replays the provably-equivalent
+    * chained-min formulation (min ts of each step among events strictly
+    * after the previous stage's match). */
+  private val q111 = Q(
+    (s, dir) => graft.ops.Funnel.funnel(table(s, dir, "events"),
+      Seq("view", "click", "purchase")),
+    Some("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+      "JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+      "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1), " +
+      "c AS (SELECT (SELECT count(*) FROM s1) AS n1, " +
+      "(SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3) " +
+      "SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, n1 AS n_users, " +
+      "CAST(CASE WHEN n1 > 0 THEN (n1 * 1000000) // n1 ELSE 0 END AS BIGINT) AS conv6 FROM c " +
+      "UNION ALL SELECT 2, 'click', n2, " +
+      "CAST(CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE 0 END AS BIGINT) FROM c " +
+      "UNION ALL SELECT 3, 'purchase', n3, " +
+      "CAST(CASE WHEN n1 > 0 THEN (n3 * 1000000) // n1 ELSE 0 END AS BIGINT) FROM c " +
+      "ORDER BY step_idx"),
+    "Ordered funnel conversion (view->click->purchase): one keyed " +
+      "shuffle + O(1)-state per-user stage fold; strict event-time " +
+      "ordering between stages; integer fixed-point conversion rates")
+
   val all: Map[String, Q] = Map(
+    "q111_funnel" -> q111,
+    "q110_gated_ingest" -> q110,
+    "q109_kmv_setops" -> q109,
+    "q108_time_travel" -> q108,
     "q105_pagerank_index" -> q105,
     "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,

@@ -1,0 +1,103 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class VersionedSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshPath() =
+    java.nio.file.Files.createTempDirectory("versioned").toString + "/tbl"
+
+  private def rows(path: String, v: Option[Long] = None): Set[Long] =
+    Versioned.readAsOf(spark, path, v).select($"k").as[Long].collect().toSet
+
+  test("append commits compose; overwrite starts a new snapshot; time travel reads all") {
+    val p = freshPath()
+    assert(Versioned.commit(Seq(1L, 2L).toDF("k"), p, "append") == 1L)
+    assert(Versioned.commit(Seq(3L).toDF("k"), p, "append") == 2L)
+    assert(Versioned.commit(Seq(9L).toDF("k"), p, "overwrite") == 3L)
+    assert(rows(p, Some(1L)) == Set(1L, 2L))
+    assert(rows(p, Some(2L)) == Set(1L, 2L, 3L))
+    assert(rows(p, Some(3L)) == Set(9L))
+    assert(rows(p) == Set(9L)) // latest
+    assert(Versioned.versions(spark, p) == Seq(1L, 2L, 3L))
+    val h = Versioned.history(spark, p).as[(Long, Long)].collect().toMap
+    assert(h.keySet == Set(1L, 2L, 3L) && h(2L) > h(3L))
+  }
+
+  test("snapshot isolation: a resolved reader never sees later commits") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L, 2L).toDF("k"), p, "append")
+    val snapshot = Versioned.readAsOf(spark, p) // resolves v1's file list
+    Versioned.commit(Seq(3L, 4L).toDF("k"), p, "append")
+    Versioned.commit(Seq(99L).toDF("k"), p, "overwrite")
+    // the pinned snapshot still reads exactly v1, actions after commits
+    assert(snapshot.select($"k").as[Long].collect().toSet == Set(1L, 2L))
+    assert(rows(p) == Set(99L))
+  }
+
+  test("publish race: a taken version number forces a retry onto the next") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L).toDF("k"), p, "append")
+    // simulate a racing writer that already published v2
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fake = Versioned.readAsOf(spark, p) // v1 files
+    val v1Manifest = f.open(new org.apache.hadoop.fs.Path(s"$p/_log/v0000001.manifest"))
+    val bytes = try {
+      val b = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(v1Manifest, b, 4096, false); b.toByteArray
+    } finally v1Manifest.close()
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$p/_log/v0000002.manifest"), false)
+    try out.write(bytes) finally out.close()
+    // the loser lands on v3 and its append composes on v2's (= v1's) files
+    assert(Versioned.commit(Seq(7L).toDF("k"), p, "append") == 3L)
+    assert(rows(p, Some(3L)) == Set(1L, 7L))
+    assert(fake.select($"k").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("vacuum keeps retained versions readable and reclaims dropped files") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L, 2L).toDF("k"), p, "append")
+    Versioned.commit(Seq(3L).toDF("k"), p, "overwrite")
+    Versioned.commit(Seq(4L).toDF("k"), p, "append")
+    Versioned.vacuum(spark, p, retainVersions = 2)
+    assert(Versioned.versions(spark, p) == Seq(2L, 3L))
+    assert(rows(p, Some(2L)) == Set(3L))
+    assert(rows(p, Some(3L)) == Set(3L, 4L))
+    // v1's exclusive files are gone from disk
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/data"))
+      .flatMap(d => f.listStatus(d.getPath)).map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    // exactly the files of v2's overwrite + v3's append survive
+    val referenced = (Versioned.versions(spark, p)
+      .flatMap(v => Versioned.readAsOf(spark, p, Some(v)).inputFiles)).toSet
+    assert(left == referenced.size)
+    intercept[Exception](rows(p, Some(1L)))
+  }
+
+  test("commitIfClean: clean batch commits, dirty batch leaves the lake untouched") {
+    import graft.ops.Quality
+    val p = freshPath()
+    val clean = Seq(1L, 2L).toDF("k")
+    val dirty = Seq(Some(3L), None).toDF("k")
+    val checks = Seq(Quality.notNull("k.not_null", $"k"))
+    assert(Versioned.commitIfClean(clean, p, "append",
+      Quality.rowAudit(clean, checks)).contains(1L))
+    assert(Versioned.commitIfClean(dirty, p, "append",
+      Quality.rowAudit(dirty, checks)).isEmpty)
+    // no version consumed, content unchanged
+    assert(Versioned.versions(spark, p) == Seq(1L))
+    assert(rows(p) == Set(1L, 2L))
+  }
+
+  test("readAsOf on an empty path fails loudly") {
+    val p = freshPath()
+    intercept[IllegalArgumentException](Versioned.readAsOf(spark, p))
+  }
+}

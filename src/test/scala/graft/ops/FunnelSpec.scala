@@ -1,0 +1,62 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class FunnelSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.map { case (u, t, id, et) => (u, ts(t), id, et) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Funnel.funnel(df, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+
+  test("strict ordering: completions, partials, and out-of-order users") {
+    val df = ev(
+      // u1 completes in order
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // u2 stops after click
+      (2L, 10L, 4L, "view"), (2L, 25L, 5L, "click"),
+      // u3 purchases BEFORE clicking: reaches click only
+      (3L, 10L, 6L, "view"), (3L, 15L, 7L, "purchase"), (3L, 20L, 8L, "click"),
+      // u4 never views: reaches nothing
+      (4L, 5L, 9L, "click"), (4L, 8L, 10L, "purchase"))
+    assert(run(df) == Seq(
+      (1L, "view", 3L, 1000000L),
+      (2L, "click", 3L, 1000000L),
+      (3L, "purchase", 1L, 333333L)))
+  }
+
+  test("equal timestamps do NOT advance a stage (strictly-later contract)") {
+    val df = ev(
+      (1L, 10L, 1L, "view"), (1L, 10L, 2L, "click"), // same instant: no click
+      (1L, 11L, 3L, "click"),
+      (2L, 10L, 4L, "view"), (2L, 10L, 5L, "click"))
+    assert(run(df) == Seq(
+      (1L, "view", 2L, 1000000L),
+      (2L, "click", 1L, 500000L),
+      (3L, "purchase", 0L, 0L)))
+  }
+
+  test("later re-occurrence of an earlier step never resets progress") {
+    val df = ev(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 25L, 3L, "view"), (1L, 30L, 4L, "purchase"))
+    assert(run(df).map(r => (r._2, r._3)) ==
+      Seq(("view", 1L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("empty input yields zero rows for every step") {
+    val df = ev()
+    assert(run(df) == Seq(
+      (1L, "view", 0L, 0L), (2L, "click", 0L, 0L), (3L, "purchase", 0L, 0L)))
+  }
+}

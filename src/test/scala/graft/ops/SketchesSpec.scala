@@ -156,6 +156,43 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("kmvPairStats: exact intersection/union/Jaccard below saturation") {
+    import spark.implicits._
+    val k = 64
+    // A = 1..30, B = 21..50 (|A∩B| = 10, |A∪B| = 50), C disjoint 100..119
+    val df = ((1L to 30L).map(("A", _)) ++ (21L to 50L).map(("B", _)) ++
+      (100L to 119L).map(("C", _))).toDF("g", "id")
+    val sk = Sketches.kmvMinSet(df, col("g"), col("id"), k)
+    val out = Sketches.kmvPairStats(sk, k)
+      .select(col("ga"), col("gb"), col("k_used"), col("matches"),
+        col("union_est"), col("inter_est"), col("jaccard6"))
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // all sets fit below k: sketches are exact, so estimates are exact
+    val ab = out(("A", "B"))
+    assert(ab._3 == 50L && ab._4 == 10L && ab._5 == 50L && ab._6 == 10L)
+    assert(ab._7 == 10L * 1000000L / 50L)
+    val ac = out(("A", "C"))
+    assert(ac._4 == 0L && ac._5 == 50L && ac._6 == 0L && ac._7 == 0L)
+    assert(out.size == 3)
+  }
+
+  test("kmvPairStats: saturated union estimate stays in the error regime") {
+    import spark.implicits._
+    val k = 64
+    // two half-overlapping 5000-element sets: |A∪B| = 7500, J = 1/3
+    val df = ((1L to 5000L).map(("A", _)) ++
+      (2501L to 7500L).map(("B", _))).toDF("g", "id")
+    val sk = Sketches.kmvMinSet(df, col("g"), col("id"), k)
+    val Seq((ku, u, j)) = Sketches.kmvPairStats(sk, k)
+      .select(col("k_used"), col("union_est"), col("jaccard6"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ku == k.toLong)
+    // std error ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sigma
+    assert(u > 4600 && u < 10400, s"union est $u for true 7500")
+    assert(j > 80000 && j < 600000, s"jaccard6 $j for true 333333")
+  }
+
   test("KMV merge of per-group sketches equals the direct sketch of the union") {
     import spark.implicits._
     val k = 16

@@ -42,6 +42,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // plan-build; its plan property — the probe filtering the scan
     // below the exact join — is asserted in BloomJoinSpec
     "q92_bloom_decontaminate",
+    // q108 commits three lake versions (real writes) at plan-build
+    "q108_time_travel",
+    // q109 materializes the per-type sketch (the q102 shape)
+    "q109_kmv_setops",
+    // q110 commits/rejects versioned batches (real writes + audits)
+    "q110_gated_ingest",
     // q102 materializes its per-type k-min sketch (one job) at
     // plan-build so the merge and the estimate share it
     "q102_kmv_distinct")
