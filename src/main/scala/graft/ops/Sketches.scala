@@ -342,4 +342,79 @@ object Sketches {
       .select(col("grp"), col("m"),
         when(col("m") < k, col("m"))
           .otherwise(expr(s"${(k - 1).toLong * KmvP} div hk")).as("est"))
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): the
+  // mergeable FREQUENCY counterpart of KMV's distinct counter. depth
+  // independent hash rows × width cells; each occurrence increments one
+  // cell per row; the point estimate is the MIN over rows of the key's
+  // cells — never an undercount, over by at most the collision mass
+  // (≤ 2n/width with probability 1 − (1/2)^depth). Sketches of disjoint
+  // streams MERGE by cell-wise addition, so per-partition / per-day
+  // frequency tables roll up without rescanning base data — the
+  // "how often does this token/domain/user appear, per shard and
+  // overall" query at any corpus scale.
+  //
+  // Hashes are the seeded total affine family h_i(x) =
+  // ((x pmod P)·(A + i·CmStep) + B + i) pmod P pmod width — the kmvHash
+  // construction per row i, integer end-to-end and SQL-replayable
+  // (multiplier stays < 2^32 for depth ≤ 4000, so the product of a
+  // reduced key < 2P with it stays inside a long for any input).
+  // ---------------------------------------------------------------------
+
+  val CmStep: Long = 1000003L
+
+  /** Cell coordinate of `key` in hash row `row` (both Columns). */
+  def cmHash(key: org.apache.spark.sql.Column,
+      row: org.apache.spark.sql.Column, width: Int): org.apache.spark.sql.Column =
+    pmod(pmod(pmod(key, lit(KmvP)) * (lit(KmvA) + row * CmStep) + KmvB + row,
+      lit(KmvP)), lit(width.toLong))
+
+  /** Per-group Count-Min sketch in sparse form: (grp, row, cell, cnt)
+    * with one record per NON-EMPTY cell (cnt ≥ 1 by construction, so
+    * sparse and dense estimates agree via the left-join-coalesce in
+    * [[cmEstimate]]). ONE shuffle of depth× the input rows, with
+    * map-side partial aggregation absorbing repeated keys before the
+    * exchange — heavy keys cost one partial counter per task, not one
+    * shuffled row per occurrence. */
+  def cmSketch(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      keyCol: org.apache.spark.sql.Column, depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(depth >= 1 && depth <= 4000, s"depth must be in [1, 4000], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val kt = df.select(keyCol).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)(kt),
+      s"Count-Min requires an integral key column so the affine hash " +
+        s"family is exact and SQL-replayable; got ${kt.catalogString}")
+    df.select(groupCol.as("grp"), keyCol.cast("long").as("k"))
+      .withColumn("row", explode(sequence(lit(0L), lit(depth.toLong - 1))))
+      .groupBy(col("grp"), col("row"), cmHash(col("k"), col("row"), width).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise merge of Count-Min sketches (all built with the SAME
+    * depth/width) under a new group label. Touches only sketch rows —
+    * ≤ depth·width per input group regardless of base-data size. */
+  def cmMerge(sketches: DataFrame, newGroup: String): DataFrame =
+    sketches.groupBy(lit(newGroup).as("grp"), col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point frequency estimates: for every (group in `sketch`) × (key in
+    * `keys`' column `k`), est = min over hash rows of the key's cell
+    * count (0 if the cell is empty — the sparse representation's
+    * absent-cell case). The probe frame is |keys|·|groups|·depth rows
+    * joined against the ≤ depth·width-bounded sketch — metadata-sized
+    * both sides, broadcast-friendly, never a rescan of base data. */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val grps = sketch.select(col("grp")).distinct()
+    keys.select(col("k").cast("long").as("k"))
+      .crossJoin(broadcast(grps))
+      .withColumn("row", explode(sequence(lit(0L), lit(depth.toLong - 1))))
+      .withColumn("cell", cmHash(col("k"), col("row"), width))
+      .join(sketch, Seq("grp", "row", "cell"), "left")
+      .groupBy(col("grp"), col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -1091,6 +1091,86 @@ object AnalyticsQueries {
       "('__all' from the sketches alone): mergeable, integer-exact, " +
       "fully SQL-replayable")
 
+  /** Count-Min frequency sketches per event type PLUS their cell-wise
+    * MERGE: the '__all' sketch is summed from the per-type cell tables
+    * alone (the mergeable-rollup property q102 demonstrates for
+    * distinct counts, here for FREQUENCIES), then both layers answer
+    * point estimates for a probe key set via min-over-rows — never an
+    * undercount, over by at most the collision mass, and with the
+    * seeded affine hash family the whole pipeline is integer-exact and
+    * SQL-replayable (width 64 forces real collisions at sf0.1, so the
+    * oracle must replay the hashing bit-for-bit, not just the counts).
+    * Scale shape: one depth×-row shuffle with map-side combine for the
+    * build; estimates touch only sketch rows (≤ depth·width·groups). */
+  private val q112 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val d = 3; val w = 64
+      val ev = table(s, dir, "events")
+      // the ≤ groups·d·w-row cell table feeds both the merge and the
+      // estimate union — materialize once, same rationale as q102
+      val perType = Sketches.cmSketch(ev, col("event_type"), col("user_id"), d, w)
+        .localCheckpoint()
+      val sk = perType.unionByName(Sketches.cmMerge(perType, "__all"))
+      val probes = ev.select(col("user_id").as("k"))
+        .filter(pmod(col("k"), lit(37L)) === 0).distinct()
+      Sketches.cmEstimate(sk, probes, d, w)
+        .select(col("grp").as("scope"), col("k"), col("est"))
+        .orderBy("scope", "k")
+    },
+    Some {
+      val h = (k: String, r: String) =>
+        s"(((($k % 2147483647) * (1103515245 + $r*1000003) + 12345 + $r) " +
+          s"% 2147483647) + 2147483647) % 2147483647 % 64"
+      "WITH i(rw) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)), " +
+        "cells AS (SELECT event_type AS grp, rw, " +
+        h("user_id", "rw") + " AS cell, count(*) AS cnt " +
+        "FROM events CROSS JOIN i GROUP BY 1, 2, 3), " +
+        "allsk AS (SELECT * FROM cells UNION ALL " +
+        "SELECT '__all', rw, cell, sum(cnt) FROM cells GROUP BY 2, 3), " +
+        "probes AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id % 37 = 0), " +
+        "grid AS (SELECT g.grp, p.k, i.rw, " + h("p.k", "i.rw") + " AS cell " +
+        "FROM (SELECT DISTINCT grp FROM allsk) g CROSS JOIN probes p CROSS JOIN i) " +
+        "SELECT grid.grp AS scope, grid.k, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est " +
+        "FROM grid LEFT JOIN allsk ON grid.grp = allsk.grp " +
+        "AND grid.rw = allsk.rw AND grid.cell = allsk.cell " +
+        "GROUP BY 1, 2 ORDER BY scope, k"
+    },
+    "Count-Min frequency sketches per event type + cell-wise merge " +
+      "rollup + min-over-rows point estimates for a probe key set: " +
+      "mergeable, never undercounts, fully SQL-replayable")
+
+  /** Per-node triangle counts (the local-clustering numerator — the
+    * community/link-farm structure signal) over a unipartite projection
+    * of orders (customer and scrambled order keys folded into one
+    * 256-node id space — a raw customer↔order graph is bipartite and
+    * triangle-free by construction; the fold overlaps the ranges so
+    * triangles exist at every SF). Engine = degree-ordered orientation
+    * (wedge fan-out capped at O(√|E|) per node — the Suri-Vassilvitskii
+    * last-reducer fix); oracle = the naive a<b<c 3-way self-join, an
+    * honest plan at oracle scale that the orientation exists to replace
+    * at real scale. Counts are integers; results identical however
+    * triangles are enumerated. */
+  private val q113 = Q(
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      graft.ops.Graph.triangles(
+        o.select((col("o_custkey") % 256).as("x"),
+          ((col("o_orderkey") * 31) % 256).as("y")),
+        "x", "y").orderBy("node")
+    },
+    Some("WITH raw AS (SELECT o_custkey % 256 AS x, (o_orderkey * 31) % 256 AS y " +
+      "FROM orders), " +
+      "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM raw WHERE x <> y), " +
+      "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 " +
+      "JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+      "SELECT node, count(*) AS tri_cnt FROM (SELECT a AS node FROM t " +
+      "UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) GROUP BY node " +
+      "ORDER BY node"),
+    "Per-node triangle counts via degree-ordered orientation (bounded " +
+      "wedge fan-out, equi-joins only); oracle replays the naive 3-way " +
+      "self-join")
+
   /** Point-in-time join (feature-store PIT correctness): every order
     * picks up the customer-status dimension version valid AT its order
     * date — no future leakage, facts before a key's first version get
@@ -1375,6 +1455,8 @@ object AnalyticsQueries {
       "ordering between stages; integer fixed-point conversion rates")
 
   val all: Map[String, Q] = Map(
+    "q113_triangles" -> q113,
+    "q112_cm_sketch" -> q112,
     "q111_funnel" -> q111,
     "q110_gated_ingest" -> q110,
     "q109_kmv_setops" -> q109,

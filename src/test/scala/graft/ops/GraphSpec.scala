@@ -112,4 +112,48 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("triangles: hand-computed graphs (K4, path, shared-edge pair)") {
+    import spark.implicits._
+    def tri(es: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangles(es.toDF("x", "y"), "x", "y")
+        .as[(Long, Long)].collect().toMap
+    // K4: each node is in C(3,2) = 3 triangles
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Map.empty)
+    // two triangles sharing edge (1,2)
+    val shared = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(tri(shared) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangles: canonicalizes direction, duplicates, and self-loops") {
+    import spark.implicits._
+    // same triangle stated with reversed/duplicated edges + a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (1L, 3L), (2L, 2L))
+    val got = Graph.triangles(messy.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles equals the brute-force 3-join on a pseudo-random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random simple graph on 40 nodes
+    val rnd = new scala.util.Random(42)
+    val es = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = es.toDF("x", "y")
+    val got = Graph.triangles(df, "x", "y").as[(Long, Long)].collect().toMap
+    df.select(least($"x", $"y").as("u"), greatest($"x", $"y").as("v"))
+      .distinct().createOrReplaceTempView("tri_e")
+    val brute = spark.sql(
+      """SELECT node, count(*) AS c FROM (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM tri_e e1
+        |  JOIN tri_e e2 ON e2.u = e1.v
+        |  JOIN tri_e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |LATERAL VIEW explode(array(a, b, c)) AS node GROUP BY node
+        |""".stripMargin).as[(Long, Long)].collect().toMap
+    assert(got == brute && got.nonEmpty)
+  }
 }

@@ -207,4 +207,57 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     // smallest, so the union of sketches contains the direct k-min set
     assert(merged == direct && direct.size == k)
   }
+
+  test("Count-Min: never undercounts; exact when width avoids collisions") {
+    import spark.implicits._
+    val d = 3
+    val df = (1L to 400L).map(i => ("g", i % 23)).toDF("g", "id")
+    val exact = df.groupBy(col("id")).count()
+      .as[(Long, Long)].collect().toMap
+    val keys = exact.keys.toSeq.toDF("k")
+    for (w <- Seq(8, 4096)) {
+      val sk = Sketches.cmSketch(df, col("g"), col("id"), d, w)
+      val est = Sketches.cmEstimate(sk, keys, d, w)
+        .as[(String, Long, Long)].collect()
+      est.foreach { case (_, k, e) =>
+        assert(e >= exact(k), s"w=$w undercount key $k: $e < ${exact(k)}") }
+      if (w == 4096) // 23 keys in 4096 cells: this seed family collides nowhere
+        est.foreach { case (_, k, e) =>
+          assert(e == exact(k), s"w=$w key $k: $e != ${exact(k)}") }
+    }
+  }
+
+  test("Count-Min merge of per-group sketches equals the direct union sketch") {
+    import spark.implicits._
+    val d = 3; val w = 64
+    val df = (1L to 600L).map(i => (s"g${i % 4}", i % 37)).toDF("g", "id")
+    val perGroup = Sketches.cmSketch(df, col("g"), col("id"), d, w)
+    val merged = Sketches.cmMerge(perGroup, "all")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    val direct = Sketches.cmSketch(df.withColumn("g", lit("all")),
+        col("g"), col("id"), d, w)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(merged == direct)
+  }
+
+  test("Count-Min: absent keys estimate 0 when their cells are empty") {
+    import spark.implicits._
+    val d = 3; val w = 65536
+    // a single present key, probes far away: with width >> keys the
+    // probe cells are empty in at least one row and min(coalesce)=0
+    val df = Seq(("g", 7L)).toDF("g", "id")
+    val sk = Sketches.cmSketch(df, col("g"), col("id"), d, w)
+    val est = Sketches.cmEstimate(sk, Seq(900001L, 900002L).toDF("k"), d, w)
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (_, k, e) => assert(e == 0L, s"key $k est $e") }
+  }
+
+  test("cmSketch rejects non-integral key columns at call time") {
+    import spark.implicits._
+    val df = Seq(("g", "x")).toDF("g", "id")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmSketch(df, col("g"), col("id"), 3, 64)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
