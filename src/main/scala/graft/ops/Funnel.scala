@@ -49,12 +49,21 @@ object Funnel {
          |      AND x.ts_us > acc.last,
          |    named_struct('stage', acc.stage + 1, 'last', x.ts_us),
          |    acc)).stage""".stripMargin).as("stage"))
+    reachFromStages(staged, steps)
+  }
+
+  /** Funnel report from a per-user FINAL-stage relation `(u, stage)` —
+    * the shared tail of the batch fold and the streaming state snapshot
+    * ([[graft.streaming.FunnelStream]]). Users reaching step i = Σ users
+    * whose final stage ≥ i; the final-stage histogram is sparse (a
+    * stage nobody ends at has no row), so densify onto the full step
+    * domain FIRST, then run the descending cumulative — all over
+    * ≤ |steps| rows, metadata-sized. */
+  def reachFromStages(staged: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
     val reach = staged.filter(col("stage") >= 1)
       .groupBy(col("stage")).agg(count(lit(1)).as("n_at"))
-    // users reaching step i = Σ users whose FINAL stage ≥ i. The final-
-    // stage histogram is sparse (a stage nobody ends at has no row), so
-    // densify onto the full step domain FIRST, then run the descending
-    // cumulative — all over ≤ |steps| rows, metadata-sized
     val stepNames = steps.zipWithIndex
       .map { case (s, i) => (i + 1L, s) }.toDF("step_idx", "step")
     val w = org.apache.spark.sql.expressions.Window

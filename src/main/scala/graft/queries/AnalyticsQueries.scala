@@ -1454,7 +1454,36 @@ object AnalyticsQueries {
       "shuffle + O(1)-state per-user stage fold; strict event-time " +
       "ordering between stages; integer fixed-point conversion rates")
 
+  /** STREAMING ordered-step funnel (the seventh streaming query —
+    * q111's incremental twin, the live conversion dashboard): per-user
+    * (stage, last-matched-ts) state — 12 bytes, the batch fold's
+    * accumulator verbatim — advanced by flatMapGroupsWithState; a user
+    * emits only when their stage ADVANCES (monotone emissions, zero
+    * sink traffic for non-advancing events), the sink snapshot's
+    * per-user MAX(stage) is the live funnel position, and
+    * Funnel.reachFromStages turns the snapshot into the exact batch
+    * report — so this hash-checks against q111's chained-min oracle
+    * (batch-equivalence, the q19/q32/q101 pattern). */
+  private val q114 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val stream = Queries.stagedEventStream(s, dir, "q114")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type").as("et"))
+        .as[graft.streaming.FunnelStream.FEv]
+      val out = graft.streaming.FunnelStream.streaming(stream, steps)
+      val snap = Queries.runToMemorySink(out.toDF(), "q114", "update")
+        .groupBy(col("user_id").as("u")).agg(max(col("stage")).as("stage"))
+      graft.ops.Funnel.reachFromStages(snap, steps)
+    },
+    q111.oracle,
+    "Streaming funnel positions (flatMapGroupsWithState, 12-byte state " +
+      "per user, emit-on-advance): snapshot max-stage + reachFromStages " +
+      "hash-equals the batch funnel and its chained-min oracle")
+
   val all: Map[String, Q] = Map(
+    "q114_stream_funnel" -> q114,
     "q113_triangles" -> q113,
     "q112_cm_sketch" -> q112,
     "q111_funnel" -> q111,
