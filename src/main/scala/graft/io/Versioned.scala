@@ -149,6 +149,54 @@ object Versioned {
     if (dirty == 0L) Some(commit(df, path, mode)) else None
   }
 
+  /** Apply a CDC changeset as ONE atomic versioned commit — MERGE for
+    * the manifest lake: `changes` carries the target's data columns
+    * plus `opCol` ∈ {insert, update, delete} (exactly
+    * [[graft.ops.Cdc.snapshotDiff]]'s change labels, so a captured diff
+    * replays directly). Inserts and updates UPSERT (the new row wins);
+    * deletes remove the key. The next version's content is built
+    * copy-on-write against the CURRENT pinned snapshot (survivors =
+    * anti-join on changed keys, then union the upsert rows) and
+    * published as one overwrite manifest — readers see the old version
+    * or the fully-applied changeset, never an intermediate, and the
+    * pre-merge version stays time-travelable (the audit trail an
+    * in-place MERGE destroys). Returns the committed version.
+    *
+    * Rejected up front (one metadata-sized aggregation over the batch):
+    * NULL keys, duplicate keys (two ops on one key in a single batch is
+    * order-ambiguous), unknown op labels. Scale note: copy-on-write
+    * rewrites the full snapshot — right for dimension-sized tables; a
+    * partitioned fact table wants [[Lake.mergeInto]]'s touched-
+    * partition enumeration instead (same semantics, partition-pruned
+    * rewrite). */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "change"): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    // materialize the changeset once: three consumers (validation agg,
+    // anti-join keys, upsert rows) would otherwise re-derive the whole
+    // capture pipeline; a changeset is ship-the-diff sized by contract
+    val chg = changes.localCheckpoint()
+    val bad = chg.agg(
+        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as("nulls"),
+        sum(when(!col(opCol).isin("insert", "update", "delete"), 1L)
+          .otherwise(0L)).as("badops"),
+        (count(lit(1)) - countDistinct(keyCols.head, keyCols.tail: _*))
+          .as("dups"))
+      .head()
+    require(bad.getLong(0) == 0L, s"applyChanges: ${bad.getLong(0)} NULL-key change rows")
+    require(bad.getLong(1) == 0L, s"applyChanges: ${bad.getLong(1)} rows with unknown ops")
+    require(bad.getLong(2) == 0L,
+      s"applyChanges: ${bad.getLong(2)} duplicate keys in one batch (order-ambiguous)")
+    val cur = readAsOf(spark, path)
+    val changedKeys = chg.select(keyCols.map(col): _*)
+    val survivors = cur.join(changedKeys, keyCols, "left_anti")
+    val upserts = chg.filter(col(opCol).isin("insert", "update"))
+      .select(cur.columns.map(col).toSeq: _*)
+    commit(survivors.unionByName(upserts), path, "overwrite")
+  }
+
   /** Commit history as a frame: (version, n_files) per commit —
     * metadata-only, no data scan. */
   def history(spark: SparkSession, path: String): DataFrame = {

@@ -1454,6 +1454,53 @@ object AnalyticsQueries {
       "shuffle + O(1)-state per-user stage fold; strict event-time " +
       "ordering between stages; integer fixed-point conversion rates")
 
+  /** CDC capture → transactional MERGE, end to end on the versioned
+    * lake: q91's snapshot diff (ONE full-outer join, ships changes not
+    * snapshots) replayed against a committed v1 via
+    * `Versioned.applyChanges` — inserts/updates upsert, deletes remove,
+    * ALL as one atomic overwrite commit, so readers see v1 or the
+    * fully-merged v2, never an intermediate, and v1 stays
+    * time-travelable (the audit trail an in-place MERGE destroys).
+    * The oracle replays the after image directly: the check is that
+    * capture→apply reconstructs it EXACTLY (diff completeness: after =
+    * before − deletes + upserts). */
+  private val q115 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      val scratch = s"${Queries.scratchRoot}/q115-cdc-lake"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      // before feeds 3 consumers (v1 commit, diff, delete rows) and
+      // after 2 (diff, upsert rows): materialize each once instead of
+      // re-paying the single-task orders decode per consumer
+      val before = o.filter(col("o_orderkey") % 7 =!= 0).localCheckpoint()
+      val after = o.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority", when(col("o_orderkey") % 3 === 0,
+          lit("X-UPDATED")).otherwise(col("o_orderpriority")))
+        .localCheckpoint()
+      Versioned.commit(before, scratch, "append")
+      val diff = graft.ops.Cdc.snapshotDiff(before, after, Seq("o_orderkey"),
+        Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
+      val upserts = diff.filter(col("change").isin("insert", "update"))
+        .select(col("o_orderkey"), col("change")).join(after, "o_orderkey")
+      val deletes = diff.filter(col("change") === "delete")
+        .select(col("o_orderkey"), col("change")).join(before, "o_orderkey")
+      Versioned.applyChanges(s, scratch, upserts.unionByName(deletes),
+        Seq("o_orderkey"), "change")
+      Versioned.readAsOf(s, scratch, Some(2L)).orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, " +
+      "CASE WHEN o_orderkey % 3 = 0 THEN 'X-UPDATED' ELSE o_orderpriority END AS o_orderpriority " +
+      "FROM orders WHERE o_orderkey % 11 <> 0 ORDER BY o_orderkey"),
+    "CDC snapshot diff replayed through Versioned.applyChanges: " +
+      "capture->atomic-merge reconstructs the after image exactly; " +
+      "the pre-merge version stays time-travelable")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1483,6 +1530,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q115_cdc_merge" -> q115,
     "q114_stream_funnel" -> q114,
     "q113_triangles" -> q113,
     "q112_cm_sketch" -> q112,

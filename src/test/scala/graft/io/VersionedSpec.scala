@@ -100,4 +100,41 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     val p = freshPath()
     intercept[IllegalArgumentException](Versioned.readAsOf(spark, p))
   }
+
+  test("applyChanges: upserts replace, inserts add, deletes remove — one atomic version") {
+    val p = freshPath()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    Versioned.commit(base, p, "append")
+    val changes = Seq(
+      (2L, "B", "update"),   // replace
+      (4L, "d", "insert"),   // add
+      (3L, "c", "delete"))   // remove (data col carried but ignored)
+      .toDF("k", "v", "change")
+    val v2 = Versioned.applyChanges(spark, p, changes, Seq("k"))
+    assert(v2 == 2L)
+    val kv = Versioned.readAsOf(spark, p, Some(2L))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(kv == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // the pre-merge version stays time-travelable and untouched
+    assert(Versioned.readAsOf(spark, p, Some(1L))
+      .select($"k", $"v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("applyChanges rejects NULL keys, duplicate keys, and unknown ops up front") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), p, "append")
+    def bad(rows: Seq[(java.lang.Long, String, String)], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.applyChanges(spark, p,
+          rows.toDF("k", "v", "change"), Seq("k"))
+      }
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+      // the lake is untouched by a rejected batch
+      assert(Versioned.versions(spark, p) == Seq(1L))
+    }
+    bad(Seq((null, "x", "insert")), "NULL-key")
+    bad(Seq((2L, "x", "upsert")), "unknown ops")
+    bad(Seq((2L, "x", "insert"), (2L, "y", "delete")), "duplicate keys")
+  }
 }
