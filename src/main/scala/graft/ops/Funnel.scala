@@ -79,4 +79,36 @@ object Funnel {
       .select(col("step_idx"), col("step"), col("n_users"), col("conv6"))
       .orderBy("step_idx")
   }
+
+  /** Last-touch attribution — the marketing/product companion of the
+    * funnel: every CONVERSION row (where `conv` is non-null) is
+    * attributed to the value of the most recent STRICTLY-preceding
+    * TOUCH row (where `touch` is non-null) of the same key; conversions
+    * with no prior touch get a NULL attribution (the "organic" bucket).
+    *
+    * Same plan family as the PIT join (ops/Dimension.pitJoin): union is
+    * implicit (touches and conversions are rows of ONE relation), the
+    * as-of lookup is a running `last(touch, ignoreNulls)` window — ONE
+    * keyed shuffle, NO join node, O(1) window state. Strictness comes
+    * from the sort key: at equal timestamps conversions order BEFORE
+    * touches, so a same-instant touch is invisible to the conversion
+    * (ties among touches resolve by id — last wins).
+    *
+    * Returns the conversion rows as `(k, ts_us, id, conv, attributed)`.
+    * Touch/conv must be non-null on disjoint rows (a row that is both
+    * would see itself excluded by the strict ordering). */
+  def lastTouch(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, touch: Column, conv: Column): DataFrame = {
+    val u = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("ts_us"), col(idCol).cast("long").as("id"),
+      touch.as("touch"), conv.as("conv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+      .orderBy(col("ts_us"),
+        when(col("conv").isNotNull, 0).otherwise(1), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn("attributed", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("conv").isNotNull)
+      .select(col("k"), col("ts_us"), col("id"), col("conv"), col("attributed"))
+  }
 }

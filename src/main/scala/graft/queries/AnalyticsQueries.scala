@@ -1501,6 +1501,44 @@ object AnalyticsQueries {
       "capture->atomic-merge reconstructs the after image exactly; " +
       "the pre-merge version stays time-travelable")
 
+  /** Last-touch revenue attribution (the marketing-analytics query
+    * every conversion pipeline runs): each purchase's value is credited
+    * to the CHANNEL of the user's most recent strictly-preceding click
+    * (channel = props.k mod 8 — a deterministic 8-way campaign space);
+    * purchases with no prior click fall to the organic bucket (-1).
+    * Engine = the no-join-node as-of shape (q103's union+window family
+    * via ops/Funnel.lastTouch): ONE keyed shuffle, a running
+    * last(ignoreNulls) window, strictness from the sort key (equal-ts
+    * clicks are invisible to the purchase). Revenue in exact decimal
+    * accumulation (moneySum) so the double sum is order-independent. */
+  private val q116 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val att = graft.ops.Funnel.lastTouch(ev, "user_id", "ts", "event_id",
+        touch = when(col("event_type") === "click",
+          from_json(col("props"), lit("k INT")).getField("k").cast("long") % 8),
+        conv = when(col("event_type") === "purchase", col("value")))
+      att.groupBy(coalesce(col("attributed"), lit(-1L)).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.ops.BarOps.moneySum(col("conv")).as("revenue"))
+        .orderBy("channel")
+    },
+    Some("WITH u AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN event_type = 'click' THEN CAST(props->>'k' AS BIGINT) % 8 END AS touch, " +
+      "CASE WHEN event_type = 'purchase' THEN value END AS conv " +
+      "FROM events WHERE event_type IN ('click', 'purchase')), " +
+      "w AS (SELECT *, last_value(touch IGNORE NULLS) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, " +
+      "CASE WHEN conv IS NOT NULL THEN 0 ELSE 1 END, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS att FROM u) " +
+      "SELECT coalesce(att, -1) AS channel, count(*) AS n_purchases, " +
+      Queries.dsum("conv") + " AS revenue " +
+      "FROM w WHERE conv IS NOT NULL GROUP BY 1 ORDER BY channel"),
+    "Last-touch revenue attribution: purchases credited to the most " +
+      "recent strictly-preceding click's channel via one keyed window " +
+      "pass (no join node); organic bucket for untouched conversions")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1530,6 +1568,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q116_attribution" -> q116,
     "q115_cdc_merge" -> q115,
     "q114_stream_funnel" -> q114,
     "q113_triangles" -> q113,

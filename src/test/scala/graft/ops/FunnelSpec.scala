@@ -59,4 +59,28 @@ class FunnelSpec extends AnyFunSuite with SparkTest {
     assert(run(df) == Seq(
       (1L, "view", 0L, 0L), (2L, "click", 0L, 0L), (3L, "purchase", 0L, 0L)))
   }
+
+  test("lastTouch: strictly-preceding touch wins; same-instant touch is invisible") {
+    import org.apache.spark.sql.functions._
+    // (user, t, id, type, channel)
+    val df = Seq(
+      // u1: touch A @10, touch B @20, convert @30 -> B; convert @15 -> A
+      (1L, 10L, 1L, "t", "A"), (1L, 20L, 2L, "t", "B"),
+      (1L, 15L, 3L, "c", null), (1L, 30L, 4L, "c", null),
+      // u2: touch at the SAME instant as the conversion -> organic
+      (2L, 50L, 5L, "t", "C"), (2L, 50L, 6L, "c", null),
+      // u3: conversion with no touch at all -> organic
+      (3L, 70L, 7L, "c", null),
+      // u4: two touches at the same ts -> higher id wins
+      (4L, 10L, 8L, "t", "D"), (4L, 10L, 9L, "t", "E"), (4L, 20L, 10L, "c", null))
+      .map { case (u, t, id, et, ch) => (u, ts(t), id, et, ch) }
+      .toDF("user_id", "ts", "event_id", "event_type", "ch")
+    val got = Funnel.lastTouch(df, "user_id", "ts", "event_id",
+        touch = when(col("event_type") === "t", col("ch")),
+        conv = when(col("event_type") === "c", lit(1.0)))
+      .select(col("id"), col("attributed"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(3L -> Some("A"), 4L -> Some("B"),
+      6L -> None, 7L -> None, 10L -> Some("E")))
+  }
 }
