@@ -141,4 +141,58 @@ object Quality {
     agg.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check_name"), col("r.n_violations"), col("r.n_checked"))
   }
+
+  /** Distribution DRIFT audit between a reference and a current
+    * snapshot (train/serve skew, yesterday-vs-today monitoring): per
+    * numeric column, row counts, null counts, and an exact scale-free
+    * histogram distance
+    * `l1x = Σ_bins |c_ref[b]·n_cur − c_cur[b]·n_ref|` — the L1
+    * distance of the two distributions cross-multiplied into integers
+    * (0 = identical shapes, 2·n_ref·n_cur = disjoint; divide by that
+    * to normalize), so the audit is bit-reproducible and
+    * SQL-replayable where PSI/KL would drag in floating-point logs.
+    * Bin edges are the q99 equi-width scheme over the JOINT span
+    * (shared edges are what make the histograms comparable), with the
+    * same degenerate-span and NULL (bin −1, so null-rate drift counts
+    * as distribution drift) handling on both engines.
+    *
+    * Scale shape: columns are stacked row-locally (explode — no
+    * per-column scans), ONE tiny min/max agg broadcast back, one
+    * (column, bin) agg with map-side combine, one |cols|·(bins+1)-row
+    * final fold. Products are accumulated in DECIMAL(38,0): long
+    * arithmetic would wrap silently past ~3e9 rows per side. */
+  def driftAudit(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      bins: Int = 20): DataFrame = {
+    require(cols.nonEmpty, "driftAudit needs at least one column")
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    def stack(df: DataFrame, src: Int) =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("r"))
+        .select(col("r.c").as("c"), col("r.v").as("v"), lit(src).as("src"))
+    val u = stack(ref, 0).unionAll(stack(cur, 1))
+    val mm = u.groupBy(col("c"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val binned = u.join(broadcast(mm), "c")
+      .withColumn("bin", when(col("v").isNull, lit(-1L))
+        .when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(floor((col("v") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / lit(bins.toDouble))),
+          lit(bins - 1.0)).cast("long")))
+    val cells = binned.groupBy(col("c"), col("bin"))
+      .agg(sum(when(col("src") === 0, 1L).otherwise(0L)).as("cref"),
+        sum(when(col("src") === 1, 1L).otherwise(0L)).as("ccur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    cells
+      .withColumn("nref", sum(col("cref")).over(w))
+      .withColumn("ncur", sum(col("ccur")).over(w))
+      .groupBy(col("c"))
+      .agg(max(col("nref")).as("n_ref"), max(col("ncur")).as("n_cur"),
+        sum(when(col("bin") === -1L, col("cref")).otherwise(0L)).as("nulls_ref"),
+        sum(when(col("bin") === -1L, col("ccur")).otherwise(0L)).as("nulls_cur"),
+        sum(abs(dec(col("cref")) * dec(col("ncur")) -
+          dec(col("ccur")) * dec(col("nref")))).cast("decimal(38,0)").as("l1x"))
+      .select(col("c").as("col_name"), col("n_ref"), col("n_cur"),
+        col("nulls_ref"), col("nulls_cur"), col("l1x"))
+  }
 }

@@ -1539,6 +1539,82 @@ object AnalyticsQueries {
       "recent strictly-preceding click's channel via one keyed window " +
       "pass (no join node); organic bucket for untouched conversions")
 
+  /** Equal-frequency binning (quantile discretization — the ML
+    * feature-engineering transform that turns a skewed numeric into a
+    * uniform categorical): per return flag, NTILE(10) over
+    * (price, orderkey, linenumber) — the tiebreak makes the tile
+    * assignment a total order, so the bin edges and counts are
+    * deterministic and hash-replayable. ONE keyed shuffle; the
+    * within-group sort is the operation's definition (the bounded-
+    * memory alternative at corpus scale is the GK sketch, q53 — this
+    * is the exact path). */
+  private val q117 = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          ntile(10).over(w).cast("long").as("bin"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("l_returnflag", "bin")
+    },
+    Some("SELECT l_returnflag, bin, count(*) AS n, " +
+      "min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM (" +
+      "SELECT l_returnflag, l_extendedprice, ntile(10) OVER (" +
+      "PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber" +
+      ") AS bin FROM lineitem) GROUP BY l_returnflag, bin " +
+      "ORDER BY l_returnflag, bin"),
+    "Equal-frequency binning: deterministic NTILE(10) per group with a " +
+      "total-order tiebreak; per-bin count and exact edges")
+
+  /** Distribution drift audit (train/serve skew detection — the
+    * monitoring query every production feature pipeline runs): events
+    * split at mid-month into reference/current snapshots, then per
+    * numeric column (value, props.k) row counts, null counts, and the
+    * EXACT cross-multiplied L1 histogram distance over shared q99-style
+    * bin edges (ops/Quality.driftAudit — integer arithmetic where
+    * PSI/KL would drag in floating logs; 0 = identical shapes,
+    * 2·n_ref·n_cur = disjoint). */
+  private val q118 = Q(
+    (s, dir) => {
+      val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+      val ev = table(s, dir, "events").select(col("ts"), col("value"),
+        from_json(col("props"), lit("k INT")).getField("k")
+          .cast("double").as("k"))
+      val ref = ev.filter(col("ts") < cutoff).drop("ts")
+      val cur = ev.filter(col("ts") >= cutoff).drop("ts")
+      graft.ops.Quality.driftAudit(ref, cur, Seq("value", "k"), bins = 20)
+        .withColumn("l1x", col("l1x").cast("long"))
+        .orderBy("col_name")
+    },
+    Some("WITH base AS (SELECT ts, CAST(value AS DOUBLE) AS value, " +
+      "CAST(props->>'k' AS DOUBLE) AS k FROM events), " +
+      "u AS (SELECT 'value' AS c, value AS v, " +
+      "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS src FROM base " +
+      "UNION ALL SELECT 'k', k, " +
+      "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END FROM base), " +
+      "mm AS (SELECT c, min(v) AS vmin, max(v) AS vmax FROM u GROUP BY c), " +
+      "b AS (SELECT u.c, CASE WHEN v IS NULL THEN -1 " +
+      "WHEN vmax = vmin THEN 0 ELSE " +
+      "CAST(least(floor((v - vmin) / ((vmax - vmin) / 20.0)), 19.0) AS BIGINT) END AS bin, " +
+      "src FROM u JOIN mm ON u.c = mm.c), " +
+      "cells AS (SELECT c, bin, " +
+      "sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS cref, " +
+      "sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS ccur FROM b GROUP BY c, bin), " +
+      "t AS (SELECT c, sum(cref) AS nref, sum(ccur) AS ncur FROM cells GROUP BY c) " +
+      "SELECT cells.c AS col_name, CAST(max(nref) AS BIGINT) AS n_ref, " +
+      "CAST(max(ncur) AS BIGINT) AS n_cur, " +
+      "CAST(sum(CASE WHEN bin = -1 THEN cref ELSE 0 END) AS BIGINT) AS nulls_ref, " +
+      "CAST(sum(CASE WHEN bin = -1 THEN ccur ELSE 0 END) AS BIGINT) AS nulls_cur, " +
+      "CAST(sum(abs(cref * ncur - ccur * nref)) AS BIGINT) AS l1x " +
+      "FROM cells JOIN t ON cells.c = t.c GROUP BY cells.c ORDER BY col_name"),
+    "Distribution drift audit: per-column null/row counts + exact " +
+      "cross-multiplied L1 histogram distance over shared bin edges — " +
+      "integer-reproducible train/serve skew detection")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1568,6 +1644,8 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q118_drift_audit" -> q118,
+    "q117_quantile_bins" -> q117,
     "q116_attribution" -> q116,
     "q115_cdc_merge" -> q115,
     "q114_stream_funnel" -> q114,

@@ -85,4 +85,37 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     assert(got.forall(_._2 == 0L))
     assert(got.forall(_._3 > 0L))
   }
+
+  test("driftAudit: identical snapshots score l1x = 0; disjoint score 2*n_ref*n_cur") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val same = Quality.driftAudit(a, a, Seq("x"), bins = 4)
+      .select($"l1x".cast("long")).as[Long].head()
+    assert(same == 0L)
+    // disjoint supports: every bin is exclusively one side's
+    val lo = Seq(0.0, 0.1, 0.2).toDF("x")
+    val hi = Seq(100.0, 100.1).toDF("x")
+    val dis = Quality.driftAudit(lo, hi, Seq("x"), bins = 4)
+      .select($"l1x".cast("long")).as[Long].head()
+    assert(dis == 2L * 3L * 2L)
+  }
+
+  test("driftAudit: NULLs land in bin -1 and count as distribution drift") {
+    val ref = Seq[Option[Double]](Some(1.0), Some(2.0)).toDF("x")
+    val cur = Seq[Option[Double]](Some(1.0), Some(2.0), None, None).toDF("x")
+    val row = Quality.driftAudit(ref, cur, Seq("x"), bins = 2)
+      .select($"n_ref", $"n_cur", $"nulls_ref", $"nulls_cur",
+        $"l1x".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((2L, 4L, 0L, 2L,
+      // bins: v=1 -> |1*4-1*2|=2, v=2 -> 2, null bin -> |0*4-2*2|=4
+      8L)))
+  }
+
+  test("driftAudit: degenerate all-equal span bins to 0 on both snapshots") {
+    val ref = Seq(5.0, 5.0).toDF("x")
+    val cur = Seq(5.0).toDF("x")
+    val row = Quality.driftAudit(ref, cur, Seq("x"), bins = 8)
+      .select($"l1x".cast("long")).as[Long].head()
+    assert(row == 0L) // |2*1 - 1*2| = 0
+  }
 }
