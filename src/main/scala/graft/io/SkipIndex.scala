@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** Bloom data-skipping index: point-lookup pruning on a column the lake
+  * layout is NOT organized by — the secondary-index counterpart of
+  * [[Lake.writeZOrdered]]'s min/max manifest (which skips on the SORT
+  * columns). A table partitioned by, say, day answers "all rows for
+  * key K" by scanning every partition; with a per-partition Bloom
+  * sidecar the reader visits only partitions whose filter admits K —
+  * sure negatives are skipped entirely, false positives only cost a
+  * pruned-partition scan that the exact filter then empties (never a
+  * wrong row: the final predicate is always applied).
+  *
+  * The filter is the classic k-hash Bloom bit set, built from the SAME
+  * seeded total affine family as the Count-Min sketch
+  * ([[Sketches.cmHash]]) — deterministic, integer-exact, and
+  * SQL-replayable, so an oracle can replay the pruning decision itself.
+  *
+  * Scale shape: the sidecar is a LAKE TABLE of (shard, bit) rows built
+  * by one distinct aggregation — never a driver-side bitset; its size
+  * is ≤ shards × min(k·ndv, bits) rows (metadata next to the data).
+  * Serving joins the probe keys' bit demands against the sidecar and
+  * collects only the CANDIDATE SHARD LIST (bounded by the shard count)
+  * into the partition-pruning IN filter — the same bounded-collect
+  * contract as the Z-order manifest planner. Tune `bits` ≈ 10× the
+  * per-shard key cardinality for a ~1% false-positive rate at k = 3. */
+object SkipIndex {
+
+  val DefaultBits = 65536
+  val Hashes = 3
+
+  /** Bloom bit positions of `key` — one per hash row 0..k−1. */
+  def bloomBit(key: Column, row: Column, bits: Int): Column =
+    Sketches.cmHash(key, row, bits)
+
+  private def bitRows(df: DataFrame, keyCol: String, bits: Int): DataFrame =
+    df.withColumn("__row", explode(sequence(lit(0L), lit(Hashes.toLong - 1))))
+      .withColumn("bit", bloomBit(col(keyCol), col("__row"), bits))
+      .select(col("shard"), col("__row").as("row"), col("bit"))
+      .distinct()
+
+  /** Write `df` as a shard-partitioned table plus its Bloom sidecar:
+    * `<path>/data` partitioned by `shardCol` (renamed `shard`), and
+    * `<path>/bloom` holding the distinct (shard, row, bit) positions of
+    * every key in the shard. One write + one distinct aggregation. */
+  def write(df: DataFrame, path: String, shardCol: String, keyCol: String,
+      bits: Int = DefaultBits): Unit = {
+    require(bits >= 64, s"bloom needs >= 64 bits, got $bits")
+    val shardED = df.withColumn("shard", col(shardCol))
+    shardED.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    bitRows(shardED, keyCol, bits)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+  }
+
+  /** Read ONLY the shards whose Bloom filter admits at least one probe
+    * key, with the exact `keyCol IN keys` predicate applied on top (so
+    * false positives never surface). The candidate list is the sole
+    * collect — ≤ |shards| elements. A key absent from every shard
+    * prunes the entire scan (zero data partitions read). */
+  def readPruned(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long], bits: Int = DefaultBits): DataFrame = {
+    val candidates = candidateShards(spark, path, keys, bits)
+    val data = spark.read.parquet(s"$path/data")
+    if (candidates.isEmpty) data.filter(lit(false))
+    else data
+      .filter(col("shard").isin(candidates: _*))
+      .filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Shards whose Bloom filter admits ≥ 1 probe key (a key is admitted
+    * iff ALL k of its bit positions are present). The collect here is
+    * the planner's only one — bounded by the shard count. */
+  private[io] def candidateShards(spark: SparkSession, path: String,
+      keys: Seq[Long], bits: Int): Seq[Any] = {
+    require(keys.nonEmpty, "readPruned needs at least one probe key")
+    import spark.implicits._
+    val probes = keys.toDF("k")
+      .withColumn("row", explode(sequence(lit(0L), lit(Hashes.toLong - 1))))
+      .withColumn("bit", bloomBit(col("k"), col("row"), bits))
+    spark.read.parquet(s"$path/bloom")
+      .join(broadcast(probes), Seq("row", "bit"))
+      .groupBy(col("shard"), col("k"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === Hashes.toLong)
+      .select(col("shard")).distinct()
+      .collect().map(_.get(0)).toSeq
+  }
+}

@@ -1615,6 +1615,36 @@ object AnalyticsQueries {
       "cross-multiplied L1 histogram distance over shared bin edges — " +
       "integer-reproducible train/serve skew detection")
 
+  /** Bloom-pruned point lookup (`io/SkipIndex` — the secondary
+    * data-skipping index: q86's manifest skips on the SORT columns,
+    * this skips on a column the layout is NOT organized by): orders
+    * sharded by order-date day with a per-shard Bloom sidecar over
+    * o_custkey; a 2-key customer lookup visits only the shards whose
+    * filter admits a probe key (sure negatives skipped, false
+    * positives emptied by the exact IN predicate — never a wrong row).
+    * Index built on first touch keyed by sf dir (the q84/q86 pattern);
+    * steady state = sidecar join + pruned scan, the only collect the
+    * ≤-|shards| candidate list. Oracle = the plain filter: the check
+    * is that pruning loses nothing. */
+  private val q119 = Q(
+    (s, dir) => {
+      import graft.io.SkipIndex
+      val scratch = s"${Queries.scratchRoot}/q119-skip-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!graft.io.Lake.exists(s, s"$scratch/data"))
+        SkipIndex.write(
+          table(s, dir, "orders").withColumn("d", dayofmonth(col("o_orderdate"))),
+          scratch, "d", "o_custkey")
+      SkipIndex.readPruned(s, scratch, "o_custkey", Seq(11L, 97L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+      "WHERE o_custkey IN (11, 97) ORDER BY o_orderkey"),
+    "Bloom data-skipping point lookup: per-shard bloom sidecar on a " +
+      "non-layout column prunes the scan to admitting shards; exact " +
+      "filter on top so pruning never loses or invents rows")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1644,6 +1674,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q119_bloom_lookup" -> q119,
     "q118_drift_audit" -> q118,
     "q117_quantile_bins" -> q117,
     "q116_attribution" -> q116,

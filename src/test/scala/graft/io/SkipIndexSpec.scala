@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+class SkipIndexSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshPath() =
+    java.nio.file.Files.createTempDirectory("skipidx").toString + "/tbl"
+
+  // (shard, key, payload): key 999 lives ONLY in shard 2
+  private val rows = Seq(
+    (1L, 10L, "a"), (1L, 11L, "b"),
+    (2L, 999L, "c"), (2L, 10L, "d"),
+    (3L, 12L, "e"), (4L, 13L, "f"))
+
+  test("pruned read equals the plain filter; rare key prunes to its one shard") {
+    val p = freshPath()
+    val df = rows.toDF("s", "k", "v")
+    SkipIndex.write(df, p, "s", "k")
+    // with 65536 bits over ≤ 2 keys/shard this seed family has no false
+    // positives on this data — the rare key's candidate list is exact
+    assert(SkipIndex.candidateShards(spark, p, Seq(999L),
+      SkipIndex.DefaultBits) == Seq(2L))
+    val got = SkipIndex.readPruned(spark, p, "k", Seq(999L))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(got == Set((999L, "c")))
+    // multi-key lookup across shards
+    val multi = SkipIndex.readPruned(spark, p, "k", Seq(10L, 13L))
+      .select($"s", $"k", $"v").as[(Long, Long, String)].collect().toSet
+    assert(multi == Set((1L, 10L, "a"), (2L, 10L, "d"), (4L, 13L, "f")))
+  }
+
+  test("a key absent from every shard reads zero rows (and zero shards)") {
+    val p = freshPath()
+    SkipIndex.write(rows.toDF("s", "k", "v"), p, "s", "k")
+    assert(SkipIndex.candidateShards(spark, p, Seq(777777L),
+      SkipIndex.DefaultBits).isEmpty)
+    assert(SkipIndex.readPruned(spark, p, "k", Seq(777777L)).count() == 0L)
+  }
+
+  test("false positives never surface rows: tiny filter, exact results anyway") {
+    val p = freshPath()
+    // 64 bits with 20 keys/shard: heavily saturated — most lookups are
+    // false-positive admitted, but the exact predicate keeps results right
+    val big = (1L to 80L).map(i => (i % 4, i, s"v$i"))
+    SkipIndex.write(big.toDF("s", "k", "v"), p, "s", "k", bits = 64)
+    val got = SkipIndex.readPruned(spark, p, "k", Seq(7L, 999L), bits = 64)
+      .select($"k").as[Long].collect().toSet
+    assert(got == Set(7L))
+  }
+}
