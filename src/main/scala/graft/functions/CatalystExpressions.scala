@@ -580,6 +580,57 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All ordered pairs of the DISTINCT non-empty strings in the input
+    * array, lexicographically sorted (ta < tb) — the in-row pair
+    * generation for term co-occurrence mining
+    * (ops/TextAnalysis.termLift). Compiled for the same reason as
+    * WordWindows: the declarative
+    * `flatten(transform(ts, (a,i) -> transform(slice(...), ...)))` nest
+    * is interpreted per ELEMENT and re-slices the array per anchor —
+    * O(d²) interpreter round-trips and array copies per row, where this
+    * kernel is one TreeSet fill plus one nested while loop. Dedup and
+    * sort happen here (TreeSet — same Java-String order as WordCounts'
+    * TreeMap), so callers may pass raw word arrays or already-distinct
+    * term arrays interchangeably. */
+  case class WordPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("ta", StringType, nullable = false),
+      StructField("tb", StringType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_word_pairs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val terms = new java.util.TreeSet[String]()
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i).toString
+        if (t.nonEmpty) terms.add(t)
+        i += 1
+      }
+      val d = terms.size()
+      val sorted = terms.toArray(new Array[String](d))
+      val out = new Array[Any](d * (d - 1) / 2)
+      var j = 0
+      var a = 0
+      while (a < d) {
+        val ua = org.apache.spark.unsafe.types.UTF8String.fromString(sorted(a))
+        var b = a + 1
+        while (b < d) {
+          out(j) = org.apache.spark.sql.catalyst.InternalRow(
+            ua, org.apache.spark.unsafe.types.UTF8String.fromString(sorted(b)))
+          j += 1
+          b += 1
+        }
+        a += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** One O(n) pass of the EWMA recurrence over a key's time-sorted rows:
     * y_1 = x_1 (or `(a·x_1 + b·init) div 100` when an `init` state from a
     * previous segment is present), y_t = (a·x_t + b·y_{t−1}) div 100 in
@@ -709,6 +760,8 @@ object CatalystExpressions {
       es => EwmaFold(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_counts",
       es => WordCounts(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_pairs",
+      es => WordPairs(es.head), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule
@@ -775,6 +828,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_word_counts"),
       info("graft_word_counts", "_FUNC_(tokens) - per-row term-frequency pairs (term, tf), term-sorted, empties skipped"),
       es => WordCounts(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_word_pairs"),
+      info("graft_word_pairs", "_FUNC_(tokens) - ordered pairs (ta < tb) of the distinct non-empty tokens"),
+      es => WordPairs(es.head)))
     e.injectFunction((FunctionIdentifier("graft_ewma_fold"),
       info("graft_ewma_fold", "_FUNC_(rows, alphaNum, init) - O(n) EWMA fold over time-sorted rows (init = chained segment state or NULL)"),
       es => EwmaFold(es.head, es(1), es(2))))

@@ -409,4 +409,51 @@ object TextAnalysis {
         regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
           phonePattern, "<PHONE>"))
   }
+
+  /** Term co-occurrence association mining (collocation/LIFT): for
+    * every unordered pair of sufficiently-frequent terms, the number of
+    * docs containing BOTH and the lift ratio
+    * `P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` in 1e-6 fixed point —
+    * the association signal behind topic drift checks, stop-phrase
+    * discovery, and template detection, kept in integer arithmetic
+    * (PMI's log is the same ranking monotonically, with floats).
+    * Truncation order `((n_ab·1e6 div n_a)·N) div n_b` is part of the
+    * contract: since n_ab ≤ n_a the first quotient is ≤ 1e6, so the
+    * arithmetic stays inside a long up to ~9e12 docs.
+    *
+    * Scale shape: ONE WordCounts pass (distinct terms fall out in-row),
+    * materialized once for its three consumers (N agg, df agg, pair
+    * generation); pairs are generated IN THE ROW from the sorted
+    * distinct-term array (quadratic only in per-doc distinct terms —
+    * cap the vocabulary upstream for pathological docs) and hit one
+    * map-side-combined count aggregation; df and N ride back as
+    * broadcasts. `minDf` prunes rare-term pairs from the result — at
+    * corpus scale, prefilter the term array against a broadcast
+    * vocabulary to prune them before pair generation instead. */
+  def termLift(docs: DataFrame, minDf: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val dt = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"transform(graft_word_counts(split($textCol, ' ')), " +
+          "x -> x.term)").as("ts"))
+      .localCheckpoint()
+    val stats = dt.agg(count(lit(1)).as("nd"))
+    val dft = dt.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ndf"))
+    // compiled pair kernel (WordPairs): the declarative transform/slice
+    // nest re-slices the array per anchor element through the HOF
+    // interpreter — measured 1.27 vs 0.91 s min end-to-end at sf0.1
+    val pairs = dt
+      .select(explode(call_function("graft_word_pairs", col("ts"))).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(dft.select(col("term").as("ta"), col("ndf").as("na"))), "ta")
+      .join(broadcast(dft.select(col("term").as("tb"), col("ndf").as("nb"))), "tb")
+      .filter(col("na") >= minDf && col("nb") >= minDf)
+      .join(broadcast(stats))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        expr("(((n_ab * 1000000) div na) * nd) div nb").as("lift6"))
+  }
 }

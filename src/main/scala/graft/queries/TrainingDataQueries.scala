@@ -763,6 +763,31 @@ object TrainingDataQueries {
       "contribution fold, in-row tf/doc-length — only query-term rows " +
       "shuffle")
 
+  /** Term co-occurrence association mining over the corpus
+    * (ops/TextAnalysis.termLift): doc counts + integer fixed-point LIFT
+    * for every frequent term pair — collocation discovery / template
+    * detection; the oracle replays the distinct-token self-join and
+    * the exact truncating lift arithmetic. */
+  private val q120 = Q(
+    (s, dir) => TextAnalysis.termLift(table(s, dir, "documents"), minDf = 10)
+      .orderBy("ta", "tb"),
+    Some("WITH tok AS (SELECT DISTINCT doc_id, w AS term FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents " +
+      "WHERE text IS NOT NULL) WHERE w <> ''), " +
+      "n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL), " +
+      "dft AS (SELECT term, count(*) AS ndf FROM tok GROUP BY term), " +
+      "pairs AS (SELECT a.term AS ta, b.term AS tb, count(*) AS n_ab " +
+      "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term " +
+      "GROUP BY 1, 2) " +
+      "SELECT ta, tb, n_ab, " +
+      "CAST((((n_ab * 1000000) // na.ndf) * nd) // nb.ndf AS BIGINT) AS lift6 " +
+      "FROM pairs JOIN dft na ON pairs.ta = na.term " +
+      "JOIN dft nb ON pairs.tb = nb.term CROSS JOIN n " +
+      "WHERE na.ndf >= 10 AND nb.ndf >= 10 ORDER BY ta, tb"),
+    "Term co-occurrence lift: in-row sorted pair generation from one " +
+      "WordCounts pass, map-side-combined pair counts, broadcast df/N, " +
+      "integer fixed-point lift")
+
   /** Blocked fuzzy entity linkage over part names: distinct values
     * first (record counts ride along), candidates from an equi-join on
     * the head noun (the block key), levenshtein <= 2 on candidates
@@ -884,6 +909,7 @@ object TrainingDataQueries {
     "q107_hybrid_rrf" -> q107,
     "q106_cluster_split" -> q106,
     "q95_bm25" -> q95,
+    "q120_term_lift" -> q120,
     "q97_fuzzy_link" -> q97,
     "q32_stream_sessionize" -> q32,
     "q20_dedup_minhash_lsh" -> q20,

@@ -159,4 +159,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       (3L, 0L, 0L, "no pii here at all"),
       (4L, 0L, 0L, "")))
   }
+
+  test("WordPairs kernel: dedup, sort, empty-skip, hand-computed pairs") {
+    graft.functions.CatalystExpressions.register(spark)
+    val got = Seq(Tuple1("b a  b c a"), Tuple1("solo"), Tuple1(""))
+      .toDF("t")
+      .select(call_function("graft_word_pairs", split($"t", " ")).as("ps"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(got == Seq(
+      Seq(("a", "b"), ("a", "c"), ("b", "c")), // deduped + sorted
+      Seq.empty,                               // one term -> no pairs
+      Seq.empty))                              // empty text -> no pairs
+  }
+
+  test("termLift equals a driver-side replay on a hand corpus") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"), (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termLift(docs, minDf = 1)
+      .as[(String, String, Long, Long)].collect().toSet
+    // n=5; df: x=4, y=4, z=3; pairs: xy=3, xz=2, yz=2
+    def lift(nab: Long, na: Long, nb: Long) = ((nab * 1000000L) / na) * 5L / nb
+    assert(got == Set(
+      ("x", "y", 3L, lift(3, 4, 4)),
+      ("x", "z", 2L, lift(2, 4, 3)),
+      ("y", "z", 2L, lift(2, 4, 3))))
+    // minDf prunes pairs whose either side is rare
+    val pruned = TextAnalysis.termLift(docs, minDf = 4)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(pruned.map(p => (p._1, p._2)) == Set(("x", "y")))
+  }
 }
