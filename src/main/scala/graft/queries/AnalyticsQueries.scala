@@ -1645,6 +1645,129 @@ object AnalyticsQueries {
       "non-layout column prunes the scan to admitting shards; exact " +
       "filter on top so pruning never loses or invents rows")
 
+  /** Batch gap-based sessionization (q32's streaming twin, evaluated
+    * as the ONE-exchange fold family q93/q111 use): per user, events
+    * are collected and time-sorted in the row, then an O(1)-state fold
+    * (prev ts, session start, current length, totals) splits sessions
+    * at >30 min gaps and keeps per-user summary stats — no per-row
+    * window machinery, no (user, session) second shuffle, hot users
+    * linear. The oracle replays the equivalent lag/cumsum window
+    * formulation — the shape this fold provably equals (session id =
+    * running count of gap-starts). */
+  private val q121 = Q(
+    (s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val perUser = table(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id").as("id")).as("r"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+      perUser.select(col("user_id"), expr(
+        s"""aggregate(rs,
+           |  named_struct('prev', CAST(-1 AS BIGINT), 'start', CAST(0 AS BIGINT),
+           |    'cur', CAST(0 AS BIGINT), 'ns', CAST(0 AS BIGINT),
+           |    'lg', CAST(0 AS BIGINT), 'md', CAST(0 AS BIGINT)),
+           |  (acc, x) -> IF(acc.cur = 0,
+           |    named_struct('prev', x.ts_us, 'start', x.ts_us,
+           |      'cur', CAST(1 AS BIGINT), 'ns', CAST(1 AS BIGINT),
+           |      'lg', acc.lg, 'md', acc.md),
+           |    IF(x.ts_us - acc.prev > $gapUs,
+           |      named_struct('prev', x.ts_us, 'start', x.ts_us,
+           |        'cur', CAST(1 AS BIGINT), 'ns', acc.ns + 1,
+           |        'lg', GREATEST(acc.lg, acc.cur),
+           |        'md', GREATEST(acc.md, acc.prev - acc.start)),
+           |      named_struct('prev', x.ts_us, 'start', acc.start,
+           |        'cur', acc.cur + 1, 'ns', acc.ns,
+           |        'lg', acc.lg, 'md', acc.md))),
+           |  acc -> named_struct('ns', acc.ns,
+           |    'lg', GREATEST(acc.lg, acc.cur),
+           |    'md', GREATEST(acc.md, acc.prev - acc.start)))""".stripMargin)
+        .as("f"))
+        .select(col("user_id"), col("f.ns").as("n_sessions"),
+          col("f.lg").as("longest_n"), col("f.md").as("max_dur_us"))
+        .orderBy("user_id")
+    },
+    Some("WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events), " +
+      "s AS (SELECT user_id, tu, event_id, CASE WHEN lag(tu) OVER w IS NULL " +
+      "OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)), " +
+      "sid AS (SELECT user_id, tu, sum(nw) OVER (" +
+      "PARTITION BY user_id ORDER BY tu, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s), " +
+      "g AS (SELECT user_id, sid, count(*) AS n, max(tu) - min(tu) AS dur " +
+      "FROM sid GROUP BY user_id, sid) " +
+      "SELECT user_id, count(*) AS n_sessions, CAST(max(n) AS BIGINT) AS longest_n, " +
+      "max(dur) AS max_dur_us FROM g GROUP BY user_id ORDER BY user_id"),
+    "Batch gap sessionization as a one-exchange O(1)-state fold: " +
+      "per-user session count, longest session, max duration; oracle " +
+      "replays the lag/cumsum window formulation")
+
+  /** Next-event transition matrix (the Markov flow analysis behind
+    * product funnels and anomaly models): counts and fixed-point
+    * probabilities of consecutive event-type transitions per user in
+    * strict (ts, id) order — lag window (codegen'd) + one tiny count
+    * aggregation; p6 = n·1e6 div row-total of the from-state, integer
+    * truncating. */
+  private val q122 = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_et"))
+        .withColumn("from_et", lag(col("to_et"), 1).over(w))
+        .filter(col("from_et").isNotNull)
+        .groupBy(col("from_et"), col("to_et")).agg(count(lit(1)).as("n"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_et"))
+      trans.withColumn("tot", sum(col("n")).over(wf))
+        .select(col("from_et"), col("to_et"), col("n"),
+          expr("(n * 1000000) div tot").as("p6"))
+        .orderBy("from_et", "to_et")
+    },
+    Some("WITH t AS (SELECT lag(event_type) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id) AS from_et, " +
+      "event_type AS to_et FROM events), " +
+      "c AS (SELECT from_et, to_et, count(*) AS n FROM t " +
+      "WHERE from_et IS NOT NULL GROUP BY from_et, to_et), " +
+      "tot AS (SELECT from_et, sum(n) AS tot FROM c GROUP BY from_et) " +
+      "SELECT c.from_et, c.to_et, c.n, " +
+      "CAST((c.n * 1000000) // tot.tot AS BIGINT) AS p6 " +
+      "FROM c JOIN tot ON c.from_et = tot.from_et " +
+      "ORDER BY c.from_et, c.to_et"),
+    "Markov next-event transition matrix: codegen'd lag window + one " +
+      "count aggregation; fixed-point row-normalized probabilities")
+
+  /** Rolling 7-day active users (the WAU-per-day engagement series):
+    * per observation day, distinct users active in the trailing week.
+    * Spark has no COUNT DISTINCT OVER RANGE; the scale shape is the
+    * offset-explode: distinct (day, user) first (collapses event
+    * volume to user-days), each user-day contributes to 7 observation
+    * days (bounded ×7 fan-out of the SMALL relation), distinct again,
+    * count per day — three narrow shuffles of user-day-sized data,
+    * never a range self-join of raw events. */
+  private val q123 = Q(
+    (s, dir) => {
+      val du = table(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val mm = du.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      du.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(d, o)").as("day"), col("user_id"))
+        .distinct()
+        .join(broadcast(mm))
+        .filter(col("day") >= col("lo") && col("day") <= col("hi"))
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        .orderBy("day")
+    },
+    Some("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+      "mm AS (SELECT min(d) AS lo, max(d) AS hi FROM du), " +
+      "x AS (SELECT DISTINCT d + o AS day, user_id FROM du " +
+      "CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) t(o)) " +
+      "SELECT day, count(*) AS wau FROM x CROSS JOIN mm " +
+      "WHERE day BETWEEN lo AND hi GROUP BY day ORDER BY day"),
+    "Rolling 7-day active users: distinct user-days, bounded x7 offset " +
+      "explode, distinct, count — never a range self-join of raw events")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1674,6 +1797,9 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q123_rolling_wau" -> q123,
+    "q122_transitions" -> q122,
+    "q121_sessionize_batch" -> q121,
     "q119_bloom_lookup" -> q119,
     "q118_drift_audit" -> q118,
     "q117_quantile_bins" -> q117,
