@@ -69,7 +69,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // q107's lexical side crosses the same broadcast 1-row corpus
     // stats as q95
     "q80_tfidf", "q81_gapfill", "q95_bm25", "q98_quality_audit",
-    "q99_histogram", "q107_hybrid_rrf")
+    "q99_histogram", "q107_hybrid_rrf",
+    // q112's probe grid deliberately crosses the probe keys with the
+    // sketch's GROUP LIST — both metadata-sized (|keys|·|groups|·depth
+    // rows) and the sketch side is depth·width-bounded, so the product
+    // is bounded by construction, never data×data; q123 crosses the
+    // broadcast 1-row min/max day span and q120 the broadcast 1-row
+    // corpus size N (the q81/q95/q99 shape)
+    "q112_cm_sketch", "q120_term_lift", "q123_rolling_wau")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
