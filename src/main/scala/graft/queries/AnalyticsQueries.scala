@@ -1768,6 +1768,41 @@ object AnalyticsQueries {
     "Rolling 7-day active users: distinct user-days, bounded x7 offset " +
       "explode, distinct, count — never a range self-join of raw events")
 
+  /** STREAMING Count-Min maintenance (the eighth streaming query —
+    * q112's incremental twin): per-micro-batch cell tables land
+    * idempotently in `batch=<id>` partitions (StreamSink.toCmSketch —
+    * exactly-once on plain parquet because a replay overwrites its own
+    * landing, where an in-place merge would double-count), the live
+    * sketch is the cell-wise sum at read time (associative merge ⇒
+    * provably the direct batch sketch over everything streamed), and
+    * the same merge-rollup + probe estimates as q112 run on top — so
+    * this hash-checks against q112's full SQL replay
+    * (batch-equivalence, the q19/q101/q114 pattern). */
+  private val q124 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val d = 3; val w = 64
+      val scratch = s"${Queries.scratchRoot}/q124-cmstream"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val stream = Queries.stagedEventStream(s, dir, "q124")
+      val q = graft.streaming.StreamSink.toCmSketch(stream, s"$scratch/cells",
+        s"$scratch/ckpt", "event_type", "user_id", d, w)
+      q.processAllAvailable(); q.stop()
+      val perType = graft.streaming.StreamSink.readCmSketch(s, s"$scratch/cells")
+        .localCheckpoint()
+      val sk = perType.unionByName(Sketches.cmMerge(perType, "__all"))
+      val probes = table(s, dir, "events").select(col("user_id").as("k"))
+        .filter(pmod(col("k"), lit(37L)) === 0).distinct()
+      Sketches.cmEstimate(sk, probes, d, w)
+        .select(col("grp").as("scope"), col("k"), col("est"))
+        .orderBy("scope", "k")
+    },
+    q112.oracle,
+    "Streaming Count-Min maintenance: idempotent per-batch cell " +
+      "landings, cell-sum recovery at read — hash-equal to the direct " +
+      "batch sketch and q112's full SQL replay")
+
   /** STREAMING ordered-step funnel (the seventh streaming query —
     * q111's incremental twin, the live conversion dashboard): per-user
     * (stage, last-matched-ts) state — 12 bytes, the batch fold's
@@ -1797,6 +1832,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q124_stream_cm" -> q124,
     "q123_rolling_wau" -> q123,
     "q122_transitions" -> q122,
     "q121_sessionize_batch" -> q121,

@@ -128,6 +128,46 @@ object StreamSink {
     * any reader that keys off the checkpoint. On object stores without
     * atomic rename, point `path` at a rename-capable layer (HDFS,
     * cluster FS) or use a transactional table format instead. */
+  /** Continuous Count-Min sketch maintenance
+    * ([[graft.ops.Sketches.cmSketch]]): each micro-batch's cell table
+    * lands in its own `batch=<id>` partition via the idempotent
+    * [[landBatch]] rename protocol, and the LIVE sketch is recovered at
+    * read time by [[readCmSketch]]'s cell-wise sum — sound because
+    * Count-Min merge is associative and commutative, so "merge at
+    * serve" equals "merge per batch" equals the direct batch sketch
+    * over everything that streamed in (spec-asserted). Landing
+    * per-batch cells instead of read-modify-writing a merged table is
+    * what makes this EXACTLY-ONCE on plain parquet: a replayed batch
+    * overwrites its own previous landing, where an in-place merge would
+    * double-count it. Each landed batch is ≤ groups·depth·width cell
+    * rows regardless of batch size; compact with [[graft.io.Lake
+    * .compact]] when batch count grows. */
+  def toCmSketch(stream: DataFrame, path: String, checkpoint: String,
+      grpCol: String, keyCol: String, depth: Int, width: Int,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Sketches.cmSketch(batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(keyCol), depth, width),
+            path, batchId)
+      }
+      .start()
+
+  /** The live merged Count-Min sketch from a [[toCmSketch]] landing:
+    * cell-wise sum across batch partitions — same cell schema as a
+    * direct [[graft.ops.Sketches.cmSketch]] build. */
+  def readCmSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(col("grp"), col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   def landBatch(batch: DataFrame, path: String, batchId: Long,
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path

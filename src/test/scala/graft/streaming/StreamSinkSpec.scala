@@ -147,4 +147,25 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(!new java.io.File(lake).listFiles()
       .exists(_.getName.startsWith(".staging")), "staging dir must be renamed away")
   }
+
+  test("toCmSketch landings: multi-batch cell sum equals the direct sketch; replay is idempotent") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    val d = 3; val w = 64
+    val path = java.nio.file.Files.createTempDirectory("cmstream").toString + "/cells"
+    val all = (1L to 300L).map(i => (s"g${i % 3}", i % 29)).toDF("g", "id")
+    // three "micro-batches" landed through the same protocol the sink uses
+    val parts = Seq(all.filter($"id" % 3 === 0), all.filter($"id" % 3 === 1),
+      all.filter($"id" % 3 === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      StreamSink.landBatch(Sketches.cmSketch(b, $"g", $"id", d, w), path, i.toLong)
+    }
+    // replay of batch 1 must not double-count
+    StreamSink.landBatch(Sketches.cmSketch(parts(1), $"g", $"id", d, w), path, 1L)
+    val merged = StreamSink.readCmSketch(spark, path)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val direct = Sketches.cmSketch(all, $"g", $"id", d, w)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(merged == direct && direct.nonEmpty)
+  }
 }
