@@ -1768,6 +1768,28 @@ object AnalyticsQueries {
     "Rolling 7-day active users: distinct user-days, bounded x7 offset " +
       "explode, distinct, count — never a range self-join of raw events")
 
+  /** 2-D Pareto frontier / skyline (min price, max size over part):
+    * the undominated price-capability trade-off points — ops/Pareto's
+    * two-phase sweep (salted local frontier, provably a superset of
+    * each partition's global contribution, then a global sweep over
+    * the survivors); the oracle replays the naive quadratic NOT-EXISTS
+    * self-join the sweep replaces. */
+  private val q125 = Q(
+    (s, dir) => graft.ops.Pareto.skyline2D(table(s, dir, "part"),
+        col("p_retailprice"), col("p_size").cast("long"))
+      .select(col("x").as("price"), col("y").as("size"), col("n"))
+      .orderBy("price", "size"),
+    Some("WITH pts AS (SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size, " +
+      "count(*) AS n FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL " +
+      "GROUP BY 1, 2) " +
+      "SELECT price, size, n FROM pts p WHERE NOT EXISTS (" +
+      "SELECT 1 FROM pts q WHERE q.price <= p.price AND q.size >= p.size " +
+      "AND (q.price < p.price OR q.size > p.size)) " +
+      "ORDER BY price, size"),
+    "2-D Pareto frontier via the two-phase salted sweep (local " +
+      "frontiers then global, O(1) window state); oracle replays the " +
+      "quadratic NOT-EXISTS skyline")
+
   /** STREAMING Count-Min maintenance (the eighth streaming query —
     * q112's incremental twin): per-micro-batch cell tables land
     * idempotently in `batch=<id>` partitions (StreamSink.toCmSketch —
@@ -1832,6 +1854,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q125_skyline" -> q125,
     "q124_stream_cm" -> q124,
     "q123_rolling_wau" -> q123,
     "q122_transitions" -> q122,
