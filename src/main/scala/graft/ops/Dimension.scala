@@ -133,4 +133,45 @@ object Dimension {
       .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
         attrCols.map(c => col("__a." + c)): _*)
   }
+
+  /** [[pitJoin]] with a STALENESS bound — the feature-store freshness
+    * contract: a dimension version older than `maxAgeUs` at the fact's
+    * instant is treated as MISSING (NULL attributes), exactly like a
+    * key with no version yet. Serving stale features silently is the
+    * classic training/serving skew bug; the bound makes "too old" an
+    * explicit, replayable data rule rather than an accident of load
+    * cadence. Same one-shuffle no-join-node shape as [[pitJoin]]: the
+    * version's own timestamp rides inside the carried attribute struct
+    * (`__vt`), and the age check is a row-local post-filter on the
+    * window output — no second join, no extra exchange. */
+  def pitJoinStale(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTimeCol: String, attrCols: Seq[String], maxAgeUs: Long): DataFrame = {
+    require(attrCols.nonEmpty, "pitJoinStale needs at least one attribute column")
+    require(maxAgeUs >= 0, s"maxAgeUs must be >= 0, got $maxAgeUs")
+    // cast: date / TIMESTAMP_NTZ validity columns normalize to the
+    // session-zoned instant (identical under the UTC session)
+    val attrStruct = struct(
+      unix_micros(col("valid_from").cast("timestamp")).as("__vt") +:
+        attrCols.map(col): _*)
+    val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
+    val vRows = dim.select(col(keyCol).as("__key"),
+      col("valid_from").as("__t"), lit(0).as("__k"),
+      attrStruct.as("__attrs"))
+    val attrType = vRows.schema("__attrs").dataType
+    val fRows = facts.select(col(keyCol).as("__key"),
+      col(factTimeCol).as("__t"), lit(1).as("__k"),
+      lit(null).cast(attrType).as("__attrs"), factStruct.as("__fact"))
+    val factType = fRows.schema("__fact").dataType
+    val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fresh = col("__a").isNotNull &&
+      unix_micros(col("__t").cast("timestamp")) - col("__a.__vt") <= maxAgeUs
+    vRows.withColumn("__fact", lit(null).cast(factType))
+      .unionByName(fRows)
+      .withColumn("__a", last(col("__attrs"), ignoreNulls = true).over(w))
+      .filter(col("__k") === 1)
+      .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
+        attrCols.map(c =>
+          when(fresh, col("__a." + c)).otherwise(lit(null)).as(c)): _*)
+  }
 }

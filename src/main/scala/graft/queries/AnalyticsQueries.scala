@@ -1768,6 +1768,112 @@ object AnalyticsQueries {
     "Rolling 7-day active users: distinct user-days, bounded x7 offset " +
       "explode, distinct, count — never a range self-join of raw events")
 
+  /** Staleness-bounded point-in-time join (q103 + the feature-store
+    * FRESHNESS contract): facts pick up the dimension version valid at
+    * their instant ONLY if it is at most 30 days old — older versions
+    * are treated as missing, exactly like a key with no version yet
+    * (serving stale features silently is the classic training/serving
+    * skew bug; the bound makes "too old" an explicit replayable rule).
+    * Same one-shuffle no-join-node shape as q103 — the version
+    * timestamp rides in the carried struct and the age check is a
+    * row-local post-filter. Oracle = ASOF LEFT JOIN + the same age
+    * CASE. */
+  private val q126 = Q(
+    (s, dir) => {
+      val maxAgeUs = 30L * 86400L * 1000000L
+      val log = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("o_orderstatus"))
+      val dim = graft.ops.Dimension.scd2Build(log, "o_custkey",
+          "o_orderdate", Seq("o_orderstatus"))
+        .withColumnRenamed("o_orderstatus", "status_fresh")
+      val facts = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      graft.ops.Dimension.pitJoinStale(facts, dim, "o_custkey",
+          "o_orderdate", Seq("status_fresh"), maxAgeUs)
+        .orderBy("o_orderkey")
+    },
+    Some("WITH log AS (SELECT o_custkey, o_orderdate, " +
+      "max_by(o_orderstatus, o_orderkey) AS o_orderstatus FROM orders " +
+      "GROUP BY o_custkey, o_orderdate), " +
+      "chg AS (SELECT *, lag(o_orderstatus) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate) AS pv FROM log), " +
+      "cp AS (SELECT o_custkey, o_orderdate, o_orderstatus FROM chg " +
+      "WHERE pv IS NULL OR pv <> o_orderstatus), " +
+      "dim AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from " +
+      "FROM cp) " +
+      "SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, " +
+      "CASE WHEN d.valid_from IS NULL " +
+      "OR epoch_us(f.o_orderdate) - epoch_us(d.valid_from) > 2592000000000 " +
+      "THEN NULL ELSE d.o_orderstatus END AS status_fresh " +
+      "FROM orders f ASOF LEFT JOIN dim d ON f.o_custkey = d.o_custkey " +
+      "AND f.o_orderdate >= d.valid_from " +
+      "ORDER BY f.o_orderkey"),
+    "Staleness-bounded PIT join: as-of lookup that treats versions " +
+      "older than 30 days as missing — one keyed window pass, no join " +
+      "node, age check row-local")
+
+  /** Rolling 7-day distinct users from MERGEABLE per-day KMV sketches
+    * (q102 × q123 — the sketch-rollup answer to sliding distinct
+    * counts): one scan builds a ≤ k-row sketch per day; every
+    * observation day's WAU estimate merges its trailing week's SKETCH
+    * ROWS (≤ 7k rows/day, the offset explode on metadata-sized input)
+    * — the base table is never rescanned, which is the entire point at
+    * corpus scale where q123's exact path re-shuffles user-days per
+    * window. Integer hash + truncating estimator ⇒ fully
+    * SQL-replayable; exact below saturation, error-bounded above
+    * (k = 64 saturates at sf0.1 — the estimator path is what's
+    * checked). */
+  private val q127 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val k = 64
+      val dh = table(s, dir, "events")
+        .select(to_date(col("ts")).as("d"),
+          Sketches.kmvHash(col("user_id")).as("h"))
+        .distinct()
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d")).orderBy(col("h"))
+      val daily = dh.withColumn("r", row_number().over(wD))
+        .filter(col("r") <= k).drop("r")
+        .localCheckpoint() // feeds the span agg AND the rolling merge
+      val mm = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val rolled = daily
+        .withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(d, o)").as("grp"), col("h"))
+        .distinct()
+        .join(broadcast(mm))
+        .filter(col("grp") >= col("lo") && col("grp") <= col("hi"))
+      val wO = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("h"))
+      val sk = rolled.withColumn("r", row_number().over(wO))
+        .filter(col("r") <= k)
+      Sketches.kmvEstimate(sk, k)
+        .select(col("grp").as("day"), col("m"), col("est"))
+        .orderBy("day")
+    },
+    Some {
+      val k = 64
+      val est = s"${(k - 1).toLong * 2147483647L}"
+      "WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS d, " +
+        "(((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 " +
+        "+ 2147483647) % 2147483647 AS h FROM events), " +
+        s"daily AS (SELECT d, h FROM (SELECT d, h, row_number() OVER " +
+        s"(PARTITION BY d ORDER BY h) AS r FROM dh) WHERE r <= $k), " +
+        "mm AS (SELECT min(d) AS lo, max(d) AS hi FROM daily), " +
+        "rolled AS (SELECT DISTINCT d + o AS day, h FROM daily " +
+        "CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) t(o)), " +
+        "sk AS (SELECT day, h, row_number() OVER (" +
+        "PARTITION BY day ORDER BY h) AS r FROM rolled CROSS JOIN mm " +
+        "WHERE day BETWEEN lo AND hi) " +
+        s"SELECT day, count(*) AS m, CAST(CASE WHEN count(*) < $k THEN count(*) " +
+        s"ELSE $est // max(CASE WHEN r = $k THEN h END) END AS BIGINT) AS est " +
+        s"FROM sk WHERE r <= $k GROUP BY day ORDER BY day"
+    },
+    "Rolling 7-day distinct users from mergeable per-day KMV sketches: " +
+      "the offset explode runs on sketch rows, never a base rescan; " +
+      "integer estimator, fully SQL-replayable")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -1854,6 +1960,8 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q127_rolling_kmv" -> q127,
+    "q126_pit_stale" -> q126,
     "q125_skyline" -> q125,
     "q124_stream_cm" -> q124,
     "q123_rolling_wau" -> q123,

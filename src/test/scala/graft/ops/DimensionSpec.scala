@@ -147,4 +147,32 @@ class DimensionSpec extends AnyFunSuite with SparkTest {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(pit == interval && pit.nonEmpty)
   }
+
+  test("pitJoinStale: fresh versions equal pitJoin; old versions and no-version keys are NULL") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val dayUs = 86400L * 1000000L
+    val dim = Seq(
+      (1L, ts(1), "v1"), (1L, ts(10), "v2"), // key 1: two versions
+      (2L, ts(1), "w1"))                     // key 2: one old version
+      .toDF("k", "valid_from", "attr")
+    val facts = Seq(
+      (101L, 1L, ts(11)), // v2 is 1 day old -> fresh
+      (102L, 1L, ts(20)), // v2 is 10 days old -> stale under 5-day bound
+      (103L, 2L, ts(2)),  // w1 is 1 day old -> fresh
+      (104L, 3L, ts(15))) // no version at all -> NULL
+      .toDF("fid", "k", "ft")
+    val got = Dimension.pitJoinStale(facts, dim, "k", "ft", Seq("attr"),
+        maxAgeUs = 5L * dayUs)
+      .select($"fid", $"attr").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(101L -> Some("v2"), 102L -> None,
+      103L -> Some("w1"), 104L -> None))
+    // with an unbounded age the stale variant degenerates to pitJoin
+    val unbounded = Dimension.pitJoinStale(facts, dim, "k", "ft",
+        Seq("attr"), maxAgeUs = 365L * dayUs)
+      .select($"fid", $"attr").as[(Long, Option[String])].collect().toMap
+    val plain = Dimension.pitJoin(facts, dim, "k", "ft", Seq("attr"))
+      .select($"fid", $"attr").as[(Long, Option[String])].collect().toMap
+    assert(unbounded == plain)
+  }
 }
