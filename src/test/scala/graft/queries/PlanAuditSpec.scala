@@ -50,7 +50,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q110_gated_ingest",
     // q102 materializes its per-type k-min sketch (one job) at
     // plan-build so the merge and the estimate share it
-    "q102_kmv_distinct")
+    "q102_kmv_distinct",
+    // q112 checkpoints its cell table (the q102 shape); q124 is its
+    // streaming twin (runs the stream + landings at plan-build); q114
+    // runs the funnel stream; q115 performs two real versioned commits;
+    // q119 builds its bloom index + collects the candidate list (its
+    // pruning property has a dedicated test below); q127 checkpoints
+    // the per-day sketch
+    "q112_cm_sketch", "q114_stream_funnel", "q115_cdc_merge",
+    "q119_bloom_lookup", "q124_stream_cm", "q127_rolling_kmv")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -70,13 +78,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // stats as q95
     "q80_tfidf", "q81_gapfill", "q95_bm25", "q98_quality_audit",
     "q99_histogram", "q107_hybrid_rrf",
-    // q112's probe grid deliberately crosses the probe keys with the
-    // sketch's GROUP LIST — both metadata-sized (|keys|·|groups|·depth
-    // rows) and the sketch side is depth·width-bounded, so the product
-    // is bounded by construction, never data×data; q123 crosses the
-    // broadcast 1-row min/max day span and q120 the broadcast 1-row
-    // corpus size N (the q81/q95/q99 shape)
-    "q112_cm_sketch", "q120_term_lift", "q123_rolling_wau")
+    // q123 crosses the broadcast 1-row min/max day span and q120 the
+    // broadcast 1-row corpus size N (the q81/q95/q99 shape). (q112's
+    // bounded |keys|·|groups| probe grid would belong here too, but its
+    // checkpoint makes it eager — see the eager set.)
+    "q120_term_lift", "q123_rolling_wau")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -167,5 +173,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)]"),
       s"value filter not pushed into the ORC scan:\n$plan")
+  }
+
+  test("q116/q121/q126: the as-of / fold family plans NO join node") {
+    for (name <- Seq("q116_attribution", "q121_sessionize_batch",
+        "q126_pit_stale")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name planned a join:\n$plan")
+    }
+  }
+
+  test("q113: triangle joins all broadcast off the checkpointed orientation") {
+    val plan = planOf("q113_triangles")
+    // wedge self-join + closing join: both broadcast; the multi-million
+    // row wedge stream must never hit a shuffle before the final agg
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"wedge pipeline degraded to a shuffled join:\n$plan")
+  }
+
+  test("q119: the data scan is pruned by the candidate-shard partition filter") {
+    // build the index at this SF, then audit the pruned read's plan
+    val scratch = s"${Queries.scratchRoot}/q119-skip-planaudit"
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    graft.io.SkipIndex.write(
+      Queries.table(spark, sf0001, "orders").withColumn("d",
+        org.apache.spark.sql.functions.dayofmonth(
+          org.apache.spark.sql.functions.col("o_orderdate"))),
+      scratch, "d", "o_custkey")
+    val plan = graft.io.SkipIndex.readPruned(spark, scratch, "o_custkey",
+      Seq(11L, 97L)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard#"),
+      s"shard candidates did not become a partition filter:\n$plan")
+  }
+
+  test("q125: the skyline is two window sweeps, never a quadratic join") {
+    val plan = planOf("q125_skyline")
+    assert("Window".r.findAllIn(plan).size >= 2, s"expected two sweeps:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"skyline degraded to the quadratic join:\n$plan")
   }
 }
