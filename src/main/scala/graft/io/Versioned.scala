@@ -170,7 +170,8 @@ object Versioned {
     * partition enumeration instead (same semantics, partition-pruned
     * rewrite). */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
-      keyCols: Seq[String], opCol: String = "change"): Long = {
+      keyCols: Seq[String], opCol: String = "change",
+      coalesceTo: Option[Int] = None): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     // materialize the changeset once: three consumers (validation agg,
@@ -194,7 +195,12 @@ object Versioned {
     val survivors = cur.join(changedKeys, keyCols, "left_anti")
     val upserts = chg.filter(col(opCol).isin("insert", "update"))
       .select(cur.columns.map(col).toSeq: _*)
-    commit(survivors.unionByName(upserts), path, "overwrite")
+    // coalesceTo: copy-on-write targets dimension-SIZED tables (see
+    // docstring), where the anti-join's full shuffle-partition fan-out
+    // writes mostly-tiny files every merge; callers that know the
+    // snapshot is small coalesce the write (narrow, no extra shuffle)
+    val next = survivors.unionByName(upserts)
+    commit(coalesceTo.map(next.coalesce).getOrElse(next), path, "overwrite")
   }
 
   /** Commit history as a frame: (version, n_files) per commit —

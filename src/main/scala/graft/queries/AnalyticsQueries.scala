@@ -1482,7 +1482,7 @@ object AnalyticsQueries {
         .withColumn("o_orderpriority", when(col("o_orderkey") % 3 === 0,
           lit("X-UPDATED")).otherwise(col("o_orderpriority")))
         .localCheckpoint()
-      Versioned.commit(before, scratch, "append")
+      Versioned.commit(before.coalesce(8), scratch, "append")
       val diff = graft.ops.Cdc.snapshotDiff(before, after, Seq("o_orderkey"),
         Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
       val upserts = diff.filter(col("change").isin("insert", "update"))
@@ -1490,7 +1490,7 @@ object AnalyticsQueries {
       val deletes = diff.filter(col("change") === "delete")
         .select(col("o_orderkey"), col("change")).join(before, "o_orderkey")
       Versioned.applyChanges(s, scratch, upserts.unionByName(deletes),
-        Seq("o_orderkey"), "change")
+        Seq("o_orderkey"), "change", coalesceTo = Some(8))
       Versioned.readAsOf(s, scratch, Some(2L)).orderBy("o_orderkey")
     },
     Some("SELECT o_orderkey, o_orderstatus, " +
