@@ -605,11 +605,20 @@ object CatalystExpressions {
       val terms = new java.util.TreeSet[String]()
       var i = 0
       while (i < n) {
-        val t = arr.getUTF8String(i).toString
-        if (t.nonEmpty) terms.add(t)
+        val u8 = arr.getUTF8String(i) // null ELEMENTS skip like empties
+        if (u8 != null) {
+          val t = u8.toString
+          if (t.nonEmpty) terms.add(t)
+        }
         i += 1
       }
       val d = terms.size()
+      // d·(d−1)/2 output pairs: past ~46k distinct terms the pair array
+      // exceeds Int range — a pathological doc; bound the vocabulary
+      // upstream (termLift's docstring) rather than wrap silently
+      require(d <= 20000,
+        s"graft_word_pairs: $d distinct terms in one row (> 20000) — " +
+          "prefilter the vocabulary before pair generation")
       val sorted = terms.toArray(new Array[String](d))
       val out = new Array[Any](d * (d - 1) / 2)
       var j = 0

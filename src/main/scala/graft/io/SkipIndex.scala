@@ -78,7 +78,10 @@ object SkipIndex {
       keys: Seq[Long], bits: Int): Seq[Any] = {
     require(keys.nonEmpty, "readPruned needs at least one probe key")
     import spark.implicits._
-    val probes = keys.toDF("k")
+    // distinct: a duplicated probe key would double its (row, bit) join
+    // hits and the ALL-k-bits admit test (hits === Hashes) would then
+    // reject every shard the key lives in — silent data loss
+    val probes = keys.distinct.toDF("k")
       .withColumn("row", explode(sequence(lit(0L), lit(Hashes.toLong - 1))))
       .withColumn("bit", bloomBit(col("k"), col("row"), bits))
     spark.read.parquet(s"$path/bloom")

@@ -81,7 +81,7 @@ object Versioned {
     *    (time travel) until [[vacuum]] reclaims them.
     * Returns the committed version number. */
   def commit(df: DataFrame, path: String, mode: String = "append",
-      maxAttempts: Int = 10): Long = {
+      maxAttempts: Int = 10, expectedPrev: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -92,11 +92,25 @@ object Versioned {
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
     f.mkdirs(logDir(path))
     // 2. optimistic publish loop: losers of a version race retry on the
-    // re-read log; append semantics compose across racing writers
+    // re-read log; append semantics compose across racing writers.
+    // `expectedPrev` is the compare-and-swap form for read-modify-write
+    // callers (applyChanges): a content change that derived its output
+    // from snapshot v must ONLY publish as v+1 — if another commit
+    // landed meanwhile, retrying on the newer log would silently drop
+    // that commit's rows (lost update), so the writer aborts loudly and
+    // the caller recomputes from the current snapshot instead
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = latestVersion(spark, path)
+      expectedPrev.foreach { e =>
+        if (prev.getOrElse(0L) != e) {
+          f.delete(new Path(dataDir), true) // abort: reclaim staged files
+          throw new java.util.ConcurrentModificationException(
+            s"Versioned.commit at $path: derived from v$e but v" +
+              s"${prev.getOrElse(0L)} is now latest — recompute and retry")
+        }
+      }
       val next = prev.map(_ + 1L).getOrElse(1L)
       val files = mode match {
         case "append" =>
@@ -190,7 +204,9 @@ object Versioned {
     require(bad.getLong(1) == 0L, s"applyChanges: ${bad.getLong(1)} rows with unknown ops")
     require(bad.getLong(2) == 0L,
       s"applyChanges: ${bad.getLong(2)} duplicate keys in one batch (order-ambiguous)")
-    val cur = readAsOf(spark, path)
+    val vBase = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $path"))
+    val cur = readAsOf(spark, path, Some(vBase))
     val changedKeys = chg.select(keyCols.map(col): _*)
     val survivors = cur.join(changedKeys, keyCols, "left_anti")
     val upserts = chg.filter(col(opCol).isin("insert", "update"))
@@ -200,7 +216,12 @@ object Versioned {
     // writes mostly-tiny files every merge; callers that know the
     // snapshot is small coalesce the write (narrow, no extra shuffle)
     val next = survivors.unionByName(upserts)
-    commit(coalesceTo.map(next.coalesce).getOrElse(next), path, "overwrite")
+    // CAS on the base version: the overwrite was derived from vBase's
+    // snapshot, so it must publish as vBase+1 or abort — a plain
+    // optimistic retry here would silently discard any commit that
+    // landed between the read and the publish (lost update)
+    commit(coalesceTo.map(next.coalesce).getOrElse(next), path, "overwrite",
+      expectedPrev = Some(vBase))
   }
 
   /** Commit history as a frame: (version, n_files) per commit —

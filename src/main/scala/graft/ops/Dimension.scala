@@ -114,7 +114,19 @@ object Dimension {
   def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
       factTimeCol: String, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "pitJoin needs at least one attribute column")
-    val attrStruct = struct(attrCols.map(col): _*)
+    asOfCarry(facts, dim, keyCol, factTimeCol, struct(attrCols.map(col): _*))
+      .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
+        attrCols.map(c => col("__a." + c)): _*)
+  }
+
+  /** Shared as-of machinery of [[pitJoin]] / [[pitJoinStale]]: union
+    * version rows (tagged to sort before facts at equal instants) with
+    * fact rows, carry the latest `attrStruct` forward per key with one
+    * O(1)-state window, return the FACT rows with `__fact` (the
+    * original fact struct), `__a` (the carried attributes, NULL before
+    * a key's first version) and `__t` (the fact instant). */
+  private def asOfCarry(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTimeCol: String, attrStruct: org.apache.spark.sql.Column): DataFrame = {
     val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
     val vRows = dim.select(col(keyCol).as("__key"),
       col("valid_from").as("__t"), lit(0).as("__k"),
@@ -130,8 +142,6 @@ object Dimension {
       .unionByName(fRows)
       .withColumn("__a", last(col("__attrs"), ignoreNulls = true).over(w))
       .filter(col("__k") === 1)
-      .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
-        attrCols.map(c => col("__a." + c)): _*)
   }
 
   /** [[pitJoin]] with a STALENESS bound — the feature-store freshness
@@ -153,23 +163,9 @@ object Dimension {
     val attrStruct = struct(
       unix_micros(col("valid_from").cast("timestamp")).as("__vt") +:
         attrCols.map(col): _*)
-    val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
-    val vRows = dim.select(col(keyCol).as("__key"),
-      col("valid_from").as("__t"), lit(0).as("__k"),
-      attrStruct.as("__attrs"))
-    val attrType = vRows.schema("__attrs").dataType
-    val fRows = facts.select(col(keyCol).as("__key"),
-      col(factTimeCol).as("__t"), lit(1).as("__k"),
-      lit(null).cast(attrType).as("__attrs"), factStruct.as("__fact"))
-    val factType = fRows.schema("__fact").dataType
-    val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__k"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     val fresh = col("__a").isNotNull &&
       unix_micros(col("__t").cast("timestamp")) - col("__a.__vt") <= maxAgeUs
-    vRows.withColumn("__fact", lit(null).cast(factType))
-      .unionByName(fRows)
-      .withColumn("__a", last(col("__attrs"), ignoreNulls = true).over(w))
-      .filter(col("__k") === 1)
+    asOfCarry(facts, dim, keyCol, factTimeCol, attrStruct)
       .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
         attrCols.map(c =>
           when(fresh, col("__a." + c)).otherwise(lit(null)).as(c)): _*)

@@ -95,8 +95,10 @@ object Funnel {
     * (ties among touches resolve by id — last wins).
     *
     * Returns the conversion rows as `(k, ts_us, id, conv, attributed)`.
-    * Touch/conv must be non-null on disjoint rows (a row that is both
-    * would see itself excluded by the strict ordering). */
+    * Touch/conv should be non-null on disjoint rows; a row that is both
+    * never attributes to ITSELF (the window frame ends one row before
+    * the current row — which changes nothing for disjoint inputs, where
+    * the current conversion row's own touch value is NULL anyway). */
   def lastTouch(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, touch: Column, conv: Column): DataFrame = {
     val u = events.select(col(keyCol).as("k"),
@@ -106,7 +108,7 @@ object Funnel {
       .partitionBy(col("k"))
       .orderBy(col("ts_us"),
         when(col("conv").isNotNull, 0).otherwise(1), col("id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     u.withColumn("attributed", last(col("touch"), ignoreNulls = true).over(w))
       .filter(col("conv").isNotNull)
       .select(col("k"), col("ts_us"), col("id"), col("conv"), col("attributed"))

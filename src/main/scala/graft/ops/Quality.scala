@@ -170,8 +170,22 @@ object Quality {
           struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("r"))
         .select(col("r.c").as("c"), col("r.v").as("v"), lit(src).as("src"))
     val u = stack(ref, 0).unionAll(stack(cur, 1))
-    val mm = u.groupBy(col("c"))
-      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    // joint spans from COLUMNAR 1-row aggs on each snapshot (not from
+    // the stacked relation — that would scan+explode both inputs twice,
+    // once for the spans and once for the binning; least/greatest skip
+    // NULLs exactly like min/max over the union would)
+    def spanAgg(df: DataFrame, tag: String) = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_${tag}_$c"),
+        max(col(c).cast("double")).as(s"mx_${tag}_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val mm = spanAgg(ref, "r").crossJoin(spanAgg(cur, "c"))
+      .select(explode(array(cols.map(c => struct(lit(c).as("c"),
+        least(col(s"mn_r_$c"), col(s"mn_c_$c")).as("vmin"),
+        greatest(col(s"mx_r_$c"), col(s"mx_c_$c")).as("vmax"))): _*)).as("s"))
+      .select(col("s.c").as("c"), col("s.vmin").as("vmin"),
+        col("s.vmax").as("vmax"))
     val binned = u.join(broadcast(mm), "c")
       .withColumn("bin", when(col("v").isNull, lit(-1L))
         .when(col("vmax") === col("vmin"), lit(0L))

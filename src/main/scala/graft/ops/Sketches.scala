@@ -357,9 +357,12 @@ object Sketches {
   //
   // Hashes are the seeded total affine family h_i(x) =
   // ((x pmod P)·(A + i·CmStep) + B + i) pmod P pmod width — the kmvHash
-  // construction per row i, integer end-to-end and SQL-replayable
-  // (multiplier stays < 2^32 for depth ≤ 4000, so the product of a
-  // reduced key < 2P with it stays inside a long for any input).
+  // construction per row i, integer end-to-end and SQL-replayable.
+  // Overflow bound: the product (reduced key < P ≈ 2^31) × multiplier
+  // must stay inside a long, so the multiplier A + i·CmStep must stay
+  // < 2^32 — true for i ≤ 3191; depth is capped at 3000 with margin
+  // (beyond that the long silently wraps and the sketch diverges from
+  // any exact SQL replay).
   // ---------------------------------------------------------------------
 
   val CmStep: Long = 1000003L
@@ -380,7 +383,8 @@ object Sketches {
   def cmSketch(df: DataFrame, groupCol: org.apache.spark.sql.Column,
       keyCol: org.apache.spark.sql.Column, depth: Int, width: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    require(depth >= 1 && depth <= 4000, s"depth must be in [1, 4000], got $depth")
+    require(depth >= 1 && depth <= 3000,
+      s"depth must be in [1, 3000] (affine-hash overflow bound), got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     val kt = df.select(keyCol).schema.head.dataType
     require(Set[org.apache.spark.sql.types.DataType](

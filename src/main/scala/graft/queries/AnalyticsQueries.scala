@@ -1631,7 +1631,10 @@ object AnalyticsQueries {
       import graft.io.SkipIndex
       val scratch = s"${Queries.scratchRoot}/q119-skip-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!graft.io.Lake.exists(s, s"$scratch/data"))
+      // check BOTH halves: a crash between the data and bloom writes
+      // must trigger a rebuild, not a permanent bloom-not-found
+      if (!graft.io.Lake.exists(s, s"$scratch/data") ||
+          !graft.io.Lake.exists(s, s"$scratch/bloom"))
         SkipIndex.write(
           table(s, dir, "orders").withColumn("d", dayofmonth(col("o_orderdate"))),
           scratch, "d", "o_custkey")

@@ -128,6 +128,27 @@ object StreamSink {
     * any reader that keys off the checkpoint. On object stores without
     * atomic rename, point `path` at a rename-capable layer (HDFS,
     * cluster FS) or use a transactional table format instead. */
+  def landBatch(batch: DataFrame, path: String, batchId: Long,
+      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val staging = new Path(root, s".staging-batch-$batchId")
+    val target = new Path(root, s"batch=$batchId")
+    val src =
+      if (sortCols.nonEmpty)
+        batch.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else batch
+    var w = src.write.mode("overwrite").format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"streaming lake commit failed: rename $staging -> $target")
+  }
+
   /** Continuous Count-Min sketch maintenance
     * ([[graft.ops.Sketches.cmSketch]]): each micro-batch's cell table
     * lands in its own `batch=<id>` partition via the idempotent
@@ -166,26 +187,5 @@ object StreamSink {
     spark.read.parquet(path)
       .groupBy(col("grp"), col("row"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
-  }
-
-  def landBatch(batch: DataFrame, path: String, batchId: Long,
-      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-    val staging = new Path(root, s".staging-batch-$batchId")
-    val target = new Path(root, s"batch=$batchId")
-    val src =
-      if (sortCols.nonEmpty)
-        batch.sortWithinPartitions(
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
-      else batch
-    var w = src.write.mode("overwrite").format("parquet")
-    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
-    w.save(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"streaming lake commit failed: rename $staging -> $target")
   }
 }

@@ -34,6 +34,16 @@ class SkipIndexSpec extends AnyFunSuite with SparkTest {
     assert(multi == Set((1L, 10L, "a"), (2L, 10L, "d"), (4L, 13L, "f")))
   }
 
+  test("duplicate probe keys do not break the all-bits admit test") {
+    val p = freshPath()
+    SkipIndex.write(rows.toDF("s", "k", "v"), p, "s", "k")
+    // pre-fix, a duplicated key doubled its (row, bit) hits and the
+    // hits === Hashes admit test rejected every shard — silent data loss
+    val got = SkipIndex.readPruned(spark, p, "k", Seq(999L, 999L))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(got == Set((999L, "c")))
+  }
+
   test("a key absent from every shard reads zero rows (and zero shards)") {
     val p = freshPath()
     SkipIndex.write(rows.toDF("s", "k", "v"), p, "s", "k")

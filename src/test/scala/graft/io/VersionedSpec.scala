@@ -121,6 +121,27 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("commit CAS (expectedPrev): a stale read-modify-write aborts, never loses the interloper") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L).toDF("k"), p, "append") // v1
+    // a writer derives from v1; an interloper lands v2 meanwhile
+    Versioned.commit(Seq(9L).toDF("k"), p, "append") // v2
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Versioned.commit(Seq(99L).toDF("k"), p, "overwrite",
+        expectedPrev = Some(1L)) // still expects its v1 base
+    }
+    assert(e.getMessage.contains("recompute"))
+    // the interloper's commit survives; nothing was published, and the
+    // aborted writer's staged files were reclaimed (no new data dirs
+    // beyond the two committed ones)
+    assert(Versioned.versions(spark, p) == Seq(1L, 2L))
+    assert(rows(p) == Set(1L, 9L))
+    // a CAS against the true latest succeeds
+    assert(Versioned.commit(Seq(7L).toDF("k"), p, "overwrite",
+      expectedPrev = Some(2L)) == 3L)
+    assert(rows(p) == Set(7L))
+  }
+
   test("applyChanges rejects NULL keys, duplicate keys, and unknown ops up front") {
     val p = freshPath()
     Versioned.commit(Seq((1L, "a")).toDF("k", "v"), p, "append")

@@ -83,4 +83,21 @@ class FunnelSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(3L -> Some("A"), 4L -> Some("B"),
       6L -> None, 7L -> None, 10L -> Some("E")))
   }
+
+  test("lastTouch: a row that is both touch and conversion never attributes to itself") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, 1L, "t", "A"),
+      (1L, 20L, 2L, "tc", "B"), // touch AND conversion in one row
+      (2L, 10L, 3L, "tc", "C")) // dual row with no prior touch
+      .map { case (u, t, id, et, ch) => (u, ts(t), id, et, ch) }
+      .toDF("user_id", "ts", "event_id", "event_type", "ch")
+    val got = Funnel.lastTouch(df, "user_id", "ts", "event_id",
+        touch = when(col("event_type").contains("t"), col("ch")),
+        conv = when(col("event_type").contains("c"), lit(1.0)))
+      .select(col("id"), col("attributed"))
+      .as[(Long, Option[String])].collect().toMap
+    // id 2 credits the PRIOR touch A, not its own B; id 3 is organic
+    assert(got == Map(2L -> Some("A"), 3L -> None))
+  }
 }
