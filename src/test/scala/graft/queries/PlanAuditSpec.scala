@@ -78,11 +78,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // stats as q95
     "q80_tfidf", "q81_gapfill", "q95_bm25", "q98_quality_audit",
     "q99_histogram", "q107_hybrid_rrf",
-    // q123 crosses the broadcast 1-row min/max day span and q120 the
-    // broadcast 1-row corpus size N (the q81/q95/q99 shape). (q112's
-    // bounded |keys|·|groups| probe grid would belong here too, but its
+    // q123 crosses the broadcast 1-row min/max day span, q120 the
+    // broadcast 1-row corpus size N, and q118 the two 1-row columnar
+    // span aggs (the q81/q95/q99 shape). (q112's bounded
+    // |keys|·|groups| probe grid would belong here too, but its
     // checkpoint makes it eager — see the eager set.)
-    "q120_term_lift", "q123_rolling_wau")
+    "q118_drift_audit", "q120_term_lift", "q123_rolling_wau")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
