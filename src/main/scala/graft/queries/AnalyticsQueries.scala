@@ -1877,6 +1877,67 @@ object AnalyticsQueries {
       "the offset explode runs on sketch rows, never a base rescan; " +
       "integer estimator, fully SQL-replayable")
 
+  /** STREAMING drift monitoring (the ninth streaming query — q118's
+    * continuous twin): the event stream is audited per micro-batch
+    * against a PINNED reference snapshot (the first half-month — the
+    * distribution the pipeline was "built" on) and each batch's
+    * per-column drift report lands idempotently in a `batch=<id>`
+    * partition (`StreamSink.toDriftReports`); the landed table is the
+    * drift time series an alerting job reads. With the staged table
+    * arriving as one batch, the snapshot equals the batch audit of
+    * ref-vs-everything — fully SQL-replayed by the q118-style oracle
+    * (batch-equivalence, the q114/q124 pattern). */
+  private val q128 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q128-drift"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("ts"), col("value"),
+          from_json(col("props"), lit("k INT")).getField("k")
+            .cast("double").as("k"))
+      val ref = shape(table(s, dir, "events"))
+        .filter(col("ts") < cutoff).drop("ts")
+      val stream = shape(Queries.stagedEventStream(s, dir, "q128")).drop("ts")
+      val q = graft.streaming.StreamSink.toDriftReports(stream,
+        s"$scratch/reports", s"$scratch/ckpt", ref, Seq("value", "k"))
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$scratch/reports")
+        .select(col("col_name"), col("n_ref"), col("n_cur"),
+          col("nulls_ref"), col("nulls_cur"), col("l1x").cast("long").as("l1x"))
+        .orderBy("col_name")
+    },
+    Some("WITH base AS (SELECT ts, CAST(value AS DOUBLE) AS value, " +
+      "CAST(props->>'k' AS DOUBLE) AS k FROM events), " +
+      "u AS (SELECT 'value' AS c, value AS v, " +
+      "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 2 END AS m FROM base " +
+      "UNION ALL SELECT 'k', k, " +
+      "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 2 END FROM base), " +
+      // ref = first half; cur = the WHOLE stream batch (every row) —
+      // rows before the cutoff are in both sides, hence m 0/2 with the
+      // cur side counting all rows
+      "uu AS (SELECT c, v, 0 AS src FROM u WHERE m = 0 " +
+      "UNION ALL SELECT c, v, 1 FROM u), " +
+      "mm AS (SELECT c, min(v) AS vmin, max(v) AS vmax FROM uu GROUP BY c), " +
+      "b AS (SELECT uu.c, CASE WHEN v IS NULL THEN -1 " +
+      "WHEN vmax = vmin THEN 0 ELSE " +
+      "CAST(least(floor((v - vmin) / ((vmax - vmin) / 20.0)), 19.0) AS BIGINT) END AS bin, " +
+      "src FROM uu JOIN mm ON uu.c = mm.c), " +
+      "cells AS (SELECT c, bin, " +
+      "sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS cref, " +
+      "sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS ccur FROM b GROUP BY c, bin), " +
+      "t AS (SELECT c, sum(cref) AS nref, sum(ccur) AS ncur FROM cells GROUP BY c) " +
+      "SELECT cells.c AS col_name, CAST(max(nref) AS BIGINT) AS n_ref, " +
+      "CAST(max(ncur) AS BIGINT) AS n_cur, " +
+      "CAST(sum(CASE WHEN bin = -1 THEN cref ELSE 0 END) AS BIGINT) AS nulls_ref, " +
+      "CAST(sum(CASE WHEN bin = -1 THEN ccur ELSE 0 END) AS BIGINT) AS nulls_cur, " +
+      "CAST(sum(abs(cref * ncur - ccur * nref)) AS BIGINT) AS l1x " +
+      "FROM cells JOIN t ON cells.c = t.c GROUP BY cells.c ORDER BY col_name"),
+    "Streaming drift monitoring: per-batch driftAudit reports against " +
+      "a pinned reference, landed idempotently — the drift time series " +
+      "as a lake table; snapshot hash-equals the batch audit")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -1963,6 +2024,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q128_stream_drift" -> q128,
     "q127_rolling_kmv" -> q127,
     "q126_pit_stale" -> q126,
     "q125_skyline" -> q125,

@@ -188,4 +188,28 @@ object StreamSink {
       .groupBy(col("grp"), col("row"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Continuous distribution-drift MONITORING
+    * ([[graft.ops.Quality.driftAudit]] per micro-batch): every batch is
+    * audited against the fixed `ref` snapshot and its per-column report
+    * (row/null counts + the exact cross-multiplied L1 histogram
+    * distance) lands in a `batch=<id>` partition via [[landBatch]] —
+    * idempotent under replay, and the landed table IS the drift time
+    * series an alerting job reads (`batch` partition column = the
+    * cursor). The reference snapshot is deliberately pinned: drift is
+    * measured against the distribution the model/pipeline was built on,
+    * not against a moving window. Reports are |cols| rows per batch —
+    * metadata-sized however large the batches. */
+  def toDriftReports(stream: DataFrame, path: String, checkpoint: String,
+      ref: DataFrame, cols: Seq[String], bins: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Quality.driftAudit(ref, batch, cols, bins),
+            path, batchId)
+      }
+      .start()
 }
