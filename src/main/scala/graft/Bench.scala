@@ -563,8 +563,13 @@ object Bench {
     val results = currentResults
     val unclean = currentUnclean
     val total = results.map(_._2).filter(_ >= 0).sum
+    // 2-decimal seconds in the compact map: at 118 timed queries the
+    // line is ~1.6 KB of the 2000-char tail (the sbt "[success]" line
+    // eats ~70 more); 2 decimals buys ~120 B of headroom — ~25 further
+    // queries before this needs a real redesign (drop the map or split
+    // lines). The FILE artifact keeps full precision.
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else r3(v))
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f"$v%.2f")
     }.mkString("{", ",", "}")
     val compactLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qsShort,"sf":"$sfDir","probe_ok":${unclean.isEmpty},""" +
