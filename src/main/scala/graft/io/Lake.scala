@@ -31,6 +31,52 @@ object Lake {
   def exists(spark: SparkSession, path: String): Boolean =
     Try(spark.read.parquet(path).schema).isSuccess
 
+  /** Deterministic fingerprint of a source file/dir: sorted
+    * (name, length, mtime) of its files. First-touch derived artifacts
+    * (indexes, codebooks) record this next to themselves and rebuild
+    * when it changes — without it, regenerating the source dataset in
+    * place silently serves a STALE cached artifact (ADVICE r11: q119,
+    * where the cached copy IS the query's data, not just an index). */
+  def sourceFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isFile) Array(st)
+        else fs.listStatus(p).filter(_.isFile)
+      files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted.mkString("\n")
+    }
+  }
+
+  /** True iff the fingerprint recorded at `markerPath` equals `fp`
+    * (false when absent/unreadable — callers then rebuild). */
+  def fingerprintCurrent(spark: SparkSession, markerPath: String,
+      fp: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Try {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    }.toOption.contains(fp)
+  }
+
+  /** Record `fp` at `markerPath` (overwrite). Written LAST in a build
+    * so a crash mid-build leaves a missing/stale marker → rebuild. */
+  def writeFingerprint(spark: SparkSession, markerPath: String,
+      fp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   /** True iff Delta Lake's DataSource is loadable from `cl` — the
     * classpath probe behind the `delta` format switch. Probed once
     * (lazy) for the library's own classloader. */

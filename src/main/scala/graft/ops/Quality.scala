@@ -151,6 +151,10 @@ object Quality {
     * (0 = identical shapes, 2·n_ref·n_cur = disjoint; divide by that
     * to normalize), so the audit is bit-reproducible and
     * SQL-replayable where PSI/KL would drag in floating-point logs.
+    * When EITHER snapshot has zero rows for a column (cutoff outside
+    * the data range, empty reference) there is nothing to compare and
+    * `l1x` is NULL — never 0, which would read as "identical shapes"
+    * to an alerting consumer.
     * Bin edges are the q99 equi-width scheme over the JOINT span
     * (shared edges are what make the histograms comparable), with the
     * same degenerate-span and NULL (bin −1, so null-rate drift counts
@@ -206,6 +210,14 @@ object Quality {
         sum(when(col("bin") === -1L, col("ccur")).otherwise(0L)).as("nulls_cur"),
         sum(abs(dec(col("cref")) * dec(col("ncur")) -
           dec(col("ccur")) * dec(col("nref")))).cast("decimal(38,0)").as("l1x"))
+      // NULL l1x when either snapshot has zero rows for the column
+      // (ADVICE r11): the cross-multiplied sum degenerates to 0 there —
+      // every term carries a ×0 factor — and an alerting consumer
+      // reading "l1x = 0 means identical shapes" would see no-drift
+      // when there is actually nothing to compare. NULL is the honest
+      // "incomparable" signal; both engines emit it identically.
+      .withColumn("l1x", when(col("n_ref") === 0L || col("n_cur") === 0L,
+        lit(null).cast("decimal(38,0)")).otherwise(col("l1x")))
       .select(col("c").as("col_name"), col("n_ref"), col("n_cur"),
         col("nulls_ref"), col("nulls_cur"), col("l1x"))
   }

@@ -118,4 +118,17 @@ class QualitySpec extends AnyFunSuite with SparkTest {
       .select($"l1x".cast("long")).as[Long].head()
     assert(row == 0L) // |2*1 - 1*2| = 0
   }
+
+  test("driftAudit: an empty snapshot yields NULL l1x, never a no-drift 0") {
+    val ref = Seq(1.0, 2.0, 3.0).toDF("x")
+    val cur = ref.filter($"x" > 100.0) // empty current snapshot
+    val row = Quality.driftAudit(ref, cur, Seq("x"), bins = 4)
+      .select($"n_ref", $"n_cur", $"l1x".cast("long"))
+      .as[(Long, Long, Option[Long])].head()
+    assert(row._1 == 3L && row._2 == 0L && row._3.isEmpty)
+    // symmetric: empty reference
+    val row2 = Quality.driftAudit(cur, ref, Seq("x"), bins = 4)
+      .select($"l1x".cast("long")).as[Option[Long]].head()
+    assert(row2.isEmpty)
+  }
 }
