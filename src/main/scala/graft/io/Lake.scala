@@ -344,6 +344,32 @@ object Lake {
     CompactStats(filesBefore, bytesBefore, filesAfter, bytesAfter)
   }
 
+  /** Copy-on-write rewrite of a plain parquet dir, swap-published with
+    * [[compact]]'s park/publish/rollback discipline: `transform` maps
+    * the current content to the new content; readers see the old table
+    * or the new one, never a half-rewritten directory. The building
+    * block for index-maintenance deletes ([[graft.ops.Dedup.
+    * deleteFromShingleIndex]]) — plain-parquet tables have no manifest
+    * log, so atomicity comes from the directory swap. */
+  def rewriteInPlace(spark: SparkSession, path: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val out = transform(spark.read.parquet(path))
+    val tmp = path + "__compact_tmp"
+    val old = path + "__compact_old"
+    out.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(hp(old), true)
+    if (!fs.rename(hp(path), hp(old)))
+      throw new java.io.IOException(s"rewriteInPlace: could not park $path")
+    if (!fs.rename(hp(tmp), hp(path))) {
+      fs.rename(hp(old), hp(path)) // roll back
+      throw new java.io.IOException(s"rewriteInPlace: could not publish $tmp")
+    }
+    fs.delete(hp(old), true)
+  }
+
   /** Remove `__compact_tmp` / `__compact_old` leftovers an interrupted
     * [[compact]] may have parked next to `path`. */
   def vacuum(spark: SparkSession, path: String): Unit = {

@@ -84,39 +84,59 @@ object Versioned {
       maxAttempts: Int = 10, expectedPrev: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
-    val f = fs(spark, path)
-    // 1. land immutable data files in a commit-private directory
+    val newFiles = stageDataFiles(df, path)
+    publish(spark, path, newFiles, maxAttempts, expectedPrev) {
+      (prev, staged) =>
+        mode match {
+          case "append" =>
+            prev.map(readManifest(spark, path, _)).getOrElse(Nil) ++ staged
+          case "overwrite" => staged
+        }
+    }
+  }
+
+  /** Land `df` as immutable parquet files in a commit-private directory
+    * (invisible until a manifest references them); returns their paths. */
+  private def stageDataFiles(df: DataFrame, path: String): Seq[String] = {
+    val f = fs(df.sparkSession, path)
     val dataDir = s"$path/data/${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(dataDir)
-    val newFiles = f.listStatus(new Path(dataDir)).toSeq
+    f.listStatus(new Path(dataDir)).toSeq
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
+  }
+
+  /** Optimistic publish loop shared by every commit flavor: losers of a
+    * version race retry on the re-read log (append semantics compose
+    * across racing writers); `manifestFor(prevVersion, stagedFiles)`
+    * builds the manifest content for the attempt. `expectedPrev` is the
+    * compare-and-swap form for read-modify-write callers (applyChanges,
+    * deleteWhere): a content change that derived its output from
+    * snapshot v must ONLY publish as v+1 — if another commit landed
+    * meanwhile, retrying on the newer log would silently drop that
+    * commit's rows (lost update), so the writer aborts loudly (staged
+    * files reclaimed) and the caller recomputes from the current
+    * snapshot instead. */
+  private def publish(spark: SparkSession, path: String,
+      stagedFiles: Seq[String], maxAttempts: Int, expectedPrev: Option[Long])(
+      manifestFor: (Option[Long], Seq[String]) => Seq[String]): Long = {
+    val f = fs(spark, path)
     f.mkdirs(logDir(path))
-    // 2. optimistic publish loop: losers of a version race retry on the
-    // re-read log; append semantics compose across racing writers.
-    // `expectedPrev` is the compare-and-swap form for read-modify-write
-    // callers (applyChanges): a content change that derived its output
-    // from snapshot v must ONLY publish as v+1 — if another commit
-    // landed meanwhile, retrying on the newer log would silently drop
-    // that commit's rows (lost update), so the writer aborts loudly and
-    // the caller recomputes from the current snapshot instead
+    def reclaim(): Unit = stagedFiles.headOption.foreach(first =>
+      f.delete(new Path(first).getParent, true))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = latestVersion(spark, path)
       expectedPrev.foreach { e =>
         if (prev.getOrElse(0L) != e) {
-          f.delete(new Path(dataDir), true) // abort: reclaim staged files
+          reclaim() // abort: staged files must not become vacuum-bait
           throw new java.util.ConcurrentModificationException(
             s"Versioned.commit at $path: derived from v$e but v" +
               s"${prev.getOrElse(0L)} is now latest — recompute and retry")
         }
       }
       val next = prev.map(_ + 1L).getOrElse(1L)
-      val files = mode match {
-        case "append" =>
-          prev.map(readManifest(spark, path, _)).getOrElse(Nil) ++ newFiles
-        case "overwrite" => newFiles
-      }
+      val files = manifestFor(prev, stagedFiles)
       val tmp = new Path(logDir(path), s".tmp-${java.util.UUID.randomUUID}")
       val out = f.create(tmp, false)
       try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
@@ -222,6 +242,57 @@ object Versioned {
     // landed between the read and the publish (lost update)
     commit(coalesceTo.map(next.coalesce).getOrElse(next), path, "overwrite",
       expectedPrev = Some(vBase))
+  }
+
+  /** GDPR / takedown delete propagation — the right-to-be-forgotten
+    * pass every production training-data lake needs: remove every row
+    * where `pred` IS TRUE as ONE atomic versioned commit, rewriting
+    * ONLY the files that contain a matching row. Files without a match
+    * are carried into the new manifest BY REFERENCE (spec-asserted):
+    * at 100 TB a delete of one user's rows touches the handful of
+    * files their rows live in, never the lake.
+    *
+    * Semantics and guarantees:
+    *  - rows where `pred` is NULL are KEPT (delete-where-true, the SQL
+    *    DELETE convention) — `filter(!pred)` alone would silently drop
+    *    them;
+    *  - the rewrite is derived from the pinned latest snapshot and
+    *    publishes CAS-guarded as its successor ([[applyChanges]]'s
+    *    lost-update rule);
+    *  - PRE-delete versions stay readable (time travel — the audit
+    *    trail) until [[vacuum]] reclaims their files, after which the
+    *    deleted rows are PHYSICALLY gone from disk (spec-proved by
+    *    scanning every surviving file);
+    *  - a predicate matching nothing is a no-op: no files staged, no
+    *    version consumed, `vBase` returned.
+    *
+    * The hit-file list is the one driver-side collect — bounded by the
+    * snapshot's file count (manifest-sized metadata, never data).
+    * Compose with the dedup/ANN indexes via
+    * [[graft.ops.Dedup.deleteFromShingleIndex]] so a forgotten
+    * document's postings disappear with its rows. */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column, coalesceTo: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions._
+    val vBase = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $path"))
+    val files = readManifest(spark, path, vBase)
+    // manifest entries and _metadata.file_path may render the same file
+    // with different scheme spellings (file:/ vs file:///) — compare on
+    // the scheme-less URI path
+    def norm(s: String) = new Path(s).toUri.getPath
+    val snapshot = spark.read.parquet(files: _*)
+    val hit = snapshot.filter(pred)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (hit.isEmpty) return vBase
+    val (touched, carried) = files.partition(f => hit.contains(norm(f)))
+    val survivors = spark.read.parquet(touched: _*)
+      .filter(!coalesce(pred, lit(false)))
+    val staged = stageDataFiles(
+      coalesceTo.map(survivors.coalesce).getOrElse(survivors), path)
+    publish(spark, path, staged, maxAttempts = 1,
+      expectedPrev = Some(vBase)) { (_, s) => carried ++ s }
   }
 
   /** Commit history as a frame: (version, n_files) per commit —

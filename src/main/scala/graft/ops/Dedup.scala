@@ -270,6 +270,29 @@ object Dedup {
       throw new java.io.IOException(s"could not publish index meta at $dst")
   }
 
+  /** [[appendToShingleIndex]] in reverse — the delete-propagation half
+    * of GDPR/takedown removal ([[graft.io.Versioned.deleteWhere]]'s
+    * composition partner): drop every shingle row and LSH posting of
+    * the given document ids from the durable index, so a forgotten
+    * document stops surfacing as anyone's near-dup candidate. Both
+    * tables are rewritten copy-on-write and swap-published
+    * ([[graft.io.Lake.rewriteInPlace]] — readers see the old index or
+    * the purged one, never a half-rewrite); the id set joins as DATA
+    * (left-anti equi-join, broadcast when small), never an inlined IN
+    * list, so a bulk takedown of 10⁶ ids is the same plan as one id.
+    * Serving afterwards equals a from-scratch index over the surviving
+    * corpus: candidates come only from posting rows, and both halves
+    * of every pair must still be present in `shingles` for the
+    * Jaccard verify — no tombstone half-state. */
+  def deleteFromShingleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String = "id"): Unit = {
+    val gone = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    graft.io.Lake.rewriteInPlace(spark, s"$path/shingles")(
+      _.join(gone, Seq("id"), "left_anti"))
+    graft.io.Lake.rewriteInPlace(spark, s"$path/bands")(
+      _.join(gone, Seq("id"), "left_anti"))
+  }
+
   /** Incremental index maintenance: shingle + band a NEW document batch
     * with the index's STORED parameters and append it — no rebuild, no
     * rewrite of existing files. The serving paths read the live tables,

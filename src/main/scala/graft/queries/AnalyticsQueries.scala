@@ -1966,6 +1966,51 @@ object AnalyticsQueries {
       "a pinned reference, landed idempotently — the drift time series " +
       "as a lake table; snapshot hash-equals the batch audit")
 
+  /** GDPR / takedown delete propagation ([[graft.io.Versioned.
+    * deleteWhere]] — the right-to-be-forgotten pass a production
+    * training lake runs): documents committed as v1, every doc with
+    * `doc_id % 7 = 3` removed as ONE atomic copy-on-write commit (only
+    * files containing a matching row rewritten; the rest carried by
+    * reference), then BOTH versions read back — v1 still serves the
+    * full corpus (the audit trail), v2 serves the after-image. A
+    * matching-nothing predicate is also exercised: it must consume no
+    * version. Physical removal after vacuum is spec-proved
+    * (VersionedSpec scans every surviving file); the oracle replays
+    * both snapshots' content predicates against the base table. */
+  private val q129 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      val scratch = s"${Queries.scratchRoot}/q129-gdpr"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      Versioned.commit(docs, scratch, "append")
+      val v2 = Versioned.deleteWhere(s, scratch, col("doc_id") % 7 === 3,
+        coalesceTo = Some(1))
+      // a predicate matching nothing is a no-op: no version consumed
+      val v3 = Versioned.deleteWhere(s, scratch, col("doc_id") === -1L)
+      require(v2 == 2L && v3 == 2L,
+        s"unexpected versions after delete: v2=$v2 noop=$v3")
+      Seq(1L, 2L).map { v =>
+        Versioned.readAsOf(s, scratch, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"),
+            sum(length(col("text"))).as("text_chars"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            col("text_chars"))
+      }.reduce(_ unionAll _).orderBy("version")
+    },
+    Some("SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, " +
+      "CAST(sum(doc_id) AS BIGINT) AS key_sum, " +
+      "CAST(sum(length(text)) AS BIGINT) AS text_chars FROM documents " +
+      "UNION ALL SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT), " +
+      "CAST(sum(length(text)) AS BIGINT) FROM documents " +
+      "WHERE NOT doc_id % 7 = 3 ORDER BY version"),
+    "GDPR delete propagation: predicate delete as one atomic " +
+      "copy-on-write commit (untouched files carried by reference), " +
+      "pre-delete version still readable, no-op delete consumes no " +
+      "version")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2052,6 +2097,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q129_gdpr_delete" -> q129,
     "q128_stream_drift" -> q128,
     "q127_rolling_kmv" -> q127,
     "q126_pit_stale" -> q126,

@@ -81,6 +81,69 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     intercept[Exception](rows(p, Some(1L)))
   }
 
+  test("deleteWhere: rewrites only hit files, carries the rest by reference") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L, 2L).toDF("k"), p, "append")  // file set A
+    Versioned.commit(Seq(10L, 11L).toDF("k"), p, "append") // file set B
+    def manifest(v: Long): Seq[String] = {
+      val f = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = f.open(new org.apache.hadoop.fs.Path(f"$p/_log/v$v%07d.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val mA = manifest(1L).toSet
+    assert(Versioned.deleteWhere(spark, p, $"k" === 10L) == 3L)
+    // after-image right; both pre-delete versions still read (audit trail)
+    assert(rows(p) == Set(1L, 2L, 11L))
+    assert(rows(p, Some(1L)) == Set(1L, 2L))
+    assert(rows(p, Some(2L)) == Set(1L, 2L, 10L, 11L))
+    // v1's files (no hit) are carried VERBATIM, and the rewrite staged
+    // at least one NEW file; reading v3's manifest raw shows the
+    // deleted key in none of them
+    val m3 = manifest(3L).toSet
+    assert(mA.subsetOf(m3))
+    assert((m3 -- manifest(2L).toSet).nonEmpty)
+    val raw = spark.read.parquet(m3.toSeq: _*).select($"k").as[Long].collect()
+    assert(!raw.contains(10L) && raw.toSet == Set(1L, 2L, 11L))
+  }
+
+  test("deleteWhere: NULL-evaluating rows are kept; no-op consumes no version") {
+    val p = freshPath()
+    Versioned.commit(Seq(Some("x"), Some("y"), None).toDF("g"), p, "append")
+    // delete-where-TRUE: the NULL row must survive (filter(!pred) alone
+    // would drop it with the matching row)
+    assert(Versioned.deleteWhere(spark, p, $"g" === "x") == 2L)
+    val got = Versioned.readAsOf(spark, p).select($"g")
+      .as[Option[String]].collect().toSet
+    assert(got == Set(Some("y"), None))
+    // predicate matching nothing: same version back, log untouched
+    assert(Versioned.deleteWhere(spark, p, $"g" === "zzz") == 2L)
+    assert(Versioned.versions(spark, p) == Seq(1L, 2L))
+  }
+
+  test("deleteWhere + vacuum: deleted rows are PHYSICALLY gone from every surviving file") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L, 2L, 3L, 4L).toDF("k"), p, "append")
+    Versioned.deleteWhere(spark, p, $"k" % 2L === 0L)
+    // pre-vacuum the deleted rows still exist on disk (time travel)
+    assert(rows(p, Some(1L)) == Set(1L, 2L, 3L, 4L))
+    Versioned.vacuum(spark, p, retainVersions = 1)
+    intercept[Exception](rows(p, Some(1L)))
+    // scan EVERY parquet file left under the path: the forgotten rows
+    // must not exist anywhere, not merely be unreferenced
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftFiles = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/data"))
+      .flatMap(d => f.listStatus(d.getPath)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(leftFiles.nonEmpty)
+    val everything = spark.read.parquet(leftFiles: _*)
+      .select($"k").as[Long].collect().toSet
+    assert(everything == Set(1L, 3L))
+  }
+
   test("commitIfClean: clean batch commits, dirty batch leaves the lake untouched") {
     import graft.ops.Quality
     val p = freshPath()

@@ -77,6 +77,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       "append must preserve the full pair set (no rebuild, no loss)")
   }
 
+  test("deleteFromShingleIndex: serving after a takedown equals a fresh index over survivors") {
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"/tmp/graft-test-dedup/del-${System.nanoTime()}"
+    Dedup.writeShingleIndex(fixture, dir)
+    val gonePred = col("doc_id") % 7 === 0
+    val goneIds = fixture.filter(gonePred).select(col("doc_id").as("id"))
+    Dedup.deleteFromShingleIndex(spark, dir, goneIds)
+    // a forgotten doc must stop surfacing as anyone's candidate: the
+    // purged index serves exactly what a from-scratch index over the
+    // surviving corpus would
+    val served = Dedup.minhashNearDupsFromIndex(spark, dir, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    val scratch = Dedup.minhashNearDups(fixture.filter(!gonePred), "doc_id",
+        "text", shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scratch)
+    // and the postings/shingles themselves are gone, not just unserved
+    val shIds = spark.read.parquet(s"$dir/shingles").select(col("id"))
+      .as[Long].collect().toSet
+    val bandIds = spark.read.parquet(s"$dir/bands").select(col("id"))
+      .as[Long].collect().toSet
+    assert(shIds.forall(_ % 7 != 0) && bandIds.forall(_ % 7 != 0))
+    assert(shIds.nonEmpty && bandIds.nonEmpty)
+  }
+
   test("incremental dedup against the index finds exactly the pairs touching the new batch") {
     val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = s"/tmp/graft-test-dedup/incr-${System.nanoTime()}"
