@@ -32,24 +32,101 @@ object Funnel {
       "repeated step types are ambiguous — encode repeats as distinct types")
     val spark = events.sparkSession
     import spark.implicits._
-    val perUser = events
+    val perUser = sortedHistories(events, userCol, tsCol, idCol, typeCol)
+    // O(1)-state stage fold over the time-sorted history: advance when
+    // the next required type appears strictly after the last match
+    val staged = perUser.select(col("u"),
+      expr(stageFoldSql(steps,
+        s"named_struct('stage', 0, 'last', CAST(${Long.MinValue} AS BIGINT))")
+        + ".stage").as("stage"))
+    reachFromStages(staged, steps)
+  }
+
+  private def sortedHistories(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame =
+    events
       .select(col(userCol).as("u"),
         struct(unix_micros(col(tsCol)).as("ts_us"),
           col(idCol).cast("long").as("id"),
           col(typeCol).as("et")).as("r"))
       .groupBy(col("u")).agg(sort_array(collect_list(col("r"))).as("rs"))
+
+  /** The stage fold as SQL, parameterized by its init expression so the
+    * whole-series fold (literal zero state) and the segmented fold
+    * (carried per-key state) run the IDENTICAL per-row step. */
+  private def stageFoldSql(steps: Seq[String], initSql: String): String = {
     val stepsSql = steps.map(s => "'" + s + "'").mkString("array(", ", ", ")")
-    // O(1)-state stage fold over the time-sorted history: advance when
-    // the next required type appears strictly after the last match
-    val staged = perUser.select(col("u"), expr(
-      s"""aggregate(rs,
-         |  named_struct('stage', 0, 'last', CAST(${Long.MinValue} AS BIGINT)),
-         |  (acc, x) -> IF(acc.stage < ${steps.size}
-         |      AND x.et = element_at($stepsSql, acc.stage + 1)
-         |      AND x.ts_us > acc.last,
-         |    named_struct('stage', acc.stage + 1, 'last', x.ts_us),
-         |    acc)).stage""".stripMargin).as("stage"))
-    reachFromStages(staged, steps)
+    s"""aggregate(rs,
+       |  $initSql,
+       |  (acc, x) -> IF(acc.stage < ${steps.size}
+       |      AND x.et = element_at($stepsSql, acc.stage + 1)
+       |      AND x.ts_us > acc.last,
+       |    named_struct('stage', acc.stage + 1, 'last', x.ts_us),
+       |    acc))""".stripMargin
+  }
+
+  /** [[funnel]] with bounded per-task state — the hot-key mitigation
+    * (VERDICT r11 "what's wrong" #1): the collect_list buffer holds one
+    * user's events *within one segment* (e.g. one day) instead of their
+    * whole history, so a bot key with 10⁸ lifetime events no longer
+    * OOMs its task. The `ewmaSegmented` construction
+    * ([[TimeSeries.ewmaSegmented]]): a driver loop over the ORDERED
+    * DISTINCT segment values (bounded collect — calendar days), each
+    * segment folds only its own rows seeded with the carried per-user
+    * (stage, last-matched-ts) accumulator — 12 bytes, the same state
+    * [[graft.streaming.FunnelStream]] carries across micro-batches —
+    * and keys absent from a segment carry through unchanged (union +
+    * max_by, never a join). Bit-equal to the whole-series [[funnel]]
+    * (spec-asserted): a left fold over a chronologically-segmented
+    * concatenation seeded with the previous segment's final state IS
+    * the unsegmented fold. `segment` must be chronologically consistent
+    * with (`tsCol`, `idCol`) order — e.g. `to_date(ts)`. */
+  def funnelSegmented(events: DataFrame, steps: Seq[String], segment: Column,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step types are ambiguous — encode repeats as distinct types")
+    val withSeg = events.withColumn("__seg", segment)
+    val segs = withSeg.select(col("__seg")).distinct()
+      .orderBy(col("__seg")).collect().map(_.get(0))
+    if (segs.isEmpty)
+      return funnel(events, steps, userCol, tsCol, idCol, typeCol)
+    var state: DataFrame = null // (u, stage, last) carried across segments
+    for (sv <- segs) {
+      val perUser = sortedHistories(withSeg.filter(col("__seg") <=> lit(sv)),
+        userCol, tsCol, idCol, typeCol)
+      val seeded =
+        if (state == null) perUser
+          .withColumn("__stage0", lit(0))
+          .withColumn("__last0", lit(Long.MinValue))
+        else perUser.join(state
+            .withColumnRenamed("stage", "__stage0")
+            .withColumnRenamed("last", "__last0"), Seq("u"), "left")
+          .withColumn("__stage0", coalesce(col("__stage0"), lit(0)))
+          .withColumn("__last0",
+            coalesce(col("__last0"), lit(Long.MinValue)))
+      val folded = seeded.select(col("u"),
+        expr(stageFoldSql(steps,
+          "named_struct('stage', __stage0, 'last', __last0)")).as("acc"))
+        .select(col("u"), col("acc.stage").as("stage"),
+          col("acc.last").as("last"))
+        .localCheckpoint()
+      val merged =
+        if (state == null) folded
+        else state.withColumn("__p", lit(0))
+          .unionAll(folded.withColumn("__p", lit(1)))
+          .groupBy(col("u"))
+          .agg(max_by(struct(col("stage"), col("last")), col("__p")).as("a"))
+          .select(col("u"), col("a.stage").as("stage"), col("a.last").as("last"))
+      // rebuild from the RDD: a checkpointed Dataset carries its origin
+      // plan's statistics, and threading them through the
+      // seed-join → fold → merge cycle compounds sizeInBytes across
+      // segments (the ewmaSegmented lesson — exponential planning time)
+      val ck = merged.localCheckpoint()
+      state = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    reachFromStages(state.select(col("u"), col("stage")), steps)
   }
 
   /** Funnel report from a per-user FINAL-stage relation `(u, stage)` —

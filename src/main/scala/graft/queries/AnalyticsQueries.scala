@@ -1676,39 +1676,13 @@ object AnalyticsQueries {
     * formulation — the shape this fold provably equals (session id =
     * running count of gap-starts). */
   private val q121 = Q(
-    (s, dir) => {
-      val gapUs = 1800000000L // 30 min
-      val perUser = table(s, dir, "events")
-        .select(col("user_id"),
-          struct(unix_micros(col("ts")).as("ts_us"),
-            col("event_id").as("id")).as("r"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("r"))).as("rs"))
-      perUser.select(col("user_id"), expr(
-        s"""aggregate(rs,
-           |  named_struct('prev', CAST(-1 AS BIGINT), 'start', CAST(0 AS BIGINT),
-           |    'cur', CAST(0 AS BIGINT), 'ns', CAST(0 AS BIGINT),
-           |    'lg', CAST(0 AS BIGINT), 'md', CAST(0 AS BIGINT)),
-           |  (acc, x) -> IF(acc.cur = 0,
-           |    named_struct('prev', x.ts_us, 'start', x.ts_us,
-           |      'cur', CAST(1 AS BIGINT), 'ns', CAST(1 AS BIGINT),
-           |      'lg', acc.lg, 'md', acc.md),
-           |    IF(x.ts_us - acc.prev > $gapUs,
-           |      named_struct('prev', x.ts_us, 'start', x.ts_us,
-           |        'cur', CAST(1 AS BIGINT), 'ns', acc.ns + 1,
-           |        'lg', GREATEST(acc.lg, acc.cur),
-           |        'md', GREATEST(acc.md, acc.prev - acc.start)),
-           |      named_struct('prev', x.ts_us, 'start', acc.start,
-           |        'cur', acc.cur + 1, 'ns', acc.ns,
-           |        'lg', acc.lg, 'md', acc.md))),
-           |  acc -> named_struct('ns', acc.ns,
-           |    'lg', GREATEST(acc.lg, acc.cur),
-           |    'md', GREATEST(acc.md, acc.prev - acc.start)))""".stripMargin)
-        .as("f"))
-        .select(col("user_id"), col("f.ns").as("n_sessions"),
-          col("f.lg").as("longest_n"), col("f.md").as("max_dur_us"))
-        .orderBy("user_id")
-    },
+    (s, dir) =>
+      // factored into ops/Sessions (r12) so the hot-key-bounded
+      // sessionStatsSegmented twin chains the same accumulator;
+      // identical output and plan shape to the previous inline fold
+      graft.ops.Sessions.sessionStats(table(s, dir, "events"),
+          gapUs = 1800000000L) // 30 min
+        .orderBy("user_id"),
     Some("WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events), " +
       "s AS (SELECT user_id, tu, event_id, CASE WHEN lag(tu) OVER w IS NULL " +
       "OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw " +

@@ -60,6 +60,33 @@ class FunnelSpec extends AnyFunSuite with SparkTest {
       (1L, "view", 0L, 0L), (2L, "click", 0L, 0L), (3L, "purchase", 0L, 0L)))
   }
 
+  test("funnelSegmented is bit-equal to the whole-series funnel (hot-key bound)") {
+    import org.apache.spark.sql.functions._
+    // cross-boundary advances: u1 views on day 1, clicks on day 2,
+    // purchases on day 3; u2's click lands same-instant as its view at
+    // a segment boundary (must NOT advance, exactly as unsegmented);
+    // u3 active only in one segment; u4 regresses across segments
+    val day = 86400L
+    val df = ev(
+      (1L, 10L, 1L, "view"), (1L, day + 10L, 2L, "click"),
+      (1L, 2 * day + 10L, 3L, "purchase"),
+      (2L, day - 1L, 4L, "view"), (2L, day - 1L, 5L, "click"),
+      (3L, day + 5L, 6L, "view"), (3L, day + 6L, 7L, "click"),
+      (4L, 10L, 8L, "purchase"), (4L, day + 10L, 9L, "view"))
+    val whole = run(df)
+    val seg = Funnel.funnelSegmented(df, Seq("view", "click", "purchase"),
+        to_date(col("ts")))
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(seg == whole)
+    // and on the real events table: day segments vs whole series
+    val events = graft.queries.Queries.table(spark, sf0001, "events")
+    val w2 = Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(_.toSeq).toSeq
+    val s2 = Funnel.funnelSegmented(events, Seq("view", "click", "purchase"),
+        to_date(col("ts"))).collect().map(_.toSeq).toSeq
+    assert(s2 == w2)
+  }
+
   test("lastTouch: strictly-preceding touch wins; same-instant touch is invisible") {
     import org.apache.spark.sql.functions._
     // (user, t, id, type, channel)
