@@ -37,7 +37,11 @@ object Fusion {
     require(topK >= 1 && k0 >= 0, s"invalid topK=$topK k0=$k0")
     val u = rankings.map(_.select(col("qid"), col("id"), col("rnk")))
       .reduce(_ unionAll _)
-    val fused = u.groupBy(col("qid"), col("id"))
+    // ONE exchange serves both tails (the bm25MoreLikeThis convention):
+    // hash(qid) placement satisfies the (qid, id) aggregation's
+    // clustering AND the rank window's, so the explicit repartition
+    // replaces two back-to-back shuffles of the fused frame with one
+    val fused = u.repartition(col("qid")).groupBy(col("qid"), col("id"))
       .agg(sum(expr(s"$RrfScale div (${k0}L + rnk)")).as("rrf"),
         count(lit(1)).as("n_lists"))
     val w = Window.partitionBy(col("qid"))

@@ -505,9 +505,18 @@ object Similarity {
   /** IVF top-k served from the durable index: queries are rows of the
     * index matching `queryPred`; the corpus scan is pruned to the union
     * of probed cells — a ≤nCells driver-side set pushed as a literal
-    * partition filter, so only the probed cell directories are read. */
+    * partition filter, so only the probed cell directories are read.
+    *
+    * `pruneScan`: right for POINT serves (few queries probe few cells —
+    * the q56 shape, where skipping unprobed cell directories is the
+    * whole win). For a BULK serve whose query set is a large corpus
+    * sample, the probed-cell union covers ~every cell, so the pruning
+    * pass is a pure extra job + assignment scan that prunes nothing —
+    * pass false (measured on q107: the collect job + duplicate scan
+    * was ~25% of the serve; see tools/RrfProbe). */
   def ivfTopKFromIndex(spark: SparkSession, path: String, queryPred: Column,
-      k: Int, nProbe: Int, probeBroadcast: Boolean = true): DataFrame = {
+      k: Int, nProbe: Int, probeBroadcast: Boolean = true,
+      pruneScan: Boolean = true, sorted: Boolean = true): DataFrame = {
     val cents = readIndexCodebook(spark, path)
     if (cents.isEmpty) return emptyTopK(spark)
     val assigned = readAssignment(spark, path)
@@ -515,7 +524,7 @@ object Similarity {
     val queries = assigned.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     ivfProbeJoin(assigned, queries, cents, k, nProbe, probeBroadcast,
-      pruneScan = true)
+      pruneScan = pruneScan, sorted = sorted)
   }
 
   private def emptyPairs(spark: SparkSession): DataFrame =
@@ -657,7 +666,7 @@ object Similarity {
     * is a partitioned lake scan, `pruneScan = true`). */
   private def ivfProbeJoin(assigned: DataFrame, queries: DataFrame,
       cents: Seq[Centroid], k: Int, nProbe: Int, probeBroadcast: Boolean,
-      pruneScan: Boolean): DataFrame = {
+      pruneScan: Boolean, sorted: Boolean = true): DataFrame = {
     val cidArr = typedLit(cents.map(_.cid))
     // query-time: top-nProbe cells = sort of an nCells-element array per
     // row — (−sim, cid) struct sort replays (csim DESC, cid ASC) exactly
@@ -687,14 +696,20 @@ object Similarity {
     // probeBroadcast = false and let Spark size the join (broadcasting a
     // corpus-sized probe set would OOM the driver at scale).
     val probeSide = if (probeBroadcast) broadcast(probes) else probes
-    corpus.join(probeSide, "cell")
+    val topK = corpus.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("qnrm"), col("v"), col("nrm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
         round(col("sim"), 6).as("sim"))
-      .orderBy("qid", "rnk")
+    // the global (qid, rnk) sort is the DIRECT-serving contract; a
+    // consumer that re-aggregates the list (rrfFuse) passes
+    // sorted=false — EliminateSorts does NOT fold the sort through the
+    // downstream union/repartition, so it would otherwise survive as a
+    // range exchange + its range-boundary SAMPLING JOB mid-plan
+    // (observed in q107's optimized plan, r12)
+    if (sorted) topK.orderBy("qid", "rnk") else topK
   }
 
   // -----------------------------------------------------------------------

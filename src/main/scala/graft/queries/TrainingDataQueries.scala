@@ -864,8 +864,16 @@ object TrainingDataQueries {
       graft.functions.CatalystExpressions.register(s)
       if (!graft.io.Lake.exists(s, s"$scratch/assignment"))
         Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+      // pruneScan=false (r12, tools/RrfProbe A/B: 1.07 -> 0.58 s warm):
+      // this is a BULK serve — queries are 10% of the corpus, so the
+      // probed-cell union covers every cell and the pruning collect job
+      // + duplicate assignment scan prune nothing. Point serves (q56)
+      // keep the default.
+      // sorted=false too: the fusion re-aggregates, and the serving
+      // sort would survive as a mid-plan range exchange + sampling job
       val sem = Similarity.ivfTopKFromIndex(s, scratch,
-          col("vec_id") % 10 === 0, k = 10, nProbe = 2)
+          col("vec_id") % 10 === 0, k = 10, nProbe = 2, pruneScan = false,
+          sorted = false)
         .select(col("qid"), col("neighbor").as("id"), col("rnk"))
       val lex = TextAnalysis.bm25MoreLikeThis(table(s, dir, "documents"),
           col("doc_id") % 10 === 0, k = 10)

@@ -33,6 +33,18 @@ object RrfProbe {
       Similarity.ivfTopKFromIndex(spark, scratch, col("vec_id") % 10 === 0,
         k = 10, nProbe = 2).count()
     }
+    t("ivf serve k=10 2nd") {
+      Similarity.ivfTopKFromIndex(spark, scratch, col("vec_id") % 10 === 0,
+        k = 10, nProbe = 2).count()
+    }
+    t("ivf serve noprune") {
+      Similarity.ivfTopKFromIndex(spark, scratch, col("vec_id") % 10 === 0,
+        k = 10, nProbe = 2, pruneScan = false).count()
+    }
+    t("ivf serve noprune 2nd") {
+      Similarity.ivfTopKFromIndex(spark, scratch, col("vec_id") % 10 === 0,
+        k = 10, nProbe = 2, pruneScan = false).count()
+    }
     val docs = Queries.table(spark, dir, "documents")
     // MLT stage decomposition
     val live = docs.filter(col("text").isNotNull)
@@ -127,6 +139,15 @@ object RrfProbe {
     }
     t("full q107 2nd") {
       graft.SparkEntry.queries("q107_hybrid_rrf")(spark, dir).count()
+    }
+    locally {
+      val plan = graft.SparkEntry.queries("q107_hybrid_rrf")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val sorts = plan.linesIterator.count(_.contains("Sort "))
+      val exch = graft.SparkEntry.queries("q107_hybrid_rrf")(spark, dir)
+        .queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      println(s"[rrf] optimized Sort nodes: $sorts, executed Exchange lines: $exch")
     }
     spark.stop()
   }
