@@ -1985,6 +1985,47 @@ object AnalyticsQueries {
       "pre-delete version still readable, no-op delete consumes no " +
       "version")
 
+  /** STREAMING point-in-time enrichment (q103's incremental twin, the
+    * 10th streaming query — `streaming/EnrichStream`): dimension
+    * version rows and fact rows ride ONE keyed stream, state per key is
+    * the CURRENT attribute version only, and every fact emits enriched
+    * with the version valid at its event time — the feature-serving
+    * path that keeps training (`pitJoin`) and serving consistent.
+    * Shares q103's ASOF-join oracle via batch-equivalence (the
+    * q114/q124/q128 pattern): dimension = the per-(custkey, date)
+    * status log, facts = the orders, staged as one micro-batch. */
+  private val q130 = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EnrichStream
+      val o = table(s, dir, "orders")
+      val log = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+      // every log row streams as a version row: rows scd2Build would
+      // collapse carry an IDENTICAL attribute, so the carried state —
+      // and therefore every fact's enrichment — matches the collapsed
+      // dimension exactly
+      val dimRows = log.select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        lit(0).as("kind"), col("status").as("attr"), lit(-1L).as("fact_id"))
+      val factRows = o.select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        lit(1).as("kind"), lit(null).cast("string").as("attr"),
+        col("o_orderkey").as("fact_id"))
+      val staged = Queries.stagedFrameStream(s,
+        dimRows.unionByName(factRows), "q130")
+      val out = EnrichStream.enriched(staged.as[EnrichStream.In])
+      Queries.runToMemorySink(out.toDF(), "q130", "append")
+        .select(col("fact_id").as("o_orderkey"), col("k").as("o_custkey"),
+          timestamp_micros(col("ts_us")).cast("date").as("o_orderdate"),
+          col("attr").as("status_at_order"))
+        .orderBy("o_orderkey")
+    },
+    q103.oracle,
+    "Streaming PIT enrichment (flatMapGroupsWithState, current-version " +
+      "state per key): facts enriched at event time, hash-equal to the " +
+      "batch pitJoin and its ASOF-join oracle")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2071,6 +2112,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q130_stream_pit" -> q130,
     "q129_gdpr_delete" -> q129,
     "q128_stream_drift" -> q128,
     "q127_rolling_kmv" -> q127,

@@ -146,6 +146,17 @@ object Queries {
     * sink and return the sink table. Honors the
     * `spark.graft.streaming.stateStore` provider switch (memory | rocksdb)
     * for the stateful operators. */
+  /** Stage an arbitrary DERIVED frame as a one-file file-source stream
+    * (the [[stagedEventStream]] pattern generalized): coalesce(1) so
+    * the staged table arrives as exactly ONE micro-batch — the
+    * batch-equivalence harness contract every snapshot-compare
+    * streaming oracle relies on (q128's single-batch assertion). */
+  def stagedFrameStream(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val srcDir = s"$scratchRoot/$name-src"
+    df.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    s.readStream.schema(df.schema).parquet(srcDir)
+  }
+
   def runToMemorySink(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
     graft.streaming.StateStores.configure(s)
