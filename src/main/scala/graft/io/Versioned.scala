@@ -291,6 +291,14 @@ object Versioned {
       .filter(!coalesce(pred, lit(false)))
     val staged = stageDataFiles(
       coalesceTo.map(survivors.coalesce).getOrElse(survivors), path)
+    if (staged.isEmpty && carried.isEmpty)
+      // a delete that empties the whole table would publish an empty
+      // manifest readAsOf treats as corruption — truncation is an
+      // explicit overwrite commit, not a predicate delete. (The staged
+      // dir holds no parquet files; vacuum reclaims it as an orphan.)
+      throw new IllegalArgumentException(
+        s"deleteWhere at $path removes every row — commit an explicit " +
+          "empty overwrite instead")
     publish(spark, path, staged, maxAttempts = 1,
       expectedPrev = Some(vBase)) { (_, s) => carried ++ s }
   }

@@ -123,6 +123,18 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     assert(Versioned.versions(spark, p) == Seq(1L, 2L))
   }
 
+  test("deleteWhere that empties the table leaves a READABLE empty latest version") {
+    val p = freshPath()
+    Versioned.commit(Seq(1L, 2L).toDF("k"), p, "append")
+    // the rewrite stages schema-only parquet, so the empty after-image
+    // reads back with the right schema (0 rows), and the pre-delete
+    // version stays time-travelable
+    assert(Versioned.deleteWhere(spark, p, $"k" > 0L) == 2L)
+    val after = Versioned.readAsOf(spark, p)
+    assert(after.count() == 0L && after.schema.fieldNames.toSeq == Seq("k"))
+    assert(rows(p, Some(1L)) == Set(1L, 2L))
+  }
+
   test("deleteWhere + vacuum: deleted rows are PHYSICALLY gone from every surviving file") {
     val p = freshPath()
     Versioned.commit(Seq(1L, 2L, 3L, 4L).toDF("k"), p, "append")
