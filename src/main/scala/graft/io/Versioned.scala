@@ -274,6 +274,38 @@ object Versioned {
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, coalesceTo: Option[Int] = None): Long = {
     import org.apache.spark.sql.functions._
+    deleteCow(spark, path, coalesceTo)(
+      snap => snap.filter(pred),
+      touched => touched.filter(!coalesce(pred, lit(false))))
+  }
+
+  /** [[deleteWhere]] for a DATA-SIZED key set — the bulk-takedown form
+    * (forget a SET of users/documents): the keys join as data
+    * (semi-join hit detection, anti-join survivors; broadcast when
+    * small), never an inlined predicate, so forgetting 10⁶ keys is the
+    * same plan as one. Same guarantees: file-granular copy-on-write,
+    * CAS publish, keys matching nothing = no-op, time travel until
+    * [[vacuum]]. Idempotent by construction — replaying a takedown
+    * batch whose keys are already gone matches nothing and consumes no
+    * version (what makes [[graft.streaming.StreamSink.toTakedowns]]
+    * exactly-once on plain foreachBatch). */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String, coalesceTo: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions._
+    val gone = keys.select(col(keyCol)).distinct().localCheckpoint()
+    deleteCow(spark, path, coalesceTo)(
+      snap => snap.join(gone, Seq(keyCol), "left_semi"),
+      touched => touched.join(gone, Seq(keyCol), "left_anti"))
+  }
+
+  /** Shared copy-on-write delete core: `hits` marks matching rows on
+    * the full snapshot (which carries `__f` = its source file), and
+    * `survivors` keeps the rows of the TOUCHED files that live on. */
+  private def deleteCow(spark: SparkSession, path: String,
+      coalesceTo: Option[Int])(
+      hits: DataFrame => DataFrame,
+      survivors: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
     val vBase = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no commits at $path"))
     val files = readManifest(spark, path, vBase)
@@ -282,25 +314,44 @@ object Versioned {
     // the scheme-less URI path
     def norm(s: String) = new Path(s).toUri.getPath
     val snapshot = spark.read.parquet(files: _*)
-    val hit = snapshot.filter(pred)
-      .select(col("_metadata.file_path")).distinct()
+      .withColumn("__f", col("_metadata.file_path"))
+    val hit = hits(snapshot)
+      .select(col("__f")).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
     if (hit.isEmpty) return vBase
     val (touched, carried) = files.partition(f => hit.contains(norm(f)))
-    val survivors = spark.read.parquet(touched: _*)
-      .filter(!coalesce(pred, lit(false)))
+    val surv = survivors(spark.read.parquet(touched: _*))
     val staged = stageDataFiles(
-      coalesceTo.map(survivors.coalesce).getOrElse(survivors), path)
+      coalesceTo.map(surv.coalesce).getOrElse(surv), path)
     if (staged.isEmpty && carried.isEmpty)
       // a delete that empties the whole table would publish an empty
       // manifest readAsOf treats as corruption — truncation is an
       // explicit overwrite commit, not a predicate delete. (The staged
       // dir holds no parquet files; vacuum reclaims it as an orphan.)
       throw new IllegalArgumentException(
-        s"deleteWhere at $path removes every row — commit an explicit " +
+        s"delete at $path removes every row — commit an explicit " +
           "empty overwrite instead")
     publish(spark, path, staged, maxAttempts = 1,
       expectedPrev = Some(vBase)) { (_, s) => carried ++ s }
+  }
+
+  /** OPTIMIZE for the manifest lake — the compaction step every
+    * log-structured table needs once appends accumulate (each
+    * [[commit]] append adds files; read cost grows with file count,
+    * not data size): rewrite the LATEST snapshot's content into
+    * `targetFiles` files and publish as one CAS-guarded overwrite
+    * version. Content-identical (spec-asserted), pre-compact versions
+    * stay time-travelable until [[vacuum]] reclaims their files —
+    * compaction is a new version, never an in-place rewrite (readers
+    * pinned to the old manifest keep streaming its immutable files).
+    * Returns the committed version. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val vBase = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $path"))
+    val cur = readAsOf(spark, path, Some(vBase))
+    commit(cur.repartition(targetFiles), path, "overwrite",
+      expectedPrev = Some(vBase))
   }
 
   /** Commit history as a frame: (version, n_files) per commit —

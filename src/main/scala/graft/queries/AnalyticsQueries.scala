@@ -2026,6 +2026,59 @@ object AnalyticsQueries {
       "state per key): facts enriched at event time, hash-equal to the " +
       "batch pitJoin and its ASOF-join oracle")
 
+  /** STREAMING takedown queue (the 11th streaming query — q129's
+    * continuous twin, `StreamSink.toTakedowns`): forget-requests
+    * stream in; each micro-batch applies `Versioned.deleteKeys` (one
+    * atomic copy-on-write commit) AND purges the forgotten docs'
+    * postings from the durable dedup index — so a forgotten document
+    * stops existing and stops surfacing as anyone's near-dup
+    * candidate, continuously. Exactly-once by construction (deleteKeys
+    * idempotence), no landing protocol. The oracle replays BOTH
+    * effects against the base table: the lake after-image and the
+    * exact Jaccard≥0.8 pair set over the SURVIVING corpus (q20's
+    * lossless-LSH argument). */
+  private val q131 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      import graft.ops.Dedup
+      val scratch = s"${Queries.scratchRoot}/q131-takedown"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      Versioned.commit(docs, s"$scratch/lake", "append")
+      Dedup.writeShingleIndex(docs, s"$scratch/index")
+      val requests = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"))
+      val staged = Queries.stagedFrameStream(s, requests, "q131")
+      val q = graft.streaming.StreamSink.toTakedowns(staged, s"$scratch/lake",
+        "doc_id", s"$scratch/ckpt", indexPath = Some(s"$scratch/index"),
+        coalesceTo = Some(1))
+      q.processAllAvailable(); q.stop()
+      val after = Versioned.readAsOf(s, s"$scratch/lake")
+      val lakeRow = after
+        .agg(count(lit(1)).as("a"), sum(col("doc_id")).as("b"))
+        .select(lit("lake").as("scope"), col("a"), col("b"))
+      val pairRow = Dedup.minhashNearDupsFromIndex(s, s"$scratch/index", 0.8)
+        .agg(count(lit(1)).as("a"), sum(col("da") + col("db")).as("b"))
+        .select(lit("pairs").as("scope"), col("a"), col("b"))
+      lakeRow.unionAll(pairRow).orderBy("scope")
+    },
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+      "FROM documents WHERE NOT doc_id % 9 = 4), " +
+      s"s AS (SELECT DISTINCT doc_id, unnest(${Queries.duckWordGramsList("ws", 3)}) AS sh FROM w), " +
+      "c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1), " +
+      "p AS (SELECT da, db FROM c JOIN z x ON c.da = x.doc_id " +
+      "JOIN z y ON c.db = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8) " +
+      "SELECT 'lake' AS scope, count(*) AS a, CAST(sum(doc_id) AS BIGINT) AS b " +
+      "FROM documents WHERE NOT doc_id % 9 = 4 " +
+      "UNION ALL SELECT 'pairs', count(*), CAST(sum(da + db) AS BIGINT) FROM p " +
+      "ORDER BY scope"),
+    "Streaming takedown queue: per-batch atomic lake delete + dedup " +
+      "index purge, exactly-once by idempotence; lake after-image AND " +
+      "served pair set hash-match the surviving-corpus oracle")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2112,6 +2165,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q131_stream_takedown" -> q131,
     "q130_stream_pit" -> q130,
     "q129_gdpr_delete" -> q129,
     "q128_stream_drift" -> q128,

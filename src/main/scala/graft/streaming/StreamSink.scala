@@ -178,6 +178,42 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous GDPR/takedown processing (the 11th streaming query's
+    * sink — [[graft.io.Versioned.deleteKeys]] +
+    * [[graft.ops.Dedup.deleteFromShingleIndex]] per micro-batch): each
+    * batch of forget-requests (a `keyCol` column of ids) is applied as
+    * ONE atomic copy-on-write commit against the versioned lake, and
+    * the forgotten ids' shingle rows + LSH postings are purged from
+    * the durable dedup index, so a forgotten document stops existing
+    * AND stops surfacing as anyone's near-dup candidate — continuously,
+    * as requests arrive.
+    *
+    * Exactly-once on plain foreachBatch BY CONSTRUCTION, no landing
+    * protocol needed: deleteKeys is idempotent (a replayed batch's
+    * keys are already gone — matches nothing, consumes no version),
+    * and the index purge is an anti-join that removes nothing the
+    * second time. The lake's version history is the takedown audit
+    * trail (one version per effective batch), reclaimed by `vacuum`
+    * per the retention policy. `indexPath = None` runs lake-only. */
+  def toTakedowns(requests: DataFrame, lakePath: String, keyCol: String,
+      checkpoint: String, indexPath: Option[String] = None,
+      coalesceTo: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select(
+            org.apache.spark.sql.functions.col(keyCol)).localCheckpoint()
+          graft.io.Versioned.deleteKeys(batch.sparkSession, lakePath, ids,
+            keyCol, coalesceTo)
+          indexPath.foreach(p => graft.ops.Dedup.deleteFromShingleIndex(
+            batch.sparkSession, p, ids, keyCol))
+        }
+      }
+      .start()
+
   /** The live merged Count-Min sketch from a [[toCmSketch]] landing:
     * cell-wise sum across batch partitions — same cell schema as a
     * direct [[graft.ops.Sketches.cmSketch]] build. */

@@ -156,6 +156,35 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     assert(everything == Set(1L, 3L))
   }
 
+  test("deleteKeys: data-sized key set, same semantics as deleteWhere, idempotent replay") {
+    val p = freshPath()
+    Versioned.commit((1L to 20L).toDF("k"), p, "append")
+    val gone = Seq(4L, 8L, 12L, 999L).toDF("k") // 999 absent: harmless
+    val v2 = Versioned.deleteKeys(spark, p, gone, "k")
+    assert(v2 == 2L && rows(p) == (1L to 20L).toSet -- Set(4L, 8L, 12L))
+    // replay the SAME batch (the toTakedowns crash-recovery path):
+    // keys already gone -> matches nothing -> no version consumed
+    assert(Versioned.deleteKeys(spark, p, gone, "k") == 2L)
+    assert(Versioned.versions(spark, p) == Seq(1L, 2L))
+    assert(rows(p, Some(1L)) == (1L to 20L).toSet) // audit trail intact
+  }
+
+  test("compact: fewer files, identical content, pre-compact versions still readable") {
+    val p = freshPath()
+    (1L to 6L).foreach(k => Versioned.commit(Seq(k).toDF("k"), p, "append"))
+    val filesBefore = Versioned.history(spark, p)
+      .filter($"version" === 6L).select($"n_files").as[Long].head()
+    assert(filesBefore >= 6L)
+    assert(Versioned.compact(spark, p, targetFiles = 1) == 7L)
+    assert(rows(p) == (1L to 6L).toSet)
+    val filesAfter = Versioned.history(spark, p)
+      .filter($"version" === 7L).select($"n_files").as[Long].head()
+    assert(filesAfter < filesBefore)
+    assert(rows(p, Some(3L)) == Set(1L, 2L, 3L)) // time travel intact
+    Versioned.vacuum(spark, p, retainVersions = 1)
+    assert(rows(p) == (1L to 6L).toSet) // latest survives vacuum
+  }
+
   test("commitIfClean: clean batch commits, dirty batch leaves the lake untouched") {
     import graft.ops.Quality
     val p = freshPath()
