@@ -58,7 +58,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // pruning property has a dedicated test below); q127 checkpoints
     // the per-day sketch
     "q112_cm_sketch", "q114_stream_funnel", "q115_cdc_merge",
-    "q119_bloom_lookup", "q124_stream_cm", "q127_rolling_kmv")
+    "q119_bloom_lookup", "q124_stream_cm", "q127_rolling_kmv",
+    // r12: q128/q130/q131 run their streams at plan-build; q129
+    // performs two versioned commits + a copy-on-write delete; q105
+    // first-touch-builds its bucketed edge index (catalog write)
+    "q105_pagerank_index", "q128_stream_drift", "q129_gdpr_delete",
+    "q130_stream_pit", "q131_stream_takedown")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -100,6 +105,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name degraded to a nested-loop join")
     }
+  }
+
+  test("q107: no mid-plan range exchange (the serving sort stays out of the fusion)") {
+    // r12: the sem side's (qid, rnk) serving sort survived EliminateSorts
+    // under the union→repartition→aggregate as a RANGE exchange + its
+    // boundary-sampling job; sorted=false removes it. The only range
+    // partitioning allowed is the query's own final ORDER BY.
+    val plan = planOf("q107_hybrid_rrf")
+    val ranges = plan.linesIterator.count(_.contains("rangepartitioning"))
+    assert(ranges <= 1, s"q107 plans $ranges range exchanges (want <= 1):\n" +
+      plan.linesIterator.filter(_.contains("rangepartitioning")).mkString("\n"))
   }
 
   test("q01: projection prunes the scan to the selected columns") {
