@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * a typed metadata struct; decode/feature-extract runs per partition so
   * batches amortize any codec setup cost.
   *
-  * Two decode tiers:
+  * Three decode tiers:
   *  - [[decodeImage]]/[[extractImageFeatures]] — a REAL codec path:
   *    `javax.imageio` (JDK built-in, zero dependencies) decodes
   *    PNG/JPEG/GIF/BMP payloads to pixels inside the mapPartitions batch,
   *    exactly the shape a production image pipeline uses.
+  *  - [[encodeWavPcm16]]/[[decodeWavFeatures]]/[[audioFeatures]] — a REAL
+  *    audio codec path (r12): `javax.sound.sampled` (also JDK built-in)
+  *    writes and reads WAV/PCM16, and because PCM16 encode→decode is
+  *    bit-exact, the whole codec round trip is hash-checkable against a
+  *    SQL oracle computing the same features from the raw samples.
   *  - [[decodeStub]]/[[resizeStub]] — deterministic byte-level stand-ins
-  *    for codecs the JDK does not ship (audio/video): they keep the
+  *    for codecs the JDK does not ship (video): they keep the
   *    declared queries oracle-replayable while exercising the identical
   *    plumbing (schema, binary column, partition batching, output shape).
   */
@@ -178,6 +183,89 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => (id, resizeStub(b, stride)) })
       .toDF("doc_id", "payload")
+  }
+
+  final case class AudioFeatures(user_id: Long, n_samples: Long,
+      sum_sq: Long, zero_cross: Long, peak: Long)
+
+  /** REAL audio encode via the JDK: PCM16 mono little-endian samples →
+    * a WAV container, written by `javax.sound.sampled.AudioSystem`
+    * itself (no hand-rolled header — the codec writes what the codec
+    * reads). PCM16 is lossless, so [[decodeWavFeatures]] recovers the
+    * exact samples — what makes the audio path hash-checkable. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via the JDK: parse the WAV container, read the
+    * PCM frames, and fold the signal features every audio curation
+    * pipeline filters on — sample count, energy (Σs² — kept as the
+    * exact integer instead of a float RMS), zero crossings (strict
+    * sign flips in frame order), peak |s|. None for payloads the codec
+    * rejects — the bad-media-is-data contract of [[decodeImage]]. */
+  def decodeWavFeatures(id: Long, wav: Array[Byte]): Option[AudioFeatures] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val big = fmt.isBigEndian
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = if (big) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff))
+              else ((hi << 8) | lo)
+            sumSq += s.toLong * s
+            if (i > 0 && prev.toLong * s < 0) zc += 1
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+            prev = s
+            i += 1
+          }
+          Some(AudioFeatures(id, n.toLong, sumSq, zc, peak))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batched REAL-codec audio features over per-key signals
+    * (`(user_id long, samples array<int>)`, one row per signal): each
+    * signal round-trips through the JDK WAV codec — encode to the
+    * container, decode the container, fold features from the DECODED
+    * frames — inside the mapPartitions batch, exactly the shape a
+    * production audio pipeline uses (payload bytes in, features out).
+    * PCM16 losslessness makes the output equal features computed from
+    * the raw samples, which is what the SQL oracle replays (q132). */
+  def audioFeatures(spark: SparkSession, signals: DataFrame): DataFrame = {
+    import spark.implicits._
+    signals.as[(Long, Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, s) =>
+        decodeWavFeatures(id, encodeWavPcm16(s.map(_.toShort).toArray))
+      })
+      .toDF()
   }
 
   /** Frame sampling: one output row per sampled fixed-width frame of the

@@ -2079,6 +2079,47 @@ object AnalyticsQueries {
       "index purge, exactly-once by idempotence; lake after-image AND " +
       "served pair set hash-match the surviving-corpus oracle")
 
+  /** REAL audio-codec feature extraction (`Multimodal.audioFeatures` —
+    * the JDK `javax.sound.sampled` WAV path, upgrading audio from the
+    * byte-stub tier): per user, the event-value series quantizes to a
+    * signed PCM16 signal, round-trips through the ACTUAL codec (encode
+    * to a WAV container, decode the container) inside mapPartitions,
+    * and the signal features fold from the DECODED frames — sample
+    * count, integer energy Σs², strict zero crossings, peak. PCM16 is
+    * lossless, so the oracle replays the identical features from the
+    * raw samples — the whole codec round trip is hash-checked, not
+    * stubbed. Quantization s = floor(v·100 + 0.5) − 16000 keeps every
+    * sample in int16 and signed, saturating at the rails exactly like a
+    * real PCM quantizer (the q101 toUnits double-math convention,
+    * bit-identical across engines). */
+  private val q132 = Q(
+    (s, dir) => {
+      val sig = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+            least(greatest(floor(col("value") * 100 + 0.5).cast("long")
+                - 16000L, lit(-32768L)), lit(32767L))
+              .cast("int").as("s")).as("r"))
+        .groupBy(col("user_id"))
+        .agg(expr("transform(sort_array(collect_list(r)), x -> x.s)")
+          .as("samples"))
+      graft.ops.Multimodal.audioFeatures(s, sig).orderBy("user_id")
+    },
+    Some("WITH sg AS (SELECT user_id, ts, event_id, " +
+      "least(greatest(CAST(floor(value*100 + 0.5) AS BIGINT) - 16000, -32768), 32767) AS s " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "o AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id) AS prv FROM sg) " +
+      "SELECT user_id, count(*) AS n_samples, " +
+      "CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
+      "CAST(sum(CASE WHEN prv * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross, " +
+      "CAST(max(abs(s)) AS BIGINT) AS peak " +
+      "FROM o GROUP BY user_id ORDER BY user_id"),
+    "Real JDK audio codec round trip: per-user PCM16 WAV encode+decode " +
+      "in mapPartitions, features from decoded frames hash-match the " +
+      "raw-sample oracle (losslessness proved end to end)")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2165,6 +2206,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q132_audio_codec" -> q132,
     "q131_stream_takedown" -> q131,
     "q130_stream_pit" -> q130,
     "q129_gdpr_delete" -> q129,

@@ -107,4 +107,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(f20.mean_luma - 128.0) < 1.0) // solid gray survives scaling
     assert(resized(21L).toSeq == png(2, 2, 0x808080).toSeq, "no upscale")
   }
+
+  test("real audio codec: PCM16 WAV round trip recovers exact features, bad media dropped") {
+    val s = Array[Short](0, 100, -100, 32767, -32768, 1, -1)
+    val f = Multimodal.decodeWavFeatures(1L,
+      Multimodal.encodeWavPcm16(s)).get
+    assert(f.n_samples == 7L)
+    assert(f.sum_sq == s.map(x => x.toLong * x).sum)
+    // sign flips: 100->-100, -100->32767, 32767->-32768, -32768->1, 1->-1
+    assert(f.zero_cross == 5L)
+    assert(f.peak == 32768L)
+    // empty signal: decodes, zero everything
+    val e = Multimodal.decodeWavFeatures(2L,
+      Multimodal.encodeWavPcm16(Array.empty[Short])).get
+    assert(e == Multimodal.AudioFeatures(2L, 0L, 0L, 0L, 0L))
+    // junk bytes are not a WAV: dropped, never a crash
+    assert(Multimodal.decodeWavFeatures(3L, Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("real audio codec: the distributed path equals the direct fold (random signals)") {
+    val rnd = new scala.util.Random(0xA0D10L)
+    val signals = (1L to 5L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(200))(rnd.nextInt(65536) - 32768)))
+    val got = Multimodal.audioFeatures(spark, signals.toDF("user_id", "samples"))
+      .as[Multimodal.AudioFeatures].collect().map(f => f.user_id -> f).toMap
+    signals.foreach { case (id, s) =>
+      val want = Multimodal.decodeWavFeatures(id,
+        Multimodal.encodeWavPcm16(s.map(_.toShort).toArray)).get
+      assert(got(id) == want, s"signal $id")
+      // and the decoded-frame fold equals a direct fold on raw samples
+      val sumSq = s.map(x => x.toLong * x).sum
+      val zc = s.zip(s.tail).count { case (a, b) => a.toLong * b < 0 }.toLong
+      assert(want.sum_sq == sumSq && want.zero_cross == zc)
+    }
+  }
 }
