@@ -266,6 +266,68 @@ object Sketches {
       .filter(col("r") <= k)
   }
 
+  /** Mergeable uniform-SAMPLE sketch via bottom-k ROW hashing — the
+    * QUANTILE member of the sketch family (distinct = [[kmvMinSet]],
+    * frequency = [[cmSketch]], heavy hitters = [[SpaceSaving]]; the GK
+    * sketch q53 serves is exact-rank but NOT mergeable): per group keep
+    * the k rows whose seeded affine hash of a UNIQUE row id is
+    * smallest. Hashing a unique id makes the kept rows a uniform random
+    * sample of the group's rows (duplicated VALUES keep their
+    * multiplicity — what a distinct-based sketch destroys and quantiles
+    * require), and bottom-k by hash makes it MERGEABLE: bottom-k of a
+    * union is bottom-k of the members' bottom-k's, so per-day /
+    * per-partition sketches roll up without rescanning base data (the
+    * q102/q127 property, extended from distinct counts to
+    * distributions). Sample-quantile error is the classic
+    * O(1/√k) in rank — documented, deterministic, SQL-replayable.
+    * NULL values are excluded (nothing to rank). */
+  def sampleSketch(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"sample sketch needs k >= 2, got $k")
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    df.select(groupCol.as("grp"), kmvHash(idCol).as("h"), valueCol.as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** MERGE sample sketches under a new group label: union the member
+    * rows (NEVER re-hash), re-take the k smallest by (h, v). Rows with
+    * equal (h, v) are interchangeable, so the kept multiset — and every
+    * quantile read off it — is deterministic on any engine. */
+  def sampleMerge(sketch: DataFrame, newGroup: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    sketch.select(lit(newGroup).as("grp"), col("h"), col("v"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** Quantile estimates from sample sketches alone: for each φ (integer
+    * percent) pick the sample value at nearest-rank-lower
+    * `(φ·(m−1)) div 100 + 1` over the v-sorted sample (m = sample
+    * size) — exact for groups smaller than k (the sample IS the group),
+    * O(1/√k)-rank-accurate above. Integer rank arithmetic; the picked
+    * value is COPIED, never computed, so estimates hash-match any
+    * SQL replay bit-for-bit. */
+  def sampleQuantiles(sketch: DataFrame, phis: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phis.nonEmpty && phis.forall(p => p >= 0 && p <= 100),
+      s"phis must be integer percents, got $phis")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("h"))
+    val ranked = sketch
+      .withColumn("vr", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    phis.map { p =>
+      ranked.filter(col("vr") === expr(s"(($p * (m - 1)) div 100) + 1"))
+        .select(col("grp"), lit(p.toLong).as("phi"), col("v").as("est"),
+          col("m").cast("long").as("m"))
+    }.reduce(_ unionAll _)
+  }
+
   /** MERGE k-min sets into one sketch under a new group label: union of
     * the member sketches' RAW hash values (re-hashing would destroy the
     * estimator's uniformity), dedup, re-take the k smallest. Touches

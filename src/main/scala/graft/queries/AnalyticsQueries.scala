@@ -2120,6 +2120,49 @@ object AnalyticsQueries {
       "in mapPartitions, features from decoded frames hash-match the " +
       "raw-sample oracle (losslessness proved end to end)")
 
+  /** Mergeable QUANTILE sketch (`Sketches.sampleSketch` — bottom-k row
+    * hashing, the q102/q112 mergeability extended to distributions;
+    * GK/q53 is exact-rank but cannot merge): per-event-type uniform row
+    * samples (k smallest affine hashes of the unique event id), a
+    * '__all' rollup merged from the per-type sketch rows ALONE (no base
+    * rescan — provably the direct sketch of the union), and
+    * p50/p90/p99 nearest-rank estimates read off each sample. Exact
+    * for groups smaller than k, O(1/√k)-rank-accurate above; every
+    * step integer or copied, fully SQL-replayed. */
+  private val q133 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val k = 64
+      val ev = table(s, dir, "events")
+      // materialize the ≤ 5·k-row sketch once (the q102 convention):
+      // it feeds both the merge and the quantile union
+      val sk = Sketches.sampleSketch(ev, col("event_type"),
+        col("event_id"), col("value"), k).localCheckpoint()
+      val all = Sketches.sampleMerge(sk, "__all", k)
+      Sketches.sampleQuantiles(sk.unionByName(all), Seq(50, 90, 99))
+        .select(col("grp").as("scope"), col("phi"), col("est"), col("m"))
+        .orderBy("scope", "phi")
+    },
+    Some("WITH s0 AS (SELECT event_type AS grp, " +
+      "(((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 " +
+      "+ 2147483647) % 2147483647 AS h, value AS v " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "sk AS (SELECT grp, h, v FROM (SELECT grp, h, v, row_number() " +
+      "OVER (PARTITION BY grp ORDER BY h, v) AS r FROM s0) WHERE r <= 64), " +
+      "al AS (SELECT '__all' AS grp, h, v FROM (SELECT h, v, row_number() " +
+      "OVER (ORDER BY h, v) AS r FROM sk) WHERE r <= 64), " +
+      "u AS (SELECT * FROM sk UNION ALL SELECT * FROM al), " +
+      "rk AS (SELECT grp, h, v, row_number() OVER (PARTITION BY grp " +
+      "ORDER BY v, h) AS vr, count(*) OVER (PARTITION BY grp) AS m FROM u), " +
+      "ph AS (SELECT unnest([50, 90, 99]) AS phi) " +
+      "SELECT rk.grp AS scope, CAST(ph.phi AS BIGINT) AS phi, rk.v AS est, " +
+      "CAST(rk.m AS BIGINT) AS m FROM rk CROSS JOIN ph " +
+      "WHERE rk.vr = ((ph.phi * (rk.m - 1)) // 100) + 1 " +
+      "ORDER BY scope, phi"),
+    "Mergeable quantile sketch: bottom-k uniform row samples per group, " +
+      "'__all' rollup from sketch rows alone, nearest-rank p50/p90/p99 " +
+      "— the sketch family's quantile member, integer-replayable")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2206,6 +2249,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q133_quantile_sketch" -> q133,
     "q132_audio_codec" -> q132,
     "q131_stream_takedown" -> q131,
     "q130_stream_pit" -> q130,

@@ -260,4 +260,39 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("sample sketch: merge over sketch rows equals the direct sketch of the union") {
+    val rnd = new scala.util.Random(0x5A3157L)
+    val rows = (1L to 500L).map(id =>
+      (s"g${id % 3}", id, rnd.nextDouble() * 100))
+    val df = rows.toDF("g", "id", "v")
+    val k = 16
+    val perGroup = Sketches.sampleSketch(df, col("g"), col("id"), col("v"), k)
+    val merged = Sketches.sampleMerge(perGroup, "__all", k)
+      .select($"h", $"v").as[(Long, Double)].collect().toSeq.sorted
+    val direct = Sketches.sampleSketch(df, lit("__all"), col("id"), col("v"), k)
+      .select($"h", $"v").as[(Long, Double)].collect().toSeq.sorted
+    assert(merged == direct && merged.size == k)
+  }
+
+  test("sample sketch: quantiles are EXACT for groups smaller than k") {
+    val vs = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0) // 1..9 shuffled
+    val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val sk = Sketches.sampleSketch(df, col("g"), col("id"), col("v"), k = 64)
+    val q = Sketches.sampleQuantiles(sk, Seq(0, 50, 100))
+      .select($"phi", $"est").as[(Long, Double)].collect().toMap
+    // nearest-rank-lower over 9 values 1..9: phi 0 -> 1, 50 -> 5, 100 -> 9
+    assert(q == Map(0L -> 1.0, 50L -> 5.0, 100L -> 9.0))
+  }
+
+  test("sample sketch: NULL values excluded; sample size capped at k") {
+    val df = ((1L to 100L).map(id => ("g", id, Some(id.toDouble))) :+
+      (("g", 101L, Option.empty[Double]))).toDF("g", "id", "v")
+    val sk = Sketches.sampleSketch(df, col("g"), col("id"), col("v"), k = 8)
+    assert(sk.count() == 8L)
+    val m = Sketches.sampleQuantiles(sk, Seq(50))
+      .select($"m").as[Long].head()
+    assert(m == 8L)
+  }
 }
