@@ -2163,6 +2163,39 @@ object AnalyticsQueries {
       "'__all' rollup from sketch rows alone, nearest-rank p50/p90/p99 " +
       "— the sketch family's quantile member, integer-replayable")
 
+  /** STREAMING quantile-sketch maintenance (q133's incremental twin,
+    * the 12th streaming query — `StreamSink.toSampleSketch`): each
+    * micro-batch's bottom-k sample rows land idempotently
+    * (`batch=<id>`, exactly-once under replay), the live sketch is
+    * re-take-bottom-k at read (associative, provably the direct batch
+    * sketch), and the same '__all' rollup + p50/p90/p99 read off it —
+    * so q134 shares q133's full SQL oracle via batch-equivalence (the
+    * q124 pattern applied to distributions). */
+  private val q134 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val k = 64
+      val scratch = s"${Queries.scratchRoot}/q134-qsketch"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val stream = Queries.stagedEventStream(s, dir, "q134")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val q = graft.streaming.StreamSink.toSampleSketch(stream,
+        s"$scratch/sketch", s"$scratch/ckpt", "event_type", "event_id",
+        "value", k)
+      q.processAllAvailable(); q.stop()
+      val sk = graft.streaming.StreamSink.readSampleSketch(s,
+        s"$scratch/sketch", k).localCheckpoint()
+      val all = Sketches.sampleMerge(sk, "__all", k)
+      Sketches.sampleQuantiles(sk.unionByName(all), Seq(50, 90, 99))
+        .select(col("grp").as("scope"), col("phi"), col("est"), col("m"))
+        .orderBy("scope", "phi")
+    },
+    q133.oracle,
+    "Streaming quantile sketch: per-batch bottom-k landings " +
+      "(exactly-once), live sketch = re-take-bottom-k at read, " +
+      "hash-equal to the batch sketch and its SQL oracle")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2249,6 +2282,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q134_stream_quantile" -> q134,
     "q133_quantile_sketch" -> q133,
     "q132_audio_codec" -> q132,
     "q131_stream_takedown" -> q131,

@@ -178,6 +178,49 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous QUANTILE-sketch maintenance
+    * ([[graft.ops.Sketches.sampleSketch]] — the [[toCmSketch]] landing
+    * protocol applied to the sketch family's quantile member): each
+    * micro-batch's bottom-k sample rows land in their own `batch=<id>`
+    * partition via the idempotent [[landBatch]] rename, and the LIVE
+    * sketch is recovered at read time by [[readSampleSketch]]'s
+    * re-take-bottom-k — sound because bottom-k merge is associative and
+    * commutative (bottom-k of a union is bottom-k of the members'
+    * bottom-k's), so "merge at serve" equals the direct batch sketch
+    * over everything that streamed in. Exactly-once on plain parquet
+    * for the same reason as [[toCmSketch]]: a replayed batch overwrites
+    * its own landing. Each landing is ≤ groups·k rows regardless of
+    * batch size. */
+  def toSampleSketch(stream: DataFrame, path: String, checkpoint: String,
+      grpCol: String, idCol: String, valueCol: String, k: Int,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Sketches.sampleSketch(batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(valueCol), k),
+            path, batchId)
+      }
+      .start()
+
+  /** The live merged sample sketch from a [[toSampleSketch]] landing:
+    * re-take the k smallest (h, v) per group across batch partitions —
+    * same row schema as a direct [[graft.ops.Sketches.sampleSketch]]. */
+  def readSampleSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(col("grp"), col("h"), col("v"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+      .filter(col("r") <= k)
+  }
+
   /** Continuous GDPR/takedown processing (the 11th streaming query's
     * sink — [[graft.io.Versioned.deleteKeys]] +
     * [[graft.ops.Dedup.deleteFromShingleIndex]] per micro-batch): each

@@ -168,4 +168,30 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
     assert(merged == direct && direct.nonEmpty)
   }
+
+  test("toSampleSketch landings: re-take-bottom-k across batches equals the direct sketch; replay idempotent") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    val k = 8
+    val path = java.nio.file.Files.createTempDirectory("qstream").toString + "/sk"
+    val rnd = new scala.util.Random(0x5AFE5L)
+    val all = (1L to 300L).map(i => (s"g${i % 3}", i, rnd.nextDouble() * 50))
+      .toDF("g", "id", "v")
+    val parts = Seq(all.filter($"id" % 3 === 0), all.filter($"id" % 3 === 1),
+      all.filter($"id" % 3 === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      StreamSink.landBatch(
+        Sketches.sampleSketch(b, $"g", $"id", $"v", k), path, i.toLong)
+    }
+    // replay of batch 1 must not change the served sketch
+    StreamSink.landBatch(
+      Sketches.sampleSketch(parts(1), $"g", $"id", $"v", k), path, 1L)
+    val merged = StreamSink.readSampleSketch(spark, path, k)
+      .select($"grp", $"h", $"v").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val direct = Sketches.sampleSketch(all, $"g", $"id", $"v", k)
+      .select($"grp", $"h", $"v").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(merged == direct && direct.nonEmpty)
+  }
 }
