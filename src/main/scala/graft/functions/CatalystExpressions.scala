@@ -538,6 +538,61 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Greedy longest-match subword tokenizer against a FIXED vocabulary —
+    * the WordPiece/BPE-apply shape (tokenizers ship as a vocab file;
+    * applying one is the exact-token-count step packing and budget
+    * accounting need, where the whitespace/regex counters are
+    * approximations): at each position take the LONGEST vocab entry
+    * matching, else consume one char as UNK (id 0). Ids are 1-based
+    * positions in the given vocab list. Returns
+    * struct(n_tokens, n_unk, id_wsum) with id_wsum = Σ idᵢ·i (1-based
+    * token position) — an order-sensitive checksum replayable by a
+    * plain SUM in any SQL engine, so the whole tokenization is
+    * hash-checkable without materializing token arrays. In-row and
+    * shuffle-free like [[WordCounts]]; the hash probes run longest-
+    * first so cost per position is ≤ maxTokLen lookups. */
+  case class VocabTokenize(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+      "vocab must be non-empty tokens")
+    require(vocab.distinct.size == vocab.size, "vocab tokens must be distinct")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_unk", LongType, nullable = false),
+      StructField("id_wsum", LongType, nullable = false)))
+    override def prettyName: String = "graft_vocab_tokenize"
+
+    @transient private lazy val byTok: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      vocab.zipWithIndex.foreach { case (t, i) => m.put(t, (i + 1).toLong) }
+      m
+    }
+    @transient private lazy val maxLen = vocab.map(_.length).max
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var pos = 0
+      var n = 0L
+      var unk = 0L
+      var wsum = 0L
+      while (pos < text.length) {
+        var len = math.min(maxLen, text.length - pos)
+        var id = -1L
+        while (len >= 1 && id < 0) {
+          val hit = byTok.get(text.substring(pos, pos + len))
+          if (hit != null) id = hit.longValue() else len -= 1
+        }
+        if (id < 0) { unk += 1; id = 0L; len = 1 }
+        n += 1
+        wsum += id * n
+        pos += len
+      }
+      org.apache.spark.sql.catalyst.InternalRow(n, unk, wsum)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Per-row term-frequency map of an array<string> token list:
     * array<struct<term, tf>> sorted by term, empty tokens skipped — the
     * in-row form of `explode → groupBy(doc, term) → count`. Term counts
@@ -769,6 +824,12 @@ object CatalystExpressions {
       es => EwmaFold(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_counts",
       es => WordCounts(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_vocab_tokenize",
+      es => VocabTokenize(es.head, {
+        val a = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_word_pairs",
       es => WordPairs(es.head), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
@@ -837,6 +898,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_word_counts"),
       info("graft_word_counts", "_FUNC_(tokens) - per-row term-frequency pairs (term, tf), term-sorted, empties skipped"),
       es => WordCounts(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_vocab_tokenize"),
+      info("graft_vocab_tokenize", "_FUNC_(text, vocab) - greedy longest-match subword tokenize against the vocab array; struct(n_tokens, n_unk, id_wsum)"),
+      es => VocabTokenize(es.head, {
+        val a = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      })))
     e.injectFunction((FunctionIdentifier("graft_word_pairs"),
       info("graft_word_pairs", "_FUNC_(tokens) - ordered pairs (ta < tb) of the distinct non-empty tokens"),
       es => WordPairs(es.head)))

@@ -62,6 +62,27 @@ object TextAnalysis {
       .withColumn("chars_per_tok",
         round(length(col(textCol)).cast("double") / col("ws_toks"), 6))
 
+  /** EXACT subword token statistics against a fixed vocabulary — the
+    * real tokenizer-apply step behind token budgets and packing
+    * (`tokenCounts` above is the whitespace/regex APPROXIMATION; a
+    * training pipeline's budgets are counted in its tokenizer's own
+    * units): greedy longest-match per position (the WordPiece/BPE-apply
+    * shape — tokenizers ship as a vocab file, applying one is
+    * deterministic), unknown chars consume one position as UNK (id 0).
+    * Compiled in-row kernel ([[graft.functions.CatalystExpressions
+    * .VocabTokenize]]), zero shuffle; `id_wsum` = Σ idᵢ·i is the
+    * order-sensitive checksum a SQL oracle replays with one SUM. */
+  def subwordTokenStats(docs: DataFrame, vocab: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_vocab_tokenize", col(textCol),
+          typedLit(vocab)).as("tk"))
+      .select(col(idCol), col("tk.n_tokens").as("n_tokens"),
+        col("tk.n_unk").as("n_unk"), col("tk.id_wsum").as("id_wsum"))
+  }
+
   /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", polyHash(col(textCol)))

@@ -2196,6 +2196,55 @@ object AnalyticsQueries {
       "(exactly-once), live sketch = re-take-bottom-k at read, " +
       "hash-equal to the batch sketch and its SQL oracle")
 
+  /** The fixed subword vocabulary q135 tokenizes against (ids = 1-based
+    * positions; UNK = 0). Deliberately SUBWORD-shaped: frequent words
+    * tokenize whole, the rest split into pieces, and 'q' is absent so
+    * the corpus's "query" exercises the UNK path deterministically. */
+  private val q135Vocab: Seq[String] = Seq(
+    " ", "the", "batch", "join", "sort", "merge", "stream",
+    "win", "dow", "scan", "tab", "le", "dat", "a", "fil", "ter",
+    "gro", "up", "val", "ue", "ro", "w", "key", "ord", "er",
+    "s", "t", "e", "c", "o", "l", "u", "m", "n", "h", "i", "g",
+    "p", "b", "f", "d", "k", "v", "r", "y")
+
+  /** EXACT subword tokenization (`TextAnalysis.subwordTokenStats` — the
+    * real tokenizer-apply step: greedy longest-match against a fixed
+    * vocab, the WordPiece/BPE-apply shape; q26's whitespace/regex
+    * counts are the approximation this replaces for token budgets):
+    * per doc, exact token count, UNK count, and the order-sensitive
+    * id checksum Σ idᵢ·i. Compiled in-row kernel, zero shuffle. The
+    * oracle replays the GREEDY MATCH ITSELF with a recursive CTE
+    * (per-position longest vocab hit via correlated max_by), so the
+    * tokenization — not just its counts — is hash-checked. */
+  private val q135 = Q(
+    (s, dir) => graft.ops.TextAnalysis.subwordTokenStats(
+        table(s, dir, "documents"), q135Vocab)
+      .orderBy("doc_id"),
+    Some {
+      val vocabValues = q135Vocab.zipWithIndex
+        .map { case (t, i) => s"('$t', ${i + 1})" }.mkString(", ")
+      "WITH RECURSIVE vocab(tok, id) AS (SELECT * FROM (VALUES " +
+        vocabValues + ") v(tok, id)), " +
+        "dcs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "step(doc_id, pos, id, n) AS (" +
+        "SELECT doc_id, 1, CAST(NULL AS BIGINT), CAST(0 AS BIGINT) FROM dcs " +
+        "UNION ALL SELECT s.doc_id, " +
+        "s.pos + COALESCE((SELECT max(length(v.tok)) FROM vocab v " +
+        "WHERE substr(d.text, s.pos, length(v.tok)) = v.tok), 1), " +
+        "CAST(COALESCE((SELECT max_by(v.id, length(v.tok)) FROM vocab v " +
+        "WHERE substr(d.text, s.pos, length(v.tok)) = v.tok), 0) AS BIGINT), " +
+        "s.n + 1 FROM step s JOIN dcs d USING (doc_id) " +
+        "WHERE s.pos <= length(d.text)) " +
+        "SELECT doc_id, max(n) AS n_tokens, " +
+        "CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, " +
+        "CAST(sum(id * n) AS BIGINT) AS id_wsum " +
+        "FROM step WHERE n >= 1 GROUP BY doc_id ORDER BY doc_id"
+    },
+    "Exact subword tokenization: greedy longest-match against a fixed " +
+      "vocab (compiled in-row kernel), token/UNK counts + the " +
+      "order-sensitive id checksum, hash-checked against a recursive " +
+      "replay of the greedy match itself")
+
   /** 2-D Pareto frontier / skyline (min price, max size over part):
     * the undominated price-capability trade-off points — ops/Pareto's
     * two-phase sweep (salted local frontier, provably a superset of
@@ -2282,6 +2331,7 @@ object AnalyticsQueries {
       "hash-equals the batch funnel and its chained-min oracle")
 
   val all: Map[String, Q] = Map(
+    "q135_subword_tokenize" -> q135,
     "q134_stream_quantile" -> q134,
     "q133_quantile_sketch" -> q133,
     "q132_audio_codec" -> q132,

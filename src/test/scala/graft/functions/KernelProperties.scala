@@ -76,4 +76,43 @@ class KernelProperties extends AnyFunSuite {
       assert(gotPairs == want, s"tokens=$toks")
     }
   }
+
+  test("VocabTokenize equals a reference greedy tokenizer for random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("ab", "abc", "b", "c", "ca", " ")
+    // note 'a' is NOT in vocab: a bare 'a' (not starting ab/abc) is UNK
+    def reference(text: String): (Long, Long, Long) = {
+      val ids = vocab.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap
+      var pos = 0; var n = 0L; var unk = 0L; var wsum = 0L
+      while (pos < text.length) {
+        val cand = (1 to math.min(3, text.length - pos)).reverse
+          .map(l => text.substring(pos, pos + l)).find(ids.contains)
+        n += 1
+        cand match {
+          case Some(t) => wsum += ids(t) * n; pos += t.length
+          case None => unk += 1; pos += 1
+        }
+      }
+      (n, unk, wsum)
+    }
+    val rnd = new scala.util.Random(0x70C3L)
+    val expr = CatalystExpressions.VocabTokenize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType), vocab)
+    for (_ <- 1 to 500) {
+      val text = Seq.fill(rnd.nextInt(30))("abc x".charAt(rnd.nextInt(5))).mkString
+      val got = expr.nullSafeEval(UTF8String.fromString(text))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val want = reference(text)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
+        s"text='$text'")
+    }
+    // fixed spot-checks: greedy prefers 'abc' over 'ab'; UNK for 'x'/'a'
+    val g = expr.nullSafeEval(UTF8String.fromString("abca x"))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    // abca x -> abc(2)@1, a=UNK(0)@2, ' '(6)@3, x=UNK(0)@4
+    assert(g.getLong(0) == 4L && g.getLong(1) == 2L &&
+      g.getLong(2) == 2L * 1 + 0L + 6L * 3 + 0L)
+  }
 }
