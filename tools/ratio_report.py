@@ -47,6 +47,18 @@ def main():
           f"{te / tb:.2f}x over {len(rows)} queries "
           f"({sum(1 for r in rows if r[4])} unclean; probe_ok="
           f"{d.get('probe_ok')}, base_reps={d.get('base_reps')})")
+    # rows where the ENGINE beats the oracle >5x dominate the
+    # denominator in the engine's favor (q135: a compiled kernel vs the
+    # recursive-SQL replay, 25 s of baseline on one line) — report the
+    # total both ways so the historical apples-to-apples number is
+    # always one read away (see the q135 BASELINE.md note)
+    inv = [r for r in rows if r[0] < 0.2]
+    if inv:
+        te2 = te - sum(r[1] for r in inv)
+        tb2 = tb - sum(r[2] for r in inv)
+        names = ", ".join(r[3] for r in inv)
+        print(f"excl. inverted rows ({names}): engine {te2:.2f}s vs "
+              f"baseline {tb2:.2f}s = {te2 / tb2:.2f}x")
 
 
 if __name__ == "__main__":
