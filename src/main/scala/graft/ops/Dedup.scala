@@ -429,6 +429,67 @@ object Dedup {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** Fuzzy (near-dup) cross-corpus decontamination — the leakage pass
+    * exact decontamination ([[graft.ops.Curation.decontaminate]], q50)
+    * cannot give: a PARAPHRASED or lightly-edited copy of a held-out
+    * document shares no exact word n-gram with it, but still leaks the
+    * evaluation set into training. This is the MinHash answer: train
+    * docs whose shingle-set Jaccard against ANY held-out doc reaches
+    * `threshold` are reported (with the matching held-out doc and the
+    * exact score), and dropping them is one left-anti join away.
+    *
+    * Shape = [[minhashNearDups]] made BIPARTITE: both corpora are
+    * shingled and banded once, candidates come from the (band,
+    * band_key) equi-join of train postings against held-out postings —
+    * never train × heldout — and only collisions pay the exact-Jaccard
+    * verify. No `id <` ordering (the sides are distinct corpora); a
+    * doc id may even appear on both sides (self-pairs survive at
+    * jac = 1, which IS contamination when train and test overlap).
+    * At 100 TB the held-out side is the small one (≤ a few GB of
+    * shingle postings) — AQE broadcasts its banded postings, so the
+    * train corpus never shuffles for candidate generation at all.
+    *
+    * Exactness contract: the output filter is the exact Jaccard, so
+    * LSH only bounds the candidate set (k=128, 32×4 bands ⇒ miss
+    * probability < 1e-7 at j ≥ 0.8 — q20's argument), and the result
+    * equals the brute-force bipartite answer, which is what the
+    * oracle replays. Returns (train_id, bench_id, jac), ordered. */
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3, k: Int = 128,
+      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    graft.functions.CatalystExpressions.register(train.sparkSession)
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands (see minhashNearDups)")
+    val r = k / bands
+    def sets(df: DataFrame, slot: String) = Materialize.cachedSingleton(slot,
+      df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleWidth).as("sh")))
+    // each side materialized once: its band path + its verify-join side
+    // read the same shingle computation (the minhashNearDups rationale)
+    val tSets = sets(train, "decont-train-sets")
+    val bSets = sets(bench, "decont-bench-sets")
+    def banded(s: DataFrame) =
+      lshBands(s.withColumn("sig", minhashSignature(col("sh"), k)),
+        "sig", "id", bands, r)
+    // bipartite candidate join — strategy left to AQE: the held-out
+    // postings broadcast while they fit (the common regime), and a
+    // giant evaluation suite degrades to a hash join instead of
+    // overflowing a forced broadcast
+    val cand = banded(tSets).as("x").join(banded(bSets).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key"))
+      .select(col("x.id").as("train_id"), col("y.id").as("bench_id"))
+      .distinct()
+    cand
+      .join(tSets.select(col("id").as("train_id"), col("sh").as("sa")), "train_id")
+      .join(bSets.select(col("id").as("bench_id"), col("sh").as("sb")), "bench_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("train_id"), col("bench_id"), round(col("jac"), 6).as("jac"))
+      .orderBy("train_id", "bench_id")
+  }
+
   // -- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit j is set iff more word

@@ -126,7 +126,8 @@ object Dimension {
     * original fact struct), `__a` (the carried attributes, NULL before
     * a key's first version) and `__t` (the fact instant). */
   private def asOfCarry(facts: DataFrame, dim: DataFrame, keyCol: String,
-      factTimeCol: String, attrStruct: org.apache.spark.sql.Column): DataFrame = {
+      factTimeCol: String, attrStruct: org.apache.spark.sql.Column,
+      forward: Boolean = false): DataFrame = {
     val factStruct = struct(facts.columns.map(col).toIndexedSeq: _*)
     val vRows = dim.select(col(keyCol).as("__key"),
       col("valid_from").as("__t"), lit(0).as("__k"),
@@ -136,12 +137,39 @@ object Dimension {
       col(factTimeCol).as("__t"), lit(1).as("__k"),
       lit(null).cast(attrType).as("__attrs"), factStruct.as("__fact"))
     val factType = fRows.schema("__fact").dataType
-    val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__k"))
+    // forward: scan from the FUTURE side (time descending) so "last
+    // version seen" is the NEAREST version at-or-after the fact; the
+    // version-before-fact tag order at equal instants is unchanged, so
+    // a version at exactly the fact's instant matches in BOTH directions
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(col("__key")).orderBy(tOrd, col("__k"))
       .rowsBetween(Window.unboundedPreceding, 0)
     vRows.withColumn("__fact", lit(null).cast(factType))
       .unionByName(fRows)
       .withColumn("__a", last(col("__attrs"), ignoreNulls = true).over(w))
       .filter(col("__k") === 1)
+  }
+
+  /** FORWARD point-in-time join — [[pitJoin]] mirrored in time: every
+    * fact picks up the EARLIEST dimension version valid at-or-after its
+    * instant (facts after a key's last version get NULL). The
+    * lead-time / what-happened-next lookup: trade → next quote,
+    * order → next status change, event → next deploy; also the
+    * training-data shape for next-action labeling, where each example
+    * row is annotated with the first outcome version that follows it.
+    * Same one-shuffle no-join-node plan as [[pitJoin]] — the window
+    * just scans time DESCENDING, so the O(1)-state carry holds the
+    * nearest FUTURE version instead of the nearest past one. A version
+    * at exactly the fact's instant matches in both directions
+    * (backward "at or before" / forward "at or after" — both
+    * inclusive, the ASOF convention). */
+  def pitJoinNext(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTimeCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "pitJoinNext needs at least one attribute column")
+    asOfCarry(facts, dim, keyCol, factTimeCol, struct(attrCols.map(col): _*),
+        forward = true)
+      .select(facts.columns.map(c => col("__fact." + c)).toIndexedSeq ++
+        attrCols.map(c => col("__a." + c)): _*)
   }
 
   /** [[pitJoin]] with a STALENESS bound — the feature-store freshness

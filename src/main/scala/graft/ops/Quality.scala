@@ -142,6 +142,63 @@ object Quality {
       .select(col("r.check_name"), col("r.n_violations"), col("r.n_checked"))
   }
 
+  /** Per-column PROFILING report (the Deequ/Glue-profiler shape — the
+    * first pass every new data source gets before anyone writes
+    * constraints against it): one row per column with row count, null
+    * count, exact distinct count, typed min/max (rendered as strings so
+    * heterogeneous columns share one schema), and the modal value with
+    * its frequency. [[rowAudit]] answers "does the data satisfy known
+    * rules"; profile answers "what rules should exist".
+    *
+    * Shape: TWO scans total, independent of column count —
+    *  1. one fused scalar aggregation (count + per-column null-sum and
+    *     TYPED min/max, so numeric columns get numeric extremes, not
+    *     lexicographic ones — the cast to string happens AFTER the agg);
+    *  2. one row-local stack (explode) of all columns into
+    *     (col_name, value-as-string) rows feeding a single
+    *     (col_name, value) aggregation with map-side partials — never a
+    *     scan per column — then a per-column fold for distinct count and
+    *     the mode.
+    * Modal tie-break: highest count, then lexicographically LARGEST
+    * value (`max(struct(cnt, v))` — deterministic and replayable on any
+    * engine). All-NULL columns profile as n_distinct = 0 with a NULL
+    * mode. A pathological column where every value is distinct costs
+    * |rows| group keys in pass 2 — the same bound any exact distinct
+    * count pays; swap in approx_count_distinct upstream if that regime
+    * needs profiling at 100 TB. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val scalarAggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val scalarRows = df.agg(scalarAggs.head, scalarAggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__min_$c").as("min_s"),
+          col(s"__max_$c").as("max_s"))): _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.min_s"), col("r.max_s"))
+    val groups = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("r"))
+      .select(col("r.c").as("col_name"), col("r.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val valueStats = groups.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(struct(col("cnt"), col("v"))).as("__top"))
+      .select(col("col_name"), col("n_distinct"),
+        col("__top.v").as("top_value"), col("__top.cnt").as("top_n"))
+    // left join: the per-column frame is |cols| rows — broadcast either
+    // way; LEFT so an all-NULL column still reports
+    scalarRows.join(valueStats, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"), col("top_value"),
+        coalesce(col("top_n"), lit(0L)).as("top_n"))
+  }
+
   /** Distribution DRIFT audit between a reference and a current
     * snapshot (train/serve skew, yesterday-vs-today monitoring): per
     * numeric column, row counts, null counts, and an exact scale-free

@@ -212,6 +212,49 @@ object Sketches {
       .toDF("item", "cnt", "err")
   }
 
+  /** Merge MANY SpaceSaving summaries relationally — the DataFrame twin
+    * of [[SpaceSaving.merge]]'s buffer arithmetic, for summaries that
+    * live as (batchCol, item, cnt, err) ROWS (per-day partials, the
+    * streaming landings of `StreamSink.toHeavyHitters`): a summary's
+    * floor is its minimum count when FULL (0 when under capacity — no
+    * key was ever evicted), an item absent from a summary contributes
+    * that summary's floor to both its merged count and its merged error
+    * (it could have been evicted there holding up to the floor), and
+    * the merged table is truncated back to the top `capacity` counters
+    * (ties by item — [[SpaceSaving.merge]]'s rule).
+    *
+    * `Σ_absent floor_j` is computed as `F − Σ_present floor_j` (F = the
+    * global floor sum), so the plan never joins items against the
+    * batch universe: one per-batch floor agg (tiny), one keyed item
+    * agg with map-side partials, one broadcast 1-row join, one
+    * TakeOrdered — no shuffle carries more than the distinct items.
+    *
+    * Exactness contract (spec-asserted): when every input summary is
+    * exact (capacity ≥ its distinct items ⇒ floor 0, err 0), the merge
+    * is the exact global count — the regime the oracle hash-checks;
+    * in the approximate regime merged counts never undercount the true
+    * stream (each absent side over-compensates by ≥ its possible
+    * evicted mass) and `err` bounds the overcount, the Agarwal et al.
+    * mergeable-summaries guarantee. */
+  def ssMerge(summaries: DataFrame, batchCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val floors = summaries.groupBy(col(batchCol).as("__b"))
+      .agg(when(count(lit(1)) >= capacity, min(col("cnt")))
+        .otherwise(lit(0L)).as("__floor"))
+    val totalF = floors.agg(coalesce(sum(col("__floor")), lit(0L)).as("__f"))
+    summaries.select(col(batchCol).as("__b"), col("item"), col("cnt"), col("err"))
+      .join(floors, "__b")
+      .groupBy(col("item"))
+      .agg(sum(col("cnt")).as("__c"), sum(col("err")).as("__e"),
+        sum(col("__floor")).as("__fp"))
+      .crossJoin(broadcast(totalF))
+      .select(col("item"),
+        (col("__c") + col("__f") - col("__fp")).as("cnt"),
+        (col("__e") + col("__f") - col("__fp")).as("err"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(capacity)
+  }
+
   /** KMV (k minimum values) distinct-count sketch — Bar-Yossef et al.,
     * "Counting distinct elements in a data stream" (RANDOM 2002): keep
     * the k SMALLEST distinct hash values of a key; the k-th smallest

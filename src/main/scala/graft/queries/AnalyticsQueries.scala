@@ -508,12 +508,17 @@ object AnalyticsQueries {
     (s, dir) => {
       val scratch = s"${Queries.scratchRoot}/q86-zorder-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-      if (!graft.io.Lake.exists(s, scratch)) {
+      // source fingerprint (r12 watch item, q119 pattern): the z-ordered
+      // copy IS the data served — staleness here is silently wrong
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/lineitem.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/_manifest") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
         val li = table(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
             col("l_extendedprice"))
         graft.io.Lake.writeZOrdered(li, scratch,
           Seq("l_partkey", "l_suppkey"), nFiles = 32)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
       }
       graft.io.Lake.readPruned(s, scratch,
           Seq(("l_partkey", 100.0, 400.0), ("l_suppkey", 0.0, 40.0)))
@@ -2330,7 +2335,119 @@ object AnalyticsQueries {
       "per user, emit-on-advance): snapshot max-stage + reachFromStages " +
       "hash-equals the batch funnel and its chained-min oracle")
 
+  /** Per-column profiling report ([[graft.ops.Quality.profile]] — the
+    * Deequ-style first pass a new source gets before anyone writes
+    * constraints): row/null/distinct counts, typed min/max rendered as
+    * strings, modal value + frequency, over four heterogeneous
+    * documents columns (strings, a bigint, a nullable text column).
+    * TWO scans total however many columns (one fused scalar agg + one
+    * stacked (col, value) agg); modal tie-break = highest count then
+    * lexicographically largest value, replayed by the oracle's
+    * row_number. */
+  private val q137 = {
+    val cols = Seq("lang", "n_chars", "source", "text")
+    def duckScalar(c: String) =
+      s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls, " +
+        s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s " +
+        "FROM documents"
+    Q(
+      (s, dir) => graft.ops.Quality.profile(table(s, dir, "documents"), cols)
+        .orderBy("col_name"),
+      Some("WITH st AS (" +
+        cols.map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v " +
+          "FROM documents").mkString(" UNION ALL ") + "), " +
+        "g AS (SELECT col_name, v, count(*) AS cnt FROM st " +
+        "WHERE v IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT col_name, v, cnt, row_number() OVER " +
+        "(PARTITION BY col_name ORDER BY cnt DESC, v DESC) AS rn FROM g), " +
+        "vs AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct " +
+        "FROM g GROUP BY 1), " +
+        "tp AS (SELECT col_name, v AS top_value, cnt AS top_n FROM t WHERE rn = 1), " +
+        "sc AS (" + cols.map(duckScalar).mkString(" UNION ALL ") + ") " +
+        "SELECT sc.col_name, n_rows, n_nulls, " +
+        "coalesce(n_distinct, 0) AS n_distinct, min_s, max_s, top_value, " +
+        "coalesce(top_n, 0) AS top_n " +
+        "FROM sc LEFT JOIN vs USING (col_name) LEFT JOIN tp USING (col_name) " +
+        "ORDER BY col_name"),
+      "Column profiling report: null/distinct counts, typed min/max, " +
+        "modal value per column in two scans total (fused scalar agg + " +
+        "one stacked value agg) — the constraint-discovery pass")
+  }
+
+  /** STREAMING heavy hitters (the thirteenth streaming query — q44's
+    * incremental twin): each micro-batch is summarized by its own
+    * SpaceSaving sketch (≤ capacity rows however large the batch),
+    * landed idempotently in `batch=<id>` partitions
+    * (StreamSink.toHeavyHitters — exactly-once on plain parquet, a
+    * replay overwrites its own landing), and the live top-k is the
+    * relational mergeable-summaries fold (Sketches.ssMerge: per-batch
+    * floors compensate evicted keys, truncate to capacity). At this
+    * capacity every batch summary is exact, so the merge provably
+    * equals the direct batch sketch and hash-checks against q44's
+    * plain-count oracle (batch-equivalence, the q124/q134 pattern). */
+  private val q138 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q138-topk"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val stream = Queries.stagedTableStream(s, dir, "q138", "documents")
+        .select(explode(split(col("text"), " ")).as("item"))
+      val q = graft.streaming.StreamSink.toHeavyHitters(stream,
+        s"$scratch/sketch", s"$scratch/ckpt", "item", capacity = 64)
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.readHeavyHitters(s, s"$scratch/sketch", 64)
+        .orderBy(col("cnt").desc, col("item"))
+    },
+    q44.oracle,
+    "Streaming heavy-hitter maintenance: per-batch SpaceSaving " +
+      "summaries landed exactly-once, merged relationally at read " +
+      "(mergeable-summaries floors) — hash-equal to the batch sketch")
+
+  /** FORWARD point-in-time join ([[graft.ops.Dimension.pitJoinNext]] —
+    * q103 mirrored in time): every order picks up the EARLIEST
+    * status-change version at-or-after its date — the
+    * what-happened-next / lead-time lookup (next-action labeling for
+    * training data). Same one-shuffle no-join-node union+window shape
+    * as q103, window scanned time-descending; the oracle is DuckDB's
+    * native ASOF LEFT JOIN with the inequality reversed
+    * (f.t <= d.valid_from), both sides inclusive at equal instants. */
+  private val q139 = Q(
+    (s, dir) => {
+      val log = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("o_orderstatus"))
+      val dim = graft.ops.Dimension.scd2Build(log, "o_custkey",
+          "o_orderdate", Seq("o_orderstatus"))
+        .withColumnRenamed("o_orderstatus", "status_next")
+      val facts = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      graft.ops.Dimension.pitJoinNext(facts, dim, "o_custkey", "o_orderdate",
+          Seq("status_next"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH log AS (SELECT o_custkey, o_orderdate, " +
+      "max_by(o_orderstatus, o_orderkey) AS o_orderstatus FROM orders " +
+      "GROUP BY o_custkey, o_orderdate), " +
+      "chg AS (SELECT *, lag(o_orderstatus) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate) AS pv FROM log), " +
+      "cp AS (SELECT o_custkey, o_orderdate, o_orderstatus FROM chg " +
+      "WHERE pv IS NULL OR pv <> o_orderstatus), " +
+      "dim AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from " +
+      "FROM cp) " +
+      "SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, " +
+      "d.o_orderstatus AS status_next " +
+      "FROM orders f ASOF LEFT JOIN dim d ON f.o_custkey = d.o_custkey " +
+      "AND f.o_orderdate <= d.valid_from " +
+      "ORDER BY f.o_orderkey"),
+    "Forward point-in-time join: earliest dimension version at-or-after " +
+      "each fact (next-status / lead-time lookup), one-shuffle " +
+      "no-join-node shape scanned time-descending")
+
   val all: Map[String, Q] = Map(
+    "q139_pit_next" -> q139,
+    "q138_stream_topk" -> q138,
+    "q137_profile" -> q137,
     "q135_subword_tokenize" -> q135,
     "q134_stream_quantile" -> q134,
     "q133_quantile_sketch" -> q133,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.Curation
-import graft.queries.Queries.{duckWordGrams, table, Q}
+import graft.queries.Queries.{dround6, duckWordGrams, table, Q}
 
 /** Dataset-curation query pack (q47–q50): deterministic splitting,
   * balanced downsampling, token-budget packing, and benchmark
@@ -297,7 +297,46 @@ object CurationQueries {
       "sure-negatives bypass the shuffle, maybe-positives close with " +
       "the exact join — bit-identical to the plain anti join")
 
+  /** Fuzzy (near-dup) decontamination — the leakage pass q50's exact
+    * 5-gram overlap can't give: train docs whose shingle-set Jaccard
+    * against ANY test doc reaches 0.8 (paraphrases, light edits), found
+    * by the BIPARTITE MinHash+LSH band join
+    * ([[graft.ops.Dedup.fuzzyDecontaminate]] — train postings equi-join
+    * test postings, never train × test; candidates verified by the
+    * exact Jaccard, so the answer equals brute force and the oracle
+    * replays it directly: q50's hash-split composed with q20's exact
+    * bipartite pair set). */
+  private val q136 = Q(
+    (s, dir) => {
+      val withSplit = Curation.assignSplit(table(s, dir, "documents"), "doc_id")
+      graft.ops.Dedup.fuzzyDecontaminate(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "test"),
+        "doc_id", "text", shingleWidth = 3, k = 128, bands = 32,
+        threshold = 0.8)
+    },
+    Some("WITH sp AS (SELECT doc_id, text, CASE " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents), " +
+      "w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp), " +
+      s"s AS (SELECT DISTINCT doc_id, split, ${duckWordGrams("ws", 3)} AS sh FROM w), " +
+      "c AS (SELECT a.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.split = 'train' AND b.split = 'test' " +
+      "GROUP BY 1, 2), " +
+      "z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1) " +
+      "SELECT train_id, bench_id, " +
+      dround6("CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter)") + " AS jac " +
+      "FROM c JOIN z x ON c.train_id = x.doc_id JOIN z y ON c.bench_id = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE)/(x.nsh + y.nsh - inter) >= 0.8 " +
+      "ORDER BY train_id, bench_id"),
+    "Fuzzy benchmark decontamination: train docs near-duplicating any " +
+      "held-out doc (bipartite MinHash+LSH band join, exact-Jaccard " +
+      "verified) — catches the paraphrased leakage exact n-gram " +
+      "overlap misses")
+
   val all: Map[String, Q] = Map(
+    "q136_decontaminate_fuzzy" -> q136,
     "q92_bloom_decontaminate" -> q92,
     "q47_split_assign" -> q47,
     "q48_balanced_sample" -> q48,

@@ -61,6 +61,21 @@ object Queries {
     * landing dir (file-stream sources need a directory), open a schema'd
     * parquet readStream with the ns→µs ts floor applied. Used by every
     * streaming query (q19/q32/q39/q40). */
+  /** Stage an arbitrary testdata table as a one-file streaming source
+    * (the [[stagedEventStream]] mechanics without the events-specific
+    * ts normalization) — for streaming queries over non-event tables
+    * (q138 streams the documents corpus). */
+  def stagedTableStream(s: SparkSession, dir: String, name: String,
+      tbl: String): DataFrame = {
+    val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve(s"$tbl.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$tbl.parquet"), link)
+    val rawSchema = s.read.parquet(s"$dir/$tbl.parquet").schema
+    s.readStream.schema(rawSchema).parquet(srcDir.toString)
+  }
+
   def stagedEventStream(s: SparkSession, dir: String, name: String): DataFrame = {
     val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
     java.nio.file.Files.createDirectories(srcDir)

@@ -389,8 +389,15 @@ object TrainingDataQueries {
       val scratch = s"${Queries.scratchRoot}/q84-index-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val docs = table(s, dir, "documents")
-      if (!graft.io.Lake.exists(s, s"$scratch/shingles"))
+      // source fingerprint (r12 watch item, q119 pattern): the scratch
+      // index persists across processes, so a regenerated documents
+      // table must trigger a rebuild, not serve stale postings
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/documents.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/shingles") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
         Dedup.writeShingleIndex(docs, scratch)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
       Dedup.dedupSurvivorsFromIndex(s, docs, "doc_id", scratch, threshold = 0.8)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
@@ -413,8 +420,13 @@ object TrainingDataQueries {
       val scratch = s"${Queries.scratchRoot}/q85-index-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = table(s, dir, "embeddings")
-      if (!graft.io.Lake.exists(s, s"$scratch/assignment"))
+      // source fingerprint (r12 watch item, q119 pattern)
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/embeddings.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
         Similarity.writeIndex(emb, scratch, nCells = 16)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
       Similarity.semanticDedupSurvivorsFromIndex(s, emb, "vec_id", scratch,
         threshold = 0.4)
         .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
@@ -862,8 +874,13 @@ object TrainingDataQueries {
       // register up front: on the serve-only (index-exists) path no
       // table() call precedes the graft_dot use inside the IVF serve
       graft.functions.CatalystExpressions.register(s)
-      if (!graft.io.Lake.exists(s, s"$scratch/assignment"))
+      // source fingerprint (r12 watch item, q119 pattern)
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/embeddings.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
         Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
       // pruneScan=false (r12, tools/RrfProbe A/B: 1.07 -> 0.58 s warm):
       // this is a BULK serve — queries are 10% of the corpus, so the
       // probed-cell union covers every cell and the pruning collect job

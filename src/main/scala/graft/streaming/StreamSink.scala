@@ -178,6 +178,48 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous HEAVY-HITTER maintenance
+    * ([[graft.ops.Sketches.heavyHitters]] — the [[toCmSketch]] landing
+    * protocol applied to the sketch family's top-k member): each
+    * micro-batch is summarized by its own SpaceSaving sketch (≤
+    * `capacity` (item, cnt, err) rows regardless of batch size) landed
+    * in a `batch=<id>` partition via the idempotent [[landBatch]]
+    * rename, and the LIVE top-k is recovered at read time by
+    * [[readHeavyHitters]]'s relational merge
+    * ([[graft.ops.Sketches.ssMerge]]) — the Agarwal et al. mergeable-
+    * summaries construction, exact whenever each batch summary is
+    * exact (capacity ≥ per-batch distinct items), never-undercounting
+    * with a summed error bound otherwise. Exactly-once on plain
+    * parquet for the same reason as [[toCmSketch]]: a replayed batch
+    * overwrites its own landing, where an in-place merged table would
+    * double-count it. */
+  def toHeavyHitters(stream: DataFrame, path: String, checkpoint: String,
+      itemCol: String, capacity: Int,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Sketches.heavyHitters(batch, itemCol, capacity),
+            path, batchId)
+      }
+      .start()
+
+  /** The live merged heavy-hitter summary from a [[toHeavyHitters]]
+    * landing: [[graft.ops.Sketches.ssMerge]] over the batch partitions —
+    * same row schema as a direct batch [[graft.ops.Sketches
+    * .heavyHitters]] call. */
+  def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+      path: String, capacity: Int): DataFrame =
+    graft.ops.Sketches.ssMerge(
+      spark.read.parquet(path).select(
+        org.apache.spark.sql.functions.col("batch"),
+        org.apache.spark.sql.functions.col("item"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("err")),
+      "batch", capacity)
+
   /** Continuous QUANTILE-sketch maintenance
     * ([[graft.ops.Sketches.sampleSketch]] — the [[toCmSketch]] landing
     * protocol applied to the sketch family's quantile member): each

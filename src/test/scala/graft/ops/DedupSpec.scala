@@ -393,4 +393,41 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       ("red bolt", "ted bolt", 1L, 3L, 1L),
       ("red ring", "ted ring", 1L, 1L, 2L)))
   }
+
+  test("fuzzyDecontaminate: bipartite pairs only, equals brute force, " +
+    "within-side near-dups invisible") {
+    val train = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val bench = Seq((100L, base), (101L, "an utterly unrelated benchmark " +
+      "sentence about mountains rivers and weather patterns")).toDF("doc_id", "text")
+    val got = Dedup.fuzzyDecontaminate(train, bench, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // brute-force bipartite word-3-gram jaccard at the same threshold
+    def sets(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("doc_id").as(s"${side}_id"),
+        TextFunctions.wordShingles(col("text"), 3).as(s"sh_$side"))
+    val brute = sets(train, "train").crossJoin(sets(bench, "bench"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_train"), col("sh_bench"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sh_train")) + size(col("sh_bench")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("train_id"), col("bench_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)).toSet == brute)
+    // docs 1-2 are near-dups WITHIN train: a within-side pair must never
+    // surface; doc 100 (= doc 1's text) is the only cross-side hit, from
+    // both its train-side near-dups
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 100L), (2L, 100L)))
+    assert(got.find(_._1 == 1L).get._3 == 1.0)
+  }
+
+  test("fuzzyDecontaminate: an id present on both sides self-pairs at jac 1") {
+    val train = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val bench = Seq((1L, base)).toDF("doc_id", "text")
+    val got = Dedup.fuzzyDecontaminate(train, bench, "doc_id", "text",
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1.0)))
+  }
 }

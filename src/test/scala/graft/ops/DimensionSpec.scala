@@ -175,4 +175,51 @@ class DimensionSpec extends AnyFunSuite with SparkTest {
       .select($"fid", $"attr").as[(Long, Option[String])].collect().toMap
     assert(unbounded == plain)
   }
+
+  test("pitJoinNext: earliest at-or-after version, inclusive equal instant, " +
+    "trailing/keyless facts NULL, plan has no join node") {
+    import spark.implicits._
+    // key 1: versions a@5 b@10; key 2: c@1
+    val dim = Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 1L, "c"))
+      .toDF("k", "valid_from", "nxt")
+    val facts = Seq(
+      (10L, 1L, 3L),  // before both -> nearest future = a
+      (11L, 1L, 5L),  // exactly at a's valid_from -> a (inclusive)
+      (12L, 1L, 7L),  // between -> b
+      (13L, 1L, 10L), // at b -> b
+      (14L, 1L, 11L), // after the last version -> NULL
+      (15L, 2L, 5L),  // key 2's only version is in the past -> NULL
+      (16L, 3L, 1L)   // key with no versions at all -> NULL
+    ).toDF("fid", "k", "t")
+    val nxt = Dimension.pitJoinNext(facts, dim, "k", "t", Seq("nxt"))
+    val got = nxt.select($"fid", $"nxt").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, Some("a")), (11L, Some("a")), (12L, Some("b")),
+      (13L, Some("b")), (14L, None), (15L, None), (16L, None)))
+    val plan = nxt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pitJoinNext must not plan a join:\n$plan")
+  }
+
+  test("pitJoinNext equals the declarative forward interval join on the real table") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val log = orders.groupBy($"o_custkey", $"o_orderdate")
+      .agg(max_by($"o_orderstatus", $"o_orderkey").as("o_orderstatus"))
+    val dim = Dimension.scd2Build(log, "o_custkey", "o_orderdate",
+        Seq("o_orderstatus"))
+      .withColumnRenamed("o_orderstatus", "status_next")
+    val facts = orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val fwd = Dimension.pitJoinNext(facts, dim, "o_custkey", "o_orderdate",
+        Seq("status_next"))
+      .select($"o_orderkey", $"status_next")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    // declarative replay: min-valid_from version at-or-after each fact
+    val nextV = facts.join(dim,
+        facts("o_custkey") === dim("o_custkey") &&
+          dim("valid_from") >= facts("o_orderdate"), "left")
+      .groupBy(facts("o_orderkey").as("ok"))
+      .agg(min_by(dim("status_next"), dim("valid_from")).as("sn"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(fwd == nextV && fwd.exists(_._2.isDefined) && fwd.exists(_._2.isEmpty))
+  }
 }

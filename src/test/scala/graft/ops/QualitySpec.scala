@@ -131,4 +131,35 @@ class QualitySpec extends AnyFunSuite with SparkTest {
       .select($"l1x".cast("long")).as[Option[Long]].head()
     assert(row2.isEmpty)
   }
+
+  test("profile: typed numeric min/max, null/distinct counts, modal " +
+    "tie-break, all-NULL column") {
+    val df = Seq(
+      (2L, "b", "x", null.asInstanceOf[String]),
+      (10L, "a", "y", null.asInstanceOf[String]),
+      (10L, "b", "x", null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String], "y", null.asInstanceOf[String])
+    ).toDF("n", "s", "t", "z")
+    val p = Quality.profile(df, Seq("n", "s", "t", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // numeric column: min/max are TYPED (2 < 10), not lexicographic
+    // ("10" < "2"); mode = 10 with count 2
+    val n = p("n")
+    assert(n.getLong(1) == 4L && n.getLong(2) == 0L && n.getLong(3) == 3L)
+    assert(n.getString(4) == "2" && n.getString(5) == "10")
+    assert(n.getString(6) == "10" && n.getLong(7) == 2L)
+    // string column with one NULL: nulls counted, distinct over non-null,
+    // mode = b (count 2)
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    assert(s.getString(6) == "b" && s.getLong(7) == 2L)
+    // exact tie (x:2, y:2): the lexicographically LARGER value wins
+    val t = p("t")
+    assert(t.getString(6) == "y" && t.getLong(7) == 2L)
+    // all-NULL column: distinct 0, NULL extremes and mode, top_n 0
+    val z = p("z")
+    assert(z.getLong(2) == 4L && z.getLong(3) == 0L)
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6) && z.getLong(7) == 0L)
+  }
 }

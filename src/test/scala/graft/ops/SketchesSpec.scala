@@ -295,4 +295,50 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       .select($"m").as[Long].head()
     assert(m == 8L)
   }
+
+  test("ssMerge: exact regime equals the plain count; truncation keeps " +
+    "the top-capacity by (cnt desc, item)") {
+    val items = (1L to 400L).map(i => s"w${i % 20}")
+    val parts = items.grouped(150).toSeq
+    val summaries = parts.zipWithIndex.map { case (p, i) =>
+      Sketches.heavyHitters(p.toDF("item"), "item", capacity = 32)
+        .withColumn("batch", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    val merged = Sketches.ssMerge(summaries, "batch", capacity = 32)
+      .as[(String, Long, Long)].collect().toSeq
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong, 0L) }
+    assert(merged.toSet == truth.toSet)
+    // truncation: capacity below the distinct count keeps the top
+    // counters with the (cnt desc, item) tie order
+    val trunc = Sketches.ssMerge(summaries, "batch", capacity = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    val expect = truth.toSeq.sortBy { case (k, c, _) => (-c, k) }.take(5)
+    assert(trunc.map(r => (r._1, r._2)) == expect.map(r => (r._1, r._2)))
+  }
+
+  test("ssMerge: approximate regime never undercounts; cnt - err bounds " +
+    "the true count from below (seeded)") {
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    // skewed stream over ~60 distinct keys, capacity far below
+    val items = (1 to 3000).map(_ =>
+      "k" + (math.pow(rnd.nextDouble(), 3.0) * 60).toInt)
+    val cap = 8
+    val parts = items.grouped(700).toSeq
+    val summaries = parts.zipWithIndex.map { case (p, i) =>
+      Sketches.heavyHitters(p.toDF("item"), "item", capacity = cap)
+        .withColumn("batch", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    val merged = Sketches.ssMerge(summaries, "batch", cap)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(merged.nonEmpty && merged.size <= cap)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    merged.foreach { case (k, cnt, err) =>
+      val t = truth.getOrElse(k, 0L)
+      assert(cnt >= t, s"$k merged $cnt undercounts true $t")
+      assert(cnt - err <= t, s"$k guaranteed mass ${cnt - err} exceeds true $t")
+    }
+    // the heaviest true key must survive the merge (the sketch's point)
+    val top = truth.toSeq.maxBy(_._2)._1
+    assert(merged.exists(_._1 == top))
+  }
 }

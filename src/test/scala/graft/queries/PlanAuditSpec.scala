@@ -64,7 +64,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // first-touch-builds its bucketed edge index (catalog write)
     "q105_pagerank_index", "q128_stream_drift", "q129_gdpr_delete",
     "q130_stream_pit", "q131_stream_takedown", "q133_quantile_sketch",
-    "q134_stream_quantile")
+    "q134_stream_quantile",
+    // r13: q138 runs its heavy-hitter stream + landings at plan-build
+    "q138_stream_topk")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row

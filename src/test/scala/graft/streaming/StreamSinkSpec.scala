@@ -169,6 +169,27 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(merged == direct && direct.nonEmpty)
   }
 
+  test("toHeavyHitters landings: multi-batch merge equals the direct sketch; replay idempotent") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    val cap = 32 // > 26 distinct items => every batch summary exact
+    val path = java.nio.file.Files.createTempDirectory("hhstream").toString + "/hh"
+    val all = (1L to 500L).map(i => s"w${(i * 7) % 26}").toDF("item")
+    val parts = Seq(all.filter(pmod(xxhash64($"item"), lit(3)) === 0),
+      all.filter(pmod(xxhash64($"item"), lit(3)) === 1),
+      all.filter(pmod(xxhash64($"item"), lit(3)) === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      StreamSink.landBatch(Sketches.heavyHitters(b, "item", cap), path, i.toLong)
+    }
+    // replay of batch 1 must not change the served summary
+    StreamSink.landBatch(Sketches.heavyHitters(parts(1), "item", cap), path, 1L)
+    val merged = StreamSink.readHeavyHitters(spark, path, cap)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = Sketches.heavyHitters(all, "item", cap)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == direct && direct.nonEmpty)
+  }
+
   test("toSampleSketch landings: re-take-bottom-k across batches equals the direct sketch; replay idempotent") {
     import graft.ops.Sketches
     import spark.implicits._
