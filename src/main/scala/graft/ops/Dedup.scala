@@ -520,6 +520,19 @@ object Dedup {
     simhashPairs(sigs, bits = 60, nBands = 4, maxHamming)
   }
 
+  /** Public band-blocked Hamming pair search over PRE-COMPUTED bit
+    * signatures — the [[simhashPairs]] machinery opened to signatures
+    * that do not come from text (image aHash q140, any perceptual
+    * hash): explode each signature into nBands (band, band_key) rows,
+    * equi-join on the band key (pigeonhole: Hamming ≤ maxHamming <
+    * nBands ⇒ some band agrees exactly), verify the exact Hamming
+    * distance. Input needs columns (`idCol`, `sigCol`); returns
+    * (da, db, hamming), ordered. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, nBands: Int, maxHamming: Int): DataFrame =
+    simhashPairs(sigs.select(col(idCol).as("id"), col(sigCol).as("sig")),
+      bits, nBands, maxHamming)
+
   /** Band-blocked Hamming pair search shared by the SimHash variants:
     * explode each signature into nBands (band, band_key) rows, equi-join
     * on the band key, verify the exact Hamming distance. */

@@ -268,6 +268,88 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ImageHash(doc_id: Long, sig: Long)
+
+  /** REAL image encode via the JDK: a 16×16 grayscale test card
+    * (r = g = b = pixel) written through `javax.imageio`'s BMP codec.
+    * 24-bit BMP is uncompressed and lossless, so decode recovers the
+    * exact pixels — the imaging twin of [[encodeWavPcm16]]'s PCM16
+    * argument, and what makes the perceptual-hash path hash-checkable
+    * end to end. `pixels` is row-major, 256 values in [0, 255]. */
+  def encodeGrayBmp16(pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == 256, s"need 256 pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val p = pixels(y * 16 + x) & 0xff
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode + perceptual AVERAGE HASH (aHash): decode the
+    * payload through `javax.imageio`, 2×2-block-reduce the 16×16 gray
+    * image to 8×8 block sums, and set bit j iff block j's sum exceeds
+    * the image mean (strictly — `sum·64 > total` in exact integer
+    * arithmetic, no division). The signature keeps blocks 0–59 (60
+    * bits): a 64-bit mask would need bit 63, which signed-long SQL
+    * replay cannot build (the q21 SimHash60 convention), and 60 bits
+    * tile exactly into the 15-bit × 4 LSH bands the Hamming pair
+    * search uses. None for undecodable or wrong-shape payloads — the
+    * bad-media-is-data contract of [[decodeImage]]. */
+  def decodeImageAHash(id: Long, bytes: Array[Byte]): Option[ImageHash] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth != 16 || img.getHeight != 16) None
+      else {
+        val bs = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val p = (img.getRGB(x, y) & 0xff).toLong
+            bs((y / 2) * 8 + x / 2) += p
+            total += p
+            x += 1
+          }
+          y += 1
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 60) {
+          if (bs(j) * 64L > total) sig |= 1L << j
+          j += 1
+        }
+        Some(ImageHash(id, sig))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batched REAL-codec image perceptual hashing over per-doc pixel
+    * rows (`(doc_id long, pixels array<int>)`): each image round-trips
+    * through the JDK BMP codec — encode to the container, decode the
+    * container, aHash from the DECODED raster — inside the
+    * mapPartitions batch. BMP losslessness makes the output equal a
+    * hash computed from the raw pixels, which is what the SQL oracle
+    * replays (q140); compose with [[graft.ops.Dedup.hammingPairs]] for
+    * the image near-dup pair search. */
+  def imageAHash(spark: SparkSession, pixelRows: DataFrame): DataFrame = {
+    import spark.implicits._
+    pixelRows.as[(Long, Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, px) =>
+        decodeImageAHash(id, encodeGrayBmp16(px.toArray))
+      })
+      .toDF()
+  }
+
   /** Frame sampling: one output row per sampled fixed-width frame of the
     * payload — frame i covers bytes [i·stride, i·stride + frameSize).
     * Fully declarative (sequence → transform → posexplode over binary

@@ -142,6 +142,30 @@ object Quality {
       .select(col("r.check_name"), col("r.n_violations"), col("r.n_checked"))
   }
 
+  /** K-ANONYMITY audit over a quasi-identifier combination — the
+    * re-identification risk histogram a privacy review runs before a
+    * table (or a training corpus's metadata) is shared: group by the
+    * quasi-identifiers, then histogram the GROUP SIZES. A row whose QI
+    * group has fewer than `k` members is re-identifiable to within
+    * that group; `at_risk` marks those size classes, and
+    * `Σ group_n·n_groups` over at-risk rows is the exposed row count.
+    * Returns (group_n, n_groups, at_risk), ordered by group_n.
+    *
+    * Scale shape: one keyed aggregation over the table (map-side
+    * partials), then a second aggregation over the GROUP-size relation
+    * (|groups| rows, shrinks by orders of magnitude) — the histogram
+    * never touches base rows twice. Generalization loops (re-bucket a
+    * QI until the audit passes) re-run only this. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols: _*).agg(count(lit(1)).as("__m"))
+      .groupBy(col("__m").as("group_n"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("at_risk", col("group_n") < k)
+      .select(col("group_n"), col("n_groups"), col("at_risk"))
+  }
+
   /** Per-column PROFILING report (the Deequ/Glue-profiler shape — the
     * first pass every new data source gets before anyone writes
     * constraints against it): one row per column with row count, null

@@ -2444,7 +2444,72 @@ object AnalyticsQueries {
       "each fact (next-status / lead-time lookup), one-shuffle " +
       "no-join-node shape scanned time-descending")
 
+  /** REAL image codec + perceptual-hash near-dup pairs (the imaging
+    * twin of q132's audio argument, upgrading image DEDUP from the
+    * byte-stub tier): each doc renders a deterministic 16×16 grayscale
+    * test card from its text bytes, round-trips it through the JDK's
+    * ACTUAL `javax.imageio` BMP codec (24-bit BMP is lossless — the
+    * PCM16 argument for pixels), and the average hash (aHash: 2×2
+    * block sums vs the image mean, exact integer arithmetic, 60 bits
+    * per the q21 signed-long convention) is computed from the DECODED
+    * raster. Pairs within Hamming ≤ 3 via the 15-bit × 4 band
+    * pigeonhole search ([[graft.ops.Dedup.hammingPairs]]). The oracle
+    * replays pixels → block sums → bits → pairwise bit_count straight
+    * from the text — so the whole codec round trip is hash-checked,
+    * not stubbed. */
+  private val q140 = Q(
+    (s, dir) => {
+      val px = table(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), expr("transform(sequence(0, 255), i -> " +
+          "ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))")
+          .as("pixels"))
+      val sigs = graft.ops.Multimodal.imageAHash(s, px)
+      graft.ops.Dedup.hammingPairs(sigs, "doc_id", "sig",
+        bits = 60, nBands = 4, maxHamming = 3)
+    },
+    Some("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+      "WHERE text IS NOT NULL AND length(text) > 0), " +
+      "px AS (SELECT doc_id, i, ascii(substr(text, CAST(i % n AS INT) + 1, 1)) AS p " +
+      "FROM d, generate_series(0, 255) g(i)), " +
+      "blk AS (SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS j, " +
+      "sum(p) AS bs FROM px GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, sum(bs) AS t FROM blk GROUP BY 1), " +
+      "sig AS (SELECT blk.doc_id, CAST(sum(CASE WHEN j < 60 AND bs * 64 > t " +
+      "THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig " +
+      "FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY 1) " +
+      "SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY da, db"),
+    "Image near-dup pairs through a REAL codec: 16x16 gray BMP " +
+      "encode+decode via javax.imageio, average-hash from the decoded " +
+      "raster, banded Hamming pair search — lossless round trip " +
+      "hash-checked against the raw-pixel oracle")
+
+  /** K-anonymity audit ([[graft.ops.Quality.kAnonymity]] — the privacy
+    * review every shared table gets): group sizes over the
+    * quasi-identifier combination (nation, market segment, account
+    * balance band) histogrammed, sizes below k = 5 flagged at-risk.
+    * One keyed agg over the table + one tiny agg over the group-size
+    * relation. */
+  private val q141 = Q(
+    (s, dir) => graft.ops.Quality.kAnonymity(table(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long")), k = 5L)
+      .orderBy("group_n"),
+    Some("WITH g AS (SELECT c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb, count(*) AS m " +
+      "FROM customer GROUP BY 1, 2, 3) " +
+      "SELECT m AS group_n, count(*) AS n_groups, m < 5 AS at_risk " +
+      "FROM g GROUP BY m ORDER BY group_n"),
+    "K-anonymity audit: quasi-identifier group-size histogram with " +
+      "at-risk classes flagged (re-identification exposure before a " +
+      "table is shared)")
+
   val all: Map[String, Q] = Map(
+    "q141_k_anonymity" -> q141,
+    "q140_image_ahash" -> q140,
     "q139_pit_next" -> q139,
     "q138_stream_topk" -> q138,
     "q137_profile" -> q137,

@@ -141,4 +141,46 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       assert(want.sum_sq == sumSq && want.zero_cross == zc)
     }
   }
+
+  test("real image codec: BMP round trip is lossless (random pixel cards)") {
+    val rnd = new scala.util.Random(0x1A6E5L)
+    (1 to 5).foreach { _ =>
+      val px = Array.fill(256)(rnd.nextInt(256))
+      val bytes = Multimodal.encodeGrayBmp16(px)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xff) == px(y * 16 + x),
+          s"pixel ($x,$y) not recovered")
+    }
+  }
+
+  test("image aHash: hand-computed signature, strict mean threshold, bad media dropped") {
+    // left half dark (0), right half bright (200): blocks with bx >= 4
+    // are above the mean, bx < 4 below -> bits j where j % 8 >= 4, j < 60
+    val px = Array.tabulate(256)(i => if (i % 16 < 8) 0 else 200)
+    val got = Multimodal.decodeImageAHash(7L, Multimodal.encodeGrayBmp16(px)).get
+    val want = (0 until 60).filter(j => j % 8 >= 4).map(1L << _).sum
+    assert(got == Multimodal.ImageHash(7L, want))
+    // uniform image: no block STRICTLY exceeds the mean -> sig 0
+    val flat = Array.fill(256)(100)
+    assert(Multimodal.decodeImageAHash(8L, Multimodal.encodeGrayBmp16(flat)).get.sig == 0L)
+    // junk bytes are not an image: dropped, never a crash
+    assert(Multimodal.decodeImageAHash(9L, Array[Byte](1, 2, 3)).isEmpty)
+    // a decodable image of the wrong shape is rejected too
+    val png = Multimodal.resizeImage(Multimodal.encodeGrayBmp16(px), 8).get
+    assert(Multimodal.decodeImageAHash(10L, png).isEmpty)
+  }
+
+  test("image aHash: the distributed codec path equals the direct hash (random cards)") {
+    val rnd = new scala.util.Random(0xBEEFL)
+    val rows = (1L to 6L).map(id => (id, Seq.fill(256)(rnd.nextInt(256))))
+    val got = Multimodal.imageAHash(spark, rows.toDF("doc_id", "pixels"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, px) =>
+      val want = Multimodal.decodeImageAHash(id,
+        Multimodal.encodeGrayBmp16(px.toArray)).get.sig
+      assert(got(id) == want, s"card $id")
+    }
+  }
 }

@@ -162,4 +162,13 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     assert(z.getLong(2) == 4L && z.getLong(3) == 0L)
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6) && z.getLong(7) == 0L)
   }
+
+  test("kAnonymity: group-size histogram with at-risk classes") {
+    // QI groups: (a,1)x1, (a,2)x3, (b,1)x3, (b,2)x5
+    val df = (Seq(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++ Seq.fill(3)(("b", 1)) ++
+      Seq.fill(5)(("b", 2))).toDF("q1", "q2")
+    val got = Quality.kAnonymity(df, Seq($"q1", $"q2"), k = 4L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, true), (3L, 2L, true), (5L, 1L, false)))
+  }
 }
