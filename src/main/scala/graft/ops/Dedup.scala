@@ -185,6 +185,44 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — the steady-state clustering step
+    * between [[minhashNearDupsAgainstIndex]] (new-batch pairs) and
+    * survivor selection, without ever re-clustering the corpus: merge a
+    * NEW batch's near-dup pairs into an EXISTING labeling.
+    *
+    * Key fact: a min-id labeling is connectivity-equivalent to the pair
+    * set it came from — the (id → lbl) edges connect exactly the same
+    * components (every member has an edge to its component's min id).
+    * So `CC(labelEdges ∪ newPairs) = CC(oldPairs ∪ newPairs)`, and the
+    * propagation runs over |corpus-with-dups| + |batch pairs| edges —
+    * the spanning-star compression of the history — instead of every
+    * pair ever found. Old ids untouched by the batch keep their label
+    * (including singletons, label = own id); ids first seen in the
+    * batch enter through its pairs.
+    *
+    * `labels` is the full prior labeling (id, lbl) — every old id, self
+    * label for singletons; returns the same shape for old ∪ new ids
+    * (`keepSingletons = false` restricts the output to ids actually in
+    * a ≥2 cluster — the [[connectedComponents]] domain, what a q62-style
+    * cluster report wants). Spec: equals a from-scratch
+    * [[connectedComponents]] over the full pair set on seeded random
+    * graphs, every split of edges into old/new. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "da", bCol: String = "db",
+      keepSingletons: Boolean = true): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("da"), col("lbl").as("db"))
+    val np = newPairs.select(col(aCol).cast("long").as("da"),
+      col(bCol).cast("long").as("db"))
+    val cc = connectedComponents(labelEdges.unionAll(np))
+    if (!keepSingletons) cc
+    // ids in no edge at all (old singletons the batch never touched)
+    // keep their self label; left-anti against the propagated set
+    else cc.unionByName(
+      labels.select(col("id")).join(cc, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
+  }
+
   /** Survivor selection: drop every document that is a non-representative
     * member of a near-dup cluster — keep each cluster's minimum id plus
     * all unpaired documents. `pairs` is any (da, db) near-dup frame

@@ -350,6 +350,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** [[imageAHash]] with the test-card CONSTRUCTION fused into the
+    * kernel: pixels come straight from the text's chars
+    * (`p(i) = text[i mod len]`, the declared card recipe) inside the
+    * same mapPartitions pass that encodes and decodes. The declarative
+    * alternative — `transform(sequence(0,255), i -> ascii(substr(…)))`
+    * feeding [[imageAHash]] — evaluates an INTERPRETED higher-order
+    * lambda 256× per row (each allocating a substring) plus an
+    * array-encoder boundary, and measured ~4× the whole codec cost
+    * (q140 full-run 3.84 s → BenchOne 0.99 s min at sf0.1 under this
+    * fusion — the q107/q120 interpreted-HOF lesson, fourth instance).
+    * Input: (doc_id, text); rows with NULL/empty text are dropped. */
+  def imageAHashFromText(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        if (text == null || text.isEmpty) None
+        else {
+          val n = text.length
+          val px = new Array[Int](256)
+          var i = 0
+          while (i < 256) { px(i) = text.charAt(i % n) & 0xff; i += 1 }
+          decodeImageAHash(id, encodeGrayBmp16(px))
+        }
+      })
+      .toDF()
+  }
+
   /** Frame sampling: one output row per sampled fixed-width frame of the
     * payload — frame i covers bytes [i·stride, i·stride + frameSize).
     * Fully declarative (sequence → transform → posexplode over binary

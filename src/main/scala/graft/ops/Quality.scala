@@ -166,6 +166,33 @@ object Quality {
       .select(col("group_n"), col("n_groups"), col("at_risk"))
   }
 
+  /** L-DIVERSITY audit — [[kAnonymity]]'s companion against homogeneity
+    * attacks: a QI group can be large (k-anonymous) yet expose its
+    * members anyway when every member shares the same SENSITIVE value
+    * (group size 50, all 50 rows "diagnosis = X" → membership reveals
+    * X). Distinct-l-diversity requires ≥ l distinct sensitive values
+    * per group; this histograms the per-group distinct-sensitive
+    * counts and flags classes below `l`. Returns
+    * (sens_distinct, n_groups, at_risk), ordered.
+    *
+    * Scale shape: one (QI, sensitive) dedup aggregation (map-side
+    * partials absorb repeats), one keyed count over the deduped frame,
+    * one tiny histogram agg — base rows touched once, no Expand. */
+  def lDiversity(df: DataFrame, qiCols: Seq[Column], sensitiveCol: Column,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val named = qiCols.zipWithIndex.map { case (c, i) => c.as(s"__q$i") }
+    df.select((named :+ sensitiveCol.as("__s")): _*)
+      .dropDuplicates()
+      .groupBy(named.indices.map(i => col(s"__q$i")): _*)
+      .agg(count(lit(1)).as("__d"))
+      .groupBy(col("__d").as("sens_distinct"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("at_risk", col("sens_distinct") < l)
+      .select(col("sens_distinct"), col("n_groups"), col("at_risk"))
+  }
+
   /** Per-column PROFILING report (the Deequ/Glue-profiler shape — the
     * first pass every new data source gets before anyone writes
     * constraints against it): one row per column with row count, null

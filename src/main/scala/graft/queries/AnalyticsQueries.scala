@@ -2459,12 +2459,16 @@ object AnalyticsQueries {
     * not stubbed. */
   private val q140 = Q(
     (s, dir) => {
-      val px = table(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
-        .select(col("doc_id"), expr("transform(sequence(0, 255), i -> " +
-          "ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)))")
-          .as("pixels"))
-      val sigs = graft.ops.Multimodal.imageAHash(s, px)
+      // card construction fused into the codec kernel
+      // (Multimodal.imageAHashFromText): the declarative
+      // transform/sequence/substr pixel projection evaluated an
+      // interpreted HOF 256x per row and dominated the query ~4x over
+      // the actual codec work (measured 3.84 -> 0.99 s at sf0.1; the
+      // q107/q120 interpreted-HOF lesson)
+      val sigs = graft.ops.Multimodal.imageAHashFromText(s,
+        table(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")))
       graft.ops.Dedup.hammingPairs(sigs, "doc_id", "sig",
         bits = 60, nBands = 4, maxHamming = 3)
     },
@@ -2507,7 +2511,30 @@ object AnalyticsQueries {
       "at-risk classes flagged (re-identification exposure before a " +
       "table is shared)")
 
+  /** L-diversity audit ([[graft.ops.Quality.lDiversity]] — q141's
+    * companion against homogeneity attacks: a k-anonymous group whose
+    * members all share one sensitive value exposes it anyway): distinct
+    * order-status values per (customer, priority) quasi-identifier
+    * group histogrammed, classes below l = 2 flagged. One dedup agg +
+    * one keyed count + one tiny histogram — base rows touched once,
+    * no Expand. */
+  private val q143 = Q(
+    (s, dir) => graft.ops.Quality.lDiversity(table(s, dir, "orders"),
+        Seq(col("o_custkey"), col("o_orderpriority")),
+        col("o_orderstatus"), l = 2L)
+      .orderBy("sens_distinct"),
+    Some("WITH dd AS (SELECT DISTINCT o_custkey, o_orderpriority, " +
+      "o_orderstatus FROM orders), " +
+      "g AS (SELECT o_custkey, o_orderpriority, count(*) AS d FROM dd " +
+      "GROUP BY 1, 2) " +
+      "SELECT d AS sens_distinct, count(*) AS n_groups, d < 2 AS at_risk " +
+      "FROM g GROUP BY d ORDER BY sens_distinct"),
+    "L-diversity audit: per-QI-group distinct sensitive values " +
+      "histogrammed with below-l classes flagged (homogeneity-attack " +
+      "exposure k-anonymity alone misses)")
+
   val all: Map[String, Q] = Map(
+    "q143_l_diversity" -> q143,
     "q141_k_anonymity" -> q141,
     "q140_image_ahash" -> q140,
     "q139_pit_next" -> q139,

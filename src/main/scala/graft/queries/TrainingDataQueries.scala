@@ -375,6 +375,48 @@ object TrainingDataQueries {
     "Deduplicated-corpus survivor counts: drop non-representative cluster " +
       "members (keep each cluster's min id + all unpaired docs)")
 
+  // q142: INCREMENTAL clustering serve — the steady-state loop a 100-TB
+  // dedup pipeline actually runs per ingest batch: the prior labeling +
+  // the old corpus's shingle index are ingest-time artifacts (first
+  // touch, source-fingerprinted); the timed region is the NEW batch
+  // only — pairs against the index (q59's path), then
+  // incrementalComponents merges them into the prior labeling over
+  // |corpus| label edges + |batch| pairs, never re-clustering the
+  // corpus. Shares q62's full recursive-CTE oracle: the equivalence
+  // CC(labelEdges ∪ newPairs) = CC(allPairs) is hash-proved on the
+  // real corpus.
+  private val q142 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q142-inc-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = table(s, dir, "documents")
+      val isNew = pmod(col("doc_id"), lit(10)) === 3
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/documents.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/labels") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
+        val old = docs.filter(!isNew)
+        Dedup.writeShingleIndex(old, s"$scratch/index")
+        val prior = Dedup.connectedComponents(
+          Dedup.minhashNearDupsFromIndex(s, s"$scratch/index", threshold = 0.8))
+        old.select(col("doc_id").as("id"))
+          .join(prior, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+          .write.mode("overwrite").parquet(s"$scratch/labels")
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
+      val touch = Dedup.minhashNearDupsAgainstIndex(s, docs.filter(isNew),
+        s"$scratch/index")
+      Dedup.incrementalComponents(s.read.parquet(s"$scratch/labels"), touch,
+          keepSingletons = false)
+        .select(col("id"), col("lbl").as("cluster"))
+        .orderBy("id")
+    },
+    q62.oracle,
+    "Incremental near-dup clustering: a new batch's pairs (served from " +
+      "the durable index) merged into the prior labeling via label-edge " +
+      "propagation — no corpus re-cluster, hash-equal to from-scratch " +
+      "components over all pairs")
+
   // q84: the end-to-end production dedup loop served from the durable
   // index — pairs from the lake posting lists, clusters, survivors, with
   // ZERO signature recomputation in steady state. The index is built on
@@ -959,6 +1001,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q142_incremental_clusters" -> q142,
     "q84_dedup_from_index" -> q84,
     "q85_semantic_dedup" -> q85,
     "q66_pii_redact" -> q66,

@@ -422,6 +422,41 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got.find(_._1 == 1L).get._3 == 1.0)
   }
 
+  test("incrementalComponents equals from-scratch components for any " +
+    "old/new edge split (seeded random graphs)") {
+    val rnd = new scala.util.Random(0x1CC5EEDL)
+    val nodes = (0L until 60L).toSeq
+    val edges = Seq.fill(50)((nodes(rnd.nextInt(60)), nodes(rnd.nextInt(60))))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val full = Dedup.connectedComponents(edges.toDF("da", "db"))
+      .as[(Long, Long)].collect().toSet
+    // three splits: balanced, all-new (empty prior), all-old (empty batch)
+    Seq[((Long, Long)) => Boolean](
+      e => (e._1 + e._2) % 2 == 0, _ => false, _ => true
+    ).foreach { isOld =>
+      val oldEdges = edges.filter(isOld)
+      val newEdges = edges.filterNot(isOld)
+      val priorCc =
+        if (oldEdges.isEmpty) Seq.empty[(Long, Long)].toDF("id", "lbl")
+        else Dedup.connectedComponents(oldEdges.toDF("da", "db"))
+      val labels = nodes.toDF("id")
+        .join(priorCc.withColumnRenamed("lbl", "plbl"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("plbl"), col("id")).as("lbl"))
+      val inc = Dedup.incrementalComponents(labels,
+          newEdges.toDF("da", "db"), keepSingletons = false)
+        .as[(Long, Long)].collect().toSet
+      assert(inc == full, s"split ${oldEdges.size}/${newEdges.size}")
+      // keepSingletons = true additionally self-labels every untouched id
+      val withSingles = Dedup.incrementalComponents(labels,
+          newEdges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toMap
+      assert(withSingles.keySet == nodes.toSet)
+      nodes.filterNot(n => full.exists(_._1 == n)).foreach(n =>
+        assert(withSingles(n) == n, s"singleton $n must keep its self label"))
+    }
+  }
+
   test("fuzzyDecontaminate: an id present on both sides self-pairs at jac 1") {
     val train = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     val bench = Seq((1L, base)).toDF("doc_id", "text")

@@ -163,6 +163,15 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6) && z.getLong(7) == 0L)
   }
 
+  test("lDiversity: distinct-sensitive histogram with below-l classes flagged") {
+    // group a: sens {x,x,x} -> 1 distinct; b: {x,y} -> 2; c: {x,y,z} -> 3
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+      ("c", "x"), ("c", "y"), ("c", "z")).toDF("qi", "sens")
+    val got = Quality.lDiversity(df, Seq($"qi"), $"sens", l = 2L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("kAnonymity: group-size histogram with at-risk classes") {
     // QI groups: (a,1)x1, (a,2)x3, (b,1)x3, (b,2)x5
     val df = (Seq(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++ Seq.fill(3)(("b", 1)) ++

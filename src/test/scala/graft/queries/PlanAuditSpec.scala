@@ -65,8 +65,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q105_pagerank_index", "q128_stream_drift", "q129_gdpr_delete",
     "q130_stream_pit", "q131_stream_takedown", "q133_quantile_sketch",
     "q134_stream_quantile",
-    // r13: q138 runs its heavy-hitter stream + landings at plan-build
-    "q138_stream_topk")
+    // r13: q138 runs its heavy-hitter stream + landings at plan-build;
+    // q142 first-touch-builds its index + prior labels and runs the
+    // checkpointed component propagation
+    "q138_stream_topk", "q142_incremental_clusters")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
