@@ -790,6 +790,89 @@ object CatalystExpressions {
       copy(child = c)
   }
 
+  /** Jaro-Winkler similarity kernel — the textbook algorithm with the
+    * parameters every mainstream implementation (and DuckDB's
+    * `jaro_winkler_similarity`, which the oracle replays) uses:
+    * matching window `max(|a|,|b|)/2 − 1`, transpositions = half the
+    * out-of-order matched positions, Winkler prefix boost capped at 4
+    * chars with weight 0.1 applied only when jaro > 0.7, and 0.0 when
+    * either string is empty (the DuckDB convention — probed, not
+    * assumed). Exactness across engines: every jaro/jw value is a
+    * rational with denominator ≤ 30·|a|·|b| — far below the 2·10⁶ a
+    * 6-decimal rounding boundary would need — so `round(…, 6)` of the
+    * IEEE result is engine-identical whenever the semantics match.
+    * Operates on Java chars (= bytes for ASCII; non-ASCII semantics
+    * follow UTF-16 code units, DuckDB's follow bytes — block on an
+    * ASCII key when linking non-ASCII corpora). Static forwarder so
+    * generated code calls it directly. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // half-transpositions: matched chars compared in order
+    var halfT = 0
+    var j2 = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j2)) j2 += 1
+        if (s1.charAt(i) != s2.charAt(j2)) halfT += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val t = halfT / 2.0
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxL = math.min(4, math.min(l1, l2))
+      while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  /** [[jaroWinkler]] as a codegen'd Catalyst expression over two string
+    * columns (the compiled scorer behind `Dedup.fuzzyLinkPairsScored`):
+    * generated code calls the static kernel — no lambda, no UDF
+    * serialization, null-safe. */
+  case class JaroWinklerSim(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinkler(a.toString, b.toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.CatalystExpressions.jaroWinkler(" +
+          s"$a.toString(), $b.toString());")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Register the expressions as SQL temp functions in a session.
     * createOrReplaceTempFunction is idempotent, so no session-identity
     * guard is needed (an identityHashCode-keyed cache could collide after
@@ -811,6 +894,8 @@ object CatalystExpressions {
       es => BytePolyHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       es => BloomContains(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      es => JaroWinklerSim(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_tabs", pqDistTable, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_codes", pqEncode, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
@@ -879,6 +964,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "_FUNC_(filterBytes, key) - Bloom-filter membership probe (literal filter, long key)"),
       es => BloomContains(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler similarity (textbook parameters, DuckDB-replayable)"),
+      es => JaroWinklerSim(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("graft_pq_tabs"),
       info("graft_pq_tabs", "_FUNC_(v, nrm, flatCents, m, ks) - fused per-subspace PQ distance tables"),
       pqDistTable))

@@ -740,4 +740,36 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("val_a"), col("val_b"), col("dist"), col("n_a"), col("n_b"))
   }
+
+  /** [[fuzzyLinkPairs]] with a SIMILARITY scorer in place of the edit
+    * budget: Jaro-Winkler ≥ `minSim` (the record-linkage community's
+    * default for short name-like strings — transposition-tolerant and
+    * prefix-weighted where plain edit distance over-penalizes swapped
+    * tokens and rewards nothing). Same quadratic-trap defenses:
+    * distinct values first with record counts riding along, candidates
+    * from the block-key equi-join only, `val_a < val_b` orientation.
+    * The scorer is the compiled
+    * [[graft.functions.CatalystExpressions.JaroWinklerSim]] expression
+    * (codegen calls the static kernel — no UDF), whose semantics match
+    * DuckDB's `jaro_winkler_similarity` exactly, so the whole operator
+    * is oracle-replayable; `sim` is round-6 (engine-identical — see
+    * the kernel's rational-denominator argument). */
+  def fuzzyLinkPairsScored(records: DataFrame, valueCol: String,
+      blockCol: Column, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    graft.functions.CatalystExpressions.register(records.sparkSession)
+    val vals = records.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+      .withColumn("blk", blockCol)
+    val a = vals.select(col("blk"), col(valueCol).as("val_a"), col("n").as("n_a"))
+    val b = vals.select(col("blk"), col(valueCol).as("val_b"), col("n").as("n_b"))
+    a.join(b, "blk")
+      .filter(col("val_a") < col("val_b"))
+      .withColumn("sim",
+        call_function("graft_jaro_winkler", col("val_a"), col("val_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("val_a"), col("val_b"), round(col("sim"), 6).as("sim"),
+        col("n_a"), col("n_b"))
+  }
 }

@@ -166,6 +166,43 @@ object Quality {
       .select(col("group_n"), col("n_groups"), col("at_risk"))
   }
 
+  /** BENFORD first-digit audit — the classic fabricated-data /
+    * unit-mixing screen for naturally-occurring amounts (prices,
+    * populations, transaction totals follow P(d) = log10(1 + 1/d);
+    * uniform or hand-typed data does not): histogram the first
+    * significant digit and report each digit's observed share against
+    * the Benford expectation, everything in parts-per-million integer
+    * arithmetic so the audit is bit-reproducible and SQL-replayable —
+    * no floating logs at query time (the expectation is a fixed
+    * 9-row constant table, ppm-rounded once here).
+    *
+    * First digit extraction is log-free too: the value is fixed to
+    * cents (`floor(v·100 + 0.5)`, the q132 quantizer), and the
+    * leading digit read off the integer's decimal rendering — exact
+    * and engine-identical where `pow/log10` round trips are not.
+    * Non-positive and NULL values are excluded (Benford is defined on
+    * positive magnitudes). One aggregation over the data + a
+    * broadcast 1-row total + a broadcast 9-row constant join. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ppm-rounded log10(1 + 1/d), d = 1..9
+    val expected = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
+      (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
+      (8L, 51153L), (9L, 45757L)).toDF("digit", "benford_x1e6")
+    val digits = df.select(floor(valueCol * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("__n"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(expected), "digit")
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div __n").as("pct_x1e6"),
+        col("benford_x1e6"),
+        abs(expr("n * 1000000 div __n") - col("benford_x1e6")).as("dev_x1e6"))
+  }
+
   /** L-DIVERSITY audit — [[kAnonymity]]'s companion against homogeneity
     * attacks: a QI group can be large (k-anonymous) yet expose its
     * members anyway when every member shares the same SENSITIVE value

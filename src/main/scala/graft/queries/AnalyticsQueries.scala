@@ -2533,7 +2533,35 @@ object AnalyticsQueries {
       "histogrammed with below-l classes flagged (homogeneity-attack " +
       "exposure k-anonymity alone misses)")
 
+  /** Benford first-digit audit ([[graft.ops.Quality.benfordAudit]] —
+    * the fabricated-data / unit-mixing screen) over order totals:
+    * observed first-digit shares vs the log10(1+1/d) expectation in
+    * parts-per-million integer arithmetic; digit extraction via the
+    * cents-integer's decimal rendering (log-free, engine-identical).
+    * One agg + broadcast total + broadcast 9-row constants. */
+  private val q144 = Q(
+    (s, dir) => graft.ops.Quality.benfordAudit(table(s, dir, "orders"),
+        col("o_totalprice"))
+      .orderBy("digit"),
+    Some("WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c " +
+      "FROM orders), " +
+      "d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+      "FROM v WHERE c > 0), " +
+      "t AS (SELECT count(*) AS nt FROM d), " +
+      "h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+      "b(digit, benford_x1e6) AS (VALUES (1, 301030), (2, 176091), " +
+      "(3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), " +
+      "(8, 51153), (9, 45757)) " +
+      "SELECT h.digit, n, CAST(n * 1000000 // nt AS BIGINT) AS pct_x1e6, " +
+      "CAST(benford_x1e6 AS BIGINT) AS benford_x1e6, " +
+      "CAST(abs(n * 1000000 // nt - benford_x1e6) AS BIGINT) AS dev_x1e6 " +
+      "FROM h CROSS JOIN t JOIN b ON b.digit = h.digit ORDER BY h.digit"),
+    "Benford first-digit audit: observed vs expected leading-digit " +
+      "shares in ppm integer arithmetic (fabricated-data screen), " +
+      "log-free digit extraction")
+
   val all: Map[String, Q] = Map(
+    "q144_benford" -> q144,
     "q143_l_diversity" -> q143,
     "q141_k_anonymity" -> q141,
     "q140_image_ahash" -> q140,

@@ -864,6 +864,32 @@ object TrainingDataQueries {
     "Blocked fuzzy entity linkage: distinct part names, head-noun " +
       "blocking, edit distance <= 2 on in-block candidates only")
 
+  // q145: q97's linkage re-scored with Jaro-Winkler — the record-linkage
+  // default for short name-like strings (transposition-tolerant,
+  // prefix-weighted). The scorer is the compiled JaroWinklerSim
+  // expression; its semantics were probed against DuckDB's
+  // jaro_winkler_similarity (window, half-transpositions, 0.7 boost
+  // threshold, 4-char prefix cap, empty-string → 0), and round-6 is
+  // engine-identical by the rational-denominator argument, so the
+  // whole scored operator is hash-checked.
+  private val q145 = Q(
+    (s, dir) => Dedup.fuzzyLinkPairsScored(
+        table(s, dir, "part").select(col("p_name")),
+        "p_name", element_at(split(col("p_name"), " "), 2), minSim = 0.9)
+      .orderBy("val_a", "val_b"),
+    Some("WITH v AS (SELECT p_name, count(*) AS n, " +
+      "string_split(p_name, ' ')[2] AS blk FROM part " +
+      "WHERE p_name IS NOT NULL GROUP BY p_name) " +
+      "SELECT a.p_name AS val_a, b.p_name AS val_b, " +
+      dround6("jaro_winkler_similarity(a.p_name, b.p_name)") + " AS sim, " +
+      "a.n AS n_a, b.n AS n_b " +
+      "FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name " +
+      "WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9 " +
+      "ORDER BY val_a, val_b"),
+    "Jaro-Winkler fuzzy linkage: blocked distinct-value pairs scored " +
+      "by the compiled similarity kernel (>= 0.9), bit-matched to the " +
+      "oracle's native jaro_winkler_similarity")
+
   /** Near-dup-aware split decontamination (the q47+q50 generalization):
     * train/val/test assignment where a whole near-dup connected
     * component (q62's clusters over q20's pair set) lands in ONE
@@ -1001,6 +1027,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q145_jaro_linkage" -> q145,
     "q142_incremental_clusters" -> q142,
     "q84_dedup_from_index" -> q84,
     "q85_semantic_dedup" -> q85,

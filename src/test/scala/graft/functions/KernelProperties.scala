@@ -115,4 +115,34 @@ class KernelProperties extends AnyFunSuite {
     assert(g.getLong(0) == 4L && g.getLong(1) == 2L &&
       g.getLong(2) == 2L * 1 + 0L + 6L * 3 + 0L)
   }
+
+  test("jaroWinkler kernel: textbook values, DuckDB-probed conventions") {
+    def jw6(a: String, b: String) =
+      math.round(CatalystExpressions.jaroWinkler(a, b) * 1e6) / 1e6
+    // classic published values, cross-checked against DuckDB's
+    // jaro_winkler_similarity (2026-08-14 probe, see JaroWinklerSim doc)
+    assert(jw6("MARTHA", "MARHTA") == 0.961111)
+    assert(jw6("DIXON", "DICKSONX") == 0.813333)
+    assert(jw6("DWAYNE", "DUANE") == 0.84)
+    assert(jw6("JELLYFISH", "SMELLYFISH") == 0.896296)
+    // above the 0.7 jaro threshold WITH a shared prefix -> boosted
+    assert(jw6("abcdefxxxx", "abcdefyyyy") == 0.84)
+    // at/below the threshold: NO boost even with a 4-char prefix
+    assert(jw6("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // no shared prefix: boost is a no-op above the threshold
+    assert(jw6("CRATE", "TRACE") == 0.733333)
+    // conventions: empty -> 0 (DuckDB-probed), identity -> 1, symmetry
+    assert(CatalystExpressions.jaroWinkler("", "") == 0.0)
+    assert(CatalystExpressions.jaroWinkler("a", "") == 0.0)
+    assert(CatalystExpressions.jaroWinkler("abc", "abc") == 1.0)
+    assert(CatalystExpressions.jaroWinkler("abc", "xyz") == 0.0)
+    val rnd = new scala.util.Random(0x1A20L)
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar).mkString
+      val b = Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar).mkString
+      val s = CatalystExpressions.jaroWinkler(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == CatalystExpressions.jaroWinkler(b, a), s"symmetry $a/$b")
+    }
+  }
 }

@@ -163,6 +163,18 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6) && z.getLong(7) == 0L)
   }
 
+  test("benfordAudit: cents-exact digit extraction, ppm shares, exclusions") {
+    val df = Seq(Some(1.23), Some(0.10), Some(9.0), Some(-5.0), Some(0.0),
+      None).toDF("v")
+    val got = Quality.benfordAudit(df, $"v")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // digits: 1.23 -> c=123 -> 1; 0.10 -> c=10 -> 1; 9.0 -> c=900 -> 9;
+    // negative/zero/NULL excluded; total 3
+    assert(got == Seq(
+      (1L, 2L, 666666L, 301030L, 365636L),
+      (9L, 1L, 333333L, 45757L, 287576L)))
+  }
+
   test("lDiversity: distinct-sensitive histogram with below-l classes flagged") {
     // group a: sens {x,x,x} -> 1 distinct; b: {x,y} -> 2; c: {x,y,z} -> 3
     val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
