@@ -19,6 +19,53 @@ object TimeSeries {
   def toUnits(c: Column): Column =
     floor(c * SCALE + lit(0.5)).cast("long")
 
+  /** CUSUM change-point detection per key — the classic
+    * mean-shift locator (deploy regressions, price regime changes,
+    * sensor drift onset): for each key's series ordered by
+    * (tsCol, idCol), the cumulative sum of deviations from the series
+    * mean peaks in magnitude AT the change point (before a level
+    * shift the deviations accumulate one sign, after it they unwind).
+    * Returns one row per key: the argmax position and its deviation
+    * magnitude.
+    *
+    * Exactness: all integer. Values fix to `SCALE` units; the mean
+    * division is AVOIDED by scaling — with S_k the running unit sum,
+    * T the series total, and n the count,
+    * `cusum_k·n = n·S_k − k·T` (the classic statistic times n, same
+    * argmax). Overflow: |n·S_k| ≤ n²·max|units| — longs hold series
+    * to ~10⁹ rows·unit-magnitude 10⁴; past that move the two products
+    * to DECIMAL(38,0). Argmax tie-break: highest |cusum|, then
+    * earliest (ts, id) — fully deterministic, replayed by the
+    * oracle's row_number.
+    *
+    * Shape: ONE keyed shuffle; running sum, row number, and the series
+    * total/count all come out of the same sorted window pass (the
+    * total via an unbounded frame — no second scan, no join), then a
+    * per-key rank pass over the same partitioning picks the peak
+    * (Catalyst reuses the exchange: both windows cluster on the key).
+    * Output: (key, ts, id, cusum_xn, n). */
+  def cusumChangePoint(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // dunder-prefixed internals: the generic names (k, t, n, …) would
+    // shadow same-named USER columns — including the key itself
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol), toUnits(col(valueCol)).as("__u"))
+      .withColumn("__s", sum(col("__u")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__t", sum(col("__u")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("cusum_xn", col("__n") * col("__s") - col("__k") * col("__t"))
+    val rank = row_number().over(Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("cusum_xn")).desc, col(tsCol), col(idCol)))
+    rows.withColumn("__r", rank).filter(col("__r") === 1)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        abs(col("cusum_xn")).as("cusum_xn"), col("__n").as("n"))
+  }
+
   /** Exponentially weighted moving average per key, ordered by
     * (tsCol, idCol): y_1 = x_1, y_t = (α·x_t + (100−α)·y_{t−1}) div 100
     * in integer units — the classic smoothing/decay feature (EMA price,

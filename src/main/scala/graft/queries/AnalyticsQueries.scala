@@ -2560,7 +2560,36 @@ object AnalyticsQueries {
       "shares in ppm integer arithmetic (fabricated-data screen), " +
       "log-free digit extraction")
 
+  /** CUSUM change-point detection per event type
+    * ([[graft.ops.TimeSeries.cusumChangePoint]] — the mean-shift
+    * locator): the cumulative sum of deviations from the series mean
+    * peaks at the level-shift point; everything integer (units × n
+    * scaling avoids the mean division), one keyed shuffle feeding two
+    * stacked window passes that share the exchange. */
+  private val q146 = Q(
+    (s, dir) => graft.ops.TimeSeries.cusumChangePoint(
+        table(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .orderBy("event_type"),
+    Some(EV + ", e AS (SELECT event_type, ts, event_id, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "c AS (SELECT event_type, ts, event_id, " +
+      "sum(u) OVER (PARTITION BY event_type ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS s, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k, " +
+      "sum(u) OVER (PARTITION BY event_type) AS t, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM e), " +
+      "r AS (SELECT event_type, ts, event_id, abs(n * s - k * t) AS cx, n, " +
+      "row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY abs(n * s - k * t) DESC, ts, event_id) AS rn FROM c) " +
+      "SELECT event_type, ts, event_id, CAST(cx AS BIGINT) AS cusum_xn, n " +
+      "FROM r WHERE rn = 1 ORDER BY event_type"),
+    "CUSUM change-point per key: peak |cumulative deviation from the " +
+      "series mean| located in exact integer arithmetic (units x n " +
+      "scaling, no division), one keyed shuffle")
+
   val all: Map[String, Q] = Map(
+    "q146_cusum" -> q146,
     "q144_benford" -> q144,
     "q143_l_diversity" -> q143,
     "q141_k_anonymity" -> q141,

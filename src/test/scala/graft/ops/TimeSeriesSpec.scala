@@ -94,4 +94,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTest {
     assert(out.count() == ev.count())
     assert(out.select("event_id").distinct().count() == ev.count())
   }
+
+  test("cusumChangePoint: locates a planted level shift, exact statistic") {
+    // key "a": 10 rows at 1.0, then 10 rows at 5.0 — the CUSUM magnitude
+    // peaks at the last low row (position 10)
+    val rows = ((1 to 10).map(i => ("a", i.toLong, i.toLong, 1.0)) ++
+      (11 to 20).map(i => ("a", i.toLong, i.toLong, 5.0)) ++
+      Seq(("b", 1L, 1L, 2.0), ("b", 2L, 2L, 2.0))) // flat series
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.cusumChangePoint(rows, "k", "ts", "id", "v")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // units: 1e6 and 5e6; n=20, T=60e6; at k=10: S=10e6,
+    // |n*S - k*T| = |200e6 - 600e6| = 400e6 — the max
+    assert(got("a") == ("a", 10L, 10L, 400000000L, 20L))
+    // flat series: every cusum is 0, tie broken by earliest (ts, id)
+    assert(got("b") == ("b", 1L, 1L, 0L, 2L))
+    // driver-side replay on a seeded random series
+    val rnd = new scala.util.Random(0xC05A31L)
+    val vs = Seq.fill(40)(rnd.nextInt(1000) / 100.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("r", i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val us = vs.map(v => math.floor(v * 1000000 + 0.5).toLong)
+    val t = us.sum; val n = us.length.toLong
+    val cx = us.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (s, i) => (math.abs(n * s - (i + 1) * t), i.toLong) }
+    val best = cx.maxBy(p => (p._1, -p._2))
+    val gr = TimeSeries.cusumChangePoint(df, "k", "ts", "id", "v")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert((gr._4, gr._2) == (best._1, best._2),
+      s"replay mismatch: got $gr want $best")
+  }
 }
