@@ -19,6 +19,60 @@ object TimeSeries {
   def toUnits(c: Column): Column =
     floor(c * SCALE + lit(0.5)).cast("long")
 
+  /** Per-key OLS trend over observation order — the classic "is this
+    * metric drifting and how fast" fit (error-rate creep, latency
+    * regression slopes, per-entity KPI trends), the line-fit companion
+    * to [[cusumChangePoint]]'s step-shift locator: regress value
+    * against the observation's position k = 1..n in (tsCol, idCol)
+    * order and return the slope and intercept as EXACT RATIONALS —
+    * `slope = slope_num / den`, `icept = icept_num / den` with
+    *   slope_num = n·Σky − Σk·Σy
+    *   icept_num = Σy·Σk² − Σk·Σky
+    *   den       = n·Σk² − (Σk)²
+    * No division is ever performed, so the result is bit-replayable in
+    * any engine (the q100 sufficient-statistics contract, kept rational
+    * instead of collapsing to a double).
+    *
+    * Exactness & overflow: values fix to `SCALE` units; all four sums
+    * and the three products accumulate in DECIMAL(38,0). Bounds for
+    * n rows/key with |units| ≤ u: Σk² ≤ n³/3 so |den| ≤ n⁴/3 and
+    * |slope_num| ≤ n³·u — at n = 10⁹ and u = 10⁷ the largest term is
+    * ~10³⁴ ≪ 10³⁸, so the decimals hold to a billion observations per
+    * key without overflow (longs would saturate near n = 10⁵).
+    *
+    * Shape: ONE keyed shuffle — the row_number window and the keyed
+    * aggregation cluster on the same key, so Catalyst reuses the
+    * exchange; the agg itself is a map-side-combinable sum bundle.
+    * A key with a single observation (den = 0, undefined slope) is
+    * emitted with NULL rationals rather than dropped.
+    * Output: (key, n, slope_num, icept_num, den) — rationals share den. */
+  def trendFit(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        toUnits(col(valueCol)).as("__y"))
+      .withColumn("__k", row_number().over(w).cast("long"))
+    val agg = rows.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__k"))).as("__sk"),
+      sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__k") * col("__y"))).as("__sky"),
+      sum(dec(col("__k") * col("__k"))).as("__skk"))
+    val den = dec(col("n")) * col("__skk") - col("__sk") * col("__sk")
+    agg.select(col(keyCol), col("n"),
+        when(den === 0, lit(null))
+          .otherwise(dec(col("n")) * col("__sky") - col("__sk") * col("__sy"))
+          .cast("decimal(38,0)").as("slope_num"),
+        when(den === 0, lit(null))
+          .otherwise(col("__sy") * col("__skk") - col("__sk") * col("__sky"))
+          .cast("decimal(38,0)").as("icept_num"),
+        when(den === 0, lit(null)).otherwise(den)
+          .cast("decimal(38,0)").as("den"))
+  }
+
   /** CUSUM change-point detection per key — the classic
     * mean-shift locator (deploy regressions, price regime changes,
     * sensor drift onset): for each key's series ordered by

@@ -2588,7 +2588,39 @@ object AnalyticsQueries {
       "series mean| located in exact integer arithmetic (units x n " +
       "scaling, no division), one keyed shuffle")
 
+  /** Per-key OLS trend as exact rationals
+    * ([[graft.ops.TimeSeries.trendFit]] — the drift-rate fit companion
+    * to q146's step locator): slope/intercept returned as integer
+    * numerator pairs over a shared denominator, DECIMAL(38,0)
+    * sufficient statistics, one keyed exchange shared by the position
+    * window and the aggregation. */
+  private val q147 = Q(
+    (s, dir) => graft.ops.TimeSeries.trendFit(
+        table(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      .orderBy("event_type"),
+    Some(EV + ", e AS (SELECT event_type, ts, event_id, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "k AS (SELECT event_type, CAST(row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY ts, event_id) AS HUGEINT) AS k, " +
+      "CAST(y AS HUGEINT) AS y FROM e), " +
+      "s AS (SELECT event_type, count(*) AS n, sum(k) AS sk, " +
+      "sum(y) AS sy, sum(k*y) AS sky, sum(k*k) AS skk " +
+      "FROM k GROUP BY event_type) " +
+      "SELECT event_type, n, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS DECIMAL(38,0)) END AS slope_num, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(sy*skk - sk*sky AS DECIMAL(38,0)) END AS icept_num, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS DECIMAL(38,0)) END AS den " +
+      "FROM s ORDER BY event_type"),
+    "Per-key OLS trend over observation order: slope/intercept as exact " +
+      "rationals (no division ever), DECIMAL(38,0) sufficient stats, " +
+      "one shared keyed exchange")
+
   val all: Map[String, Q] = Map(
+    "q147_trend" -> q147,
     "q146_cusum" -> q146,
     "q144_benford" -> q144,
     "q143_l_diversity" -> q143,

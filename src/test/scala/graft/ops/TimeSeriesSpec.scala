@@ -95,6 +95,38 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTest {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("trendFit: exact rational slope/intercept, single-row key -> NULLs") {
+    // key "a": y = 2 + 3k exactly (units 1e6): slope must be exactly 3,
+    // intercept exactly 2 — i.e. slope_num/den == 3e6, icept_num/den == 2e6
+    val rows = ((1 to 5).map(k => ("a", k.toLong, k.toLong, 2.0 + 3.0 * k)) ++
+      Seq(("b", 1L, 1L, 7.0))).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.trendFit(rows, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 5L)
+    val (sn, in, dn) = (BigDecimal(a.getDecimal(2)), BigDecimal(a.getDecimal(3)),
+      BigDecimal(a.getDecimal(4)))
+    assert(sn / dn == BigDecimal(3000000) && in / dn == BigDecimal(2000000))
+    val b = got("b")
+    assert(b.getLong(1) == 1L && b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+
+    // driver-side replay on a seeded random series: exact integer match
+    val rnd = new scala.util.Random(0x7EE0DL)
+    val vs = Seq.fill(37)(rnd.nextInt(100000) / 100.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("r", i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val us = vs.map(v => BigInt(math.floor(v * 1000000 + 0.5).toLong))
+    val n = BigInt(us.length)
+    val ks = (1 to us.length).map(BigInt(_))
+    val (sk, sy) = (ks.sum, us.sum)
+    val sky = ks.zip(us).map { case (k, y) => k * y }.sum
+    val skk = ks.map(k => k * k).sum
+    val r = TimeSeries.trendFit(df, "k", "ts", "id", "v").collect().head
+    assert(BigInt(r.getDecimal(2).toBigInteger) == n * sky - sk * sy)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == sy * skk - sk * sky)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == n * skk - sk * sk)
+  }
+
   test("cusumChangePoint: locates a planted level shift, exact statistic") {
     // key "a": 10 rows at 1.0, then 10 rows at 5.0 — the CUSUM magnitude
     // peaks at the last low row (position 10)
