@@ -234,6 +234,58 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Golden-record survivorship — the MERGE step of record linkage
+    * (MDM "best version of the truth"): where [[dedupSurvivors]] keeps
+    * one whole ROW per near-dup cluster, this builds one merged record
+    * per cluster with each FIELD chosen by its own survivorship rule,
+    * the way production mastering actually resolves conflicts:
+    *
+    *  - `canonical_id` — min member id (the stable cluster key);
+    *  - `best_text`    — the most COMPLETE value: max `sizeCol`,
+    *    tie → lowest id (completeness rule);
+    *  - `lang_mode`    — the MOST FREQUENT value among members,
+    *    tie → greatest value (the q137 modal convention);
+    *  - `top_source`   — the highest-PRIORITY provenance: min
+    *    `priorityCol`, tie → lowest id (source-trust rule).
+    *
+    * Shape: clusters from [[connectedComponents]] over any (da, db)
+    * pair frame; members = one equi-join docs→labels; then ONE keyed
+    * agg on cluster for count/min/completeness/priority (all
+    * map-side-combinable `max(struct(...))` argmax bundles — no window,
+    * no per-field self-join), plus one (cluster, mode value) agg for
+    * the frequency rule joined back on cluster (AQE broadcasts the
+    * ≤|clusters| mode frame). Only genuine clusters emit rows —
+    * singletons need no merge and never enter the join.
+    * Scale: every step is an equi-join or keyed agg on cluster ids;
+    * hot clusters cost one combiner entry per task, not a shuffled row
+    * per member-field. */
+  def goldenRecords(docs: DataFrame, idCol: String, pairs: DataFrame,
+      textCol: String = "text", sizeCol: String = "n_chars",
+      modeCol: String = "lang", sourceCol: String = "source",
+      priorityCol: Column = lit(0)): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val members = docs.join(comps, docs(idCol) === comps("id"))
+      .select(col("lbl").as("__cluster"), col(idCol).cast("long").as("__id"),
+        col(textCol).as("__text"), col(sizeCol).as("__size"),
+        col(modeCol).as("__mode"), col(sourceCol).as("__source"),
+        priorityCol.as("__prio"))
+    val agg = members.groupBy(col("__cluster").as("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      min(col("__id")).as("canonical_id"),
+      max(struct(col("__size"), (-col("__id")).as("__nid"),
+        col("__text").as("__v"))).getField("__v").as("best_text"),
+      min(struct(col("__prio"), col("__id"),
+        col("__source").as("__v"))).getField("__v").as("top_source"))
+    val mode = members.groupBy(col("__cluster"), col("__mode"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__cluster").as("cluster"))
+      .agg(max(struct(col("__cnt"), col("__mode").as("__v")))
+        .getField("__v").as("lang_mode"))
+    agg.join(mode, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("canonical_id"),
+        col("best_text"), col("lang_mode"), col("top_source"))
+  }
+
   // -- Durable (lake-materialized) shingle/LSH index ----------------------
 
   /** Write the MinHash-LSH dedup index to the lake:

@@ -890,6 +890,44 @@ object TrainingDataQueries {
       "by the compiled similarity kernel (>= 0.9), bit-matched to the " +
       "oracle's native jaro_winkler_similarity")
 
+  // q148: golden-record survivorship — the MERGE step of record linkage
+  // over q20's near-dup clusters: one merged record per cluster, each
+  // FIELD resolved by its own rule (completeness / modal / provenance
+  // priority — the MDM "best version of the truth" shape). Source
+  // priority = the numeric suffix of the source tag (src0 most trusted),
+  // an exactly-replayable rank. Oracle: recursive-CTE components + one
+  // row_number argmax replay per rule.
+  private val q148 = Q(
+    (s, dir) => Dedup.goldenRecords(table(s, dir, "documents"), "doc_id",
+        Dedup.minhashNearDups(table(s, dir, "documents"), "doc_id", "text",
+          shingleWidth = 3, k = 128, bands = 32, threshold = 0.8),
+        priorityCol = substring(col("source"), 4, 10).cast("int"))
+      .orderBy("cluster"),
+    Some(duckNearDupEdges +
+      ", m AS (SELECT d.*, c.cluster FROM documents d " +
+      "JOIN comp c ON d.doc_id = c.id), " +
+      "g AS (SELECT cluster, count(*) AS n_members, " +
+      "min(doc_id) AS canonical_id FROM m GROUP BY cluster), " +
+      "tx AS (SELECT cluster, text AS best_text FROM " +
+      "(SELECT cluster, text, row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM m) WHERE rn = 1), " +
+      "sc AS (SELECT cluster, source AS top_source FROM " +
+      "(SELECT cluster, source, row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY CAST(substr(source, 4) AS INT) ASC, doc_id ASC) AS rn " +
+      "FROM m) WHERE rn = 1), " +
+      "lm AS (SELECT cluster, lang AS lang_mode FROM " +
+      "(SELECT cluster, lang, row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY cnt DESC, lang DESC) AS rn FROM " +
+      "(SELECT cluster, lang, count(*) AS cnt FROM m GROUP BY 1, 2)) " +
+      "WHERE rn = 1) " +
+      "SELECT g.cluster, g.n_members, g.canonical_id, tx.best_text, " +
+      "lm.lang_mode, sc.top_source FROM g " +
+      "JOIN tx USING (cluster) JOIN lm USING (cluster) " +
+      "JOIN sc USING (cluster) ORDER BY g.cluster"),
+    "Golden-record survivorship per near-dup cluster: per-field merge " +
+      "rules (completeness argmax, modal value, provenance priority) " +
+      "in one keyed agg + one mode agg — the MDM merge step")
+
   /** Near-dup-aware split decontamination (the q47+q50 generalization):
     * train/val/test assignment where a whole near-dup connected
     * component (q62's clusters over q20's pair set) lands in ONE
@@ -1027,6 +1065,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q148_golden_record" -> q148,
     "q145_jaro_linkage" -> q145,
     "q142_incremental_clusters" -> q142,
     "q84_dedup_from_index" -> q84,

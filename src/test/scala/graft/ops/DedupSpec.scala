@@ -457,6 +457,30 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("goldenRecords: per-field survivorship rules, singletons excluded") {
+    // cluster {1,2,3}: text from 2 (longest), lang mode en (2 of 3),
+    // source priority min suffix = src0 (on doc 3); cluster {10,11}:
+    // equal sizes tie -> lower id 10's text, lang tie -> max value
+    // ("fr" > "de"), source tie (both src5) -> doc 10's. doc 99 is a
+    // singleton and must not appear.
+    val docs = Seq(
+      (1L, "aa", 2L, "en", "src7"),
+      (2L, "aaaa", 4L, "en", "src2"),
+      (3L, "aaa", 3L, "de", "src0"),
+      (10L, "xx", 2L, "de", "src5"),
+      (11L, "yy", 2L, "fr", "src5"),
+      (99L, "zz", 2L, "zh", "src9"))
+      .toDF("doc_id", "text", "n_chars", "lang", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val got = Dedup.goldenRecords(docs, "doc_id", pairs,
+        priorityCol = substring(col("source"), 4, 10).cast("int"))
+      .as[(Long, Long, Long, String, String, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "aaaa", "en", "src0"),
+      (10L, 2L, 10L, "xx", "fr", "src5")))
+  }
+
   test("fuzzyDecontaminate: an id present on both sides self-pairs at jac 1") {
     val train = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     val bench = Seq((1L, base)).toDF("doc_id", "text")
