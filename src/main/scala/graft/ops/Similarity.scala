@@ -166,6 +166,84 @@ object Similarity {
   /** Blocked-pairs join over an existing assignment frame
     * (vec_id, v, nrm, cell, cang) — shared by the in-session cached path
     * and the durable-index path ([[cosinePairsBlockedFromIndex]]). */
+  /** Admissible cell pairs under the triangle-inequality bound: a pair
+    * within angular threshold θ_T can only span cells (A, B) with
+    * angle(c_A, c_B) ≤ r_A + θ_T + r_B (walk query→centroid,
+    * query→candidate, candidate→centroid). ε absorbs acos rounding near
+    * ±1; it can only ADD candidate cell pairs, never lose a qualifying
+    * pair. Side-agnostic, so the same matrix serves the self-pair search
+    * and the bipartite decontamination join as long as the radii cover
+    * every vector either side reads. */
+  private def admissibleCellPairs(cents: Seq[Centroid],
+      radii: Map[Long, Double], thetaT: Double): Seq[(Long, Long)] = {
+    def angle(a: Centroid, b: Centroid): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < math.min(a.cv.length, b.cv.length)) { d += a.cv(i) * b.cv(i); i += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, d / (a.cnrm * b.cnrm))))
+    }
+    val eps = 1e-6
+    for {
+      a <- cents
+      b <- cents
+      ra <- radii.get(a.cid).toSeq
+      rb <- radii.get(b.cid).toSeq
+      if angle(a, b) - ra - rb <= thetaT + eps
+    } yield (a.cid, b.cid)
+  }
+
+  /** Semantic decontamination — the embedding-space member of the
+    * decontamination family (exact 5-gram q50, fuzzy-lexical MinHash
+    * q136): flag every TRAIN vector whose cosine similarity to ANY
+    * held-out/benchmark vector reaches `threshold` — the paraphrase /
+    * translation / re-render leakage that no lexical overlap can see
+    * (the SemDeDup/D4 argument applied across the train/eval boundary).
+    *
+    * Shape: ONE shared assignment pass over the whole corpus (both
+    * sides use the same codebook — cached, the q23 singleton), then a
+    * BIPARTITE equi-join: held-out rows × admissible cell pairs
+    * (broadcast ≤|cells|² frame) against train rows on cell id — the
+    * train×train block, the overwhelming bulk at 100 TB (train ≫
+    * held-out), is never generated, which is what distinguishes this
+    * from filtering [[cosinePairsBlocked]]'s output. Lossless by the
+    * same triangle-inequality bound (radii cover both sides because
+    * they are measured over the undivided assignment). AQE broadcasts
+    * the held-out side when it is small — the usual case.
+    * Output: (train_id, heldout_id, sim) — every leaking train doc with
+    * each benchmark doc it leaks, ready for a left-anti join. */
+  def semanticDecontaminate(emb: DataFrame, heldoutPred: Column,
+      threshold: Double, nCells: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    if (cents.isEmpty)
+      return e.limit(0).select(col("vec_id").as("train_id"),
+        col("vec_id").as("heldout_id"), col("nrm").as("sim"))
+    val assignedRaw = assignCells(e, cents)
+      .withColumn("cang",
+        acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
+      .withColumn("__held", heldoutPred)
+    val assigned = Materialize.cachedSingleton("semdecon-assign", assignedRaw)
+    val radii = collectRadii(assigned, memo = true)
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    import spark.implicits._
+    val adm = broadcast(
+      admissibleCellPairs(cents, radii, thetaT).toDF("ca", "cb"))
+    val held = assigned.filter(col("__held"))
+      .select(col("vec_id").as("heldout_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
+      .join(adm, col("cell") === col("ca"))
+    val train = assigned.filter(!col("__held"))
+      .select(col("vec_id").as("train_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell").as("cellb"))
+    held.join(train, col("cb") === col("cellb"))
+      .withColumn("sim", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("train_id"), col("heldout_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("train_id", "heldout_id")
+  }
+
   private def pairsOverAssigned(assigned: DataFrame, cents: Seq[Centroid],
       threshold: Double, memoRadii: Boolean): DataFrame = {
     val spark = assigned.sparkSession
@@ -185,22 +263,7 @@ object Similarity {
     // there only costs pruning quality, never pairs.)
     val radii = collectRadii(assigned, memoRadii)
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
-    def angle(a: Centroid, b: Centroid): Double = {
-      var d = 0.0
-      var i = 0
-      while (i < math.min(a.cv.length, b.cv.length)) { d += a.cv(i) * b.cv(i); i += 1 }
-      math.acos(math.max(-1.0, math.min(1.0, d / (a.cnrm * b.cnrm))))
-    }
-    // ε absorbs acos rounding near ±1; it can only ADD candidate cell
-    // pairs, never lose a qualifying pair
-    val eps = 1e-6
-    val admissible = for {
-      a <- cents
-      b <- cents
-      ra <- radii.get(a.cid).toSeq
-      rb <- radii.get(b.cid).toSeq
-      if angle(a, b) - ra - rb <= thetaT + eps
-    } yield (a.cid, b.cid)
+    val admissible = admissibleCellPairs(cents, radii, thetaT)
     // cells in no admissible pair can contribute nothing: drop them with a
     // driver-side literal IN filter. Over the lake index this is a static
     // partition filter — the scan never opens the excluded cell dirs.

@@ -928,6 +928,25 @@ object TrainingDataQueries {
       "rules (completeness argmax, modal value, provenance priority) " +
       "in one keyed agg + one mode agg — the MDM merge step")
 
+  // q149: SEMANTIC decontamination — the embedding-space member of the
+  // decontamination family (exact q50, fuzzy-lexical q136): train
+  // vectors within cosine 0.4 of any held-out vector (vec_id % 10 = 7,
+  // the q47-style hash split), found by a BIPARTITE blocked join that
+  // never generates the train×train bulk. Oracle = brute-force
+  // bipartite cosine over the same split (q23's replay convention).
+  private val q149 = Q(
+    (s, dir) => Similarity.semanticDecontaminate(
+      table(s, dir, "embeddings"), pmod(col("vec_id"), lit(10)) === 7,
+      threshold = 0.4, nCells = 16),
+    Some(duckEmb + " SELECT c.vec_id AS train_id, q.vec_id AS heldout_id, " +
+      dround6(s"${ddot("q.v", "c.v")} / (q.nrm * c.nrm)") + " AS sim " +
+      "FROM n q JOIN n c ON (q.vec_id % 10 = 7) AND (c.vec_id % 10 != 7) " +
+      s"WHERE ${ddot("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.4 " +
+      "ORDER BY train_id, heldout_id"),
+    "Semantic decontamination: train vectors leaking into the held-out " +
+      "split by embedding cosine — bipartite lossless-blocked join, the " +
+      "train x train bulk never generated")
+
   /** Near-dup-aware split decontamination (the q47+q50 generalization):
     * train/val/test assignment where a whole near-dup connected
     * component (q62's clusters over q20's pair set) lands in ONE
@@ -1065,6 +1084,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q149_semantic_decontaminate" -> q149,
     "q148_golden_record" -> q148,
     "q145_jaro_linkage" -> q145,
     "q142_incremental_clusters" -> q142,

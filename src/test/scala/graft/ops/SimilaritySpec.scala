@@ -83,6 +83,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("semanticDecontaminate equals the brute-force bipartite pair set (lossless)") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = pmod(col("vec_id"), lit(10)) === 7
+    for (t <- Seq(0.4, 0.7)) {
+      // brute bipartite reference: all self-pairs filtered to opposite
+      // sides (cosinePairs emits ida<idb, so check both orientations)
+      val held = fixture.filter(pred).select(col("vec_id").as("h")).collect()
+        .map(_.getLong(0)).toSet
+      val brute = Similarity.cosinePairs(fixture, t).collect()
+        .flatMap { r =>
+          val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          if (held(a) && !held(b)) Some((b, a, s))
+          else if (held(b) && !held(a)) Some((a, b, s))
+          else None
+        }.sortBy(p => (p._1, p._2)).toSeq
+      val got = Similarity.semanticDecontaminate(fixture, pred, t, nCells = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute, s"threshold $t")
+    }
+  }
+
   test("semanticDedupSurvivorsFromIndex equals survivors over in-session pairs") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/semdedup-${System.nanoTime()}"
