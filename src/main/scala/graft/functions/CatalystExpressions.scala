@@ -873,6 +873,106 @@ object CatalystExpressions {
       copy(left = l, right = r)
   }
 
+  /** First word-aligned occurrence of each of a fixed set of phrases —
+    * ONE Aho–Corasick automaton pass per row over ` text ` (padded), the
+    * multi-pattern matcher exact-substring decontamination needs: with
+    * P probe phrases (benchmark answer strings, canary GUIDs, blocked
+    * passages) a per-phrase `strpos` family scans the 100 TB corpus P
+    * times where this kernel scans it ONCE, independent of P.
+    *
+    * Contract (chosen for exact SQL replay): match positions are
+    * 1-based character offsets into `' ' || text || ' '`, identical to
+    * DuckDB/ANSI `strpos(' '||text||' ', ' '||phrase||' ')`; word
+    * alignment comes from the space padding on both the haystack and
+    * every needle. Output: array<struct<pid, pos>> of the phrases that
+    * occur (pid = 1-based index into the phrase list, ascending; absent
+    * phrases emit nothing). The automaton is built once per executor
+    * (@transient lazy) and shared across rows. */
+  case class MultiPhrasePos(child: Expression, phrases: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "phrases must be non-empty")
+    require(phrases.distinct.size == phrases.size, "phrases must be distinct")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_phrase_pos"
+
+    // goto: per-node char→node map; fail: BFS failure links; outs:
+    // pattern ids whose match ends at the node (fail-closure merged);
+    // plen: padded pattern lengths (for end→start position conversion)
+    @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]],
+        Array[Int], Array[Array[Int]], Array[Int]) = {
+      val pats = phrases.map(p => " " + p + " ")
+      val goto = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Character, Integer]())
+      val outs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      pats.zipWithIndex.foreach { case (p, pi) =>
+        var s = 0
+        p.foreach { c =>
+          var nx = goto(s).get(c)
+          if (nx == null) {
+            goto += new java.util.HashMap[Character, Integer]()
+            outs += scala.collection.mutable.ArrayBuffer.empty[Int]
+            nx = goto.size - 1
+            goto(s).put(c, nx)
+          }
+          s = nx
+        }
+        outs(s) += pi
+      }
+      val fail = Array.fill(goto.size)(0)
+      val bfs = scala.collection.mutable.Queue.empty[Int]
+      goto(0).forEach((_, v) => { fail(v) = 0; bfs.enqueue(v) })
+      while (bfs.nonEmpty) {
+        val u = bfs.dequeue()
+        goto(u).forEach((c, v) => {
+          var f = fail(u)
+          while (f != 0 && !goto(f).containsKey(c)) f = fail(f)
+          val t = goto(f).get(c)
+          fail(v) = if (t != null && t != v) t.intValue() else 0
+          outs(v) ++= outs(fail(v)) // fail target is shallower: already final
+          bfs.enqueue(v)
+        })
+      }
+      (goto.toArray, fail, outs.map(_.toArray).toArray, pats.map(_.length).toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val (goto, fail, outs, plen) = automaton
+      val text = " " + input.toString + " "
+      val first = new Array[Long](phrases.size)
+      var found = 0
+      var s = 0
+      var i = 0
+      while (i < text.length && found < first.length) {
+        val c = Character.valueOf(text.charAt(i))
+        while (s != 0 && !goto(s).containsKey(c)) s = fail(s)
+        val t = goto(s).get(c)
+        s = if (t != null) t.intValue() else 0
+        val os = outs(s)
+        var j = 0
+        while (j < os.length) {
+          val pid = os(j)
+          if (first(pid) == 0L) { first(pid) = (i + 2 - plen(pid)).toLong; found += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      val hits = new scala.collection.mutable.ArrayBuffer[Any](found)
+      var pid = 0
+      while (pid < first.length) {
+        if (first(pid) != 0L)
+          hits += org.apache.spark.sql.catalyst.InternalRow((pid + 1).toLong, first(pid))
+        pid += 1
+      }
+      new GenericArrayData(hits.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Register the expressions as SQL temp functions in a session.
     * createOrReplaceTempFunction is idempotent, so no session-identity
     * guard is needed (an identityHashCode-keyed cache could collide after
@@ -917,6 +1017,12 @@ object CatalystExpressions {
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_word_pairs",
       es => WordPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_phrase_pos",
+      es => MultiPhrasePos(es.head, {
+        val a = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }), "built-in")
     // decimal fast-sum plumbing (BarOps.moneySumFast): Catalyst's own
     // UnscaledValue/MakeDecimal pair — the DecimalAggregates rewrite,
     // exposed so it can be applied beyond the precision the rule

@@ -83,6 +83,32 @@ object TextAnalysis {
         col("tk.n_unk").as("n_unk"), col("tk.id_wsum").as("id_wsum"))
   }
 
+  /** Exact-phrase probe scan — the multi-pattern containment pass
+    * exact-substring decontamination runs (benchmark answer strings,
+    * canary GUIDs, blocked passages): one
+    * [[graft.functions.CatalystExpressions.MultiPhrasePos]] Aho–Corasick
+    * automaton pass per document finds the first word-aligned occurrence
+    * of EVERY probe phrase simultaneously — the corpus is scanned once
+    * regardless of |phrases|, where a per-phrase `contains` family scans
+    * it |phrases| times. Word alignment via space padding; `pos` is the
+    * 1-based char offset into `' '||text||' '`, exactly ANSI
+    * `strpos(' '||text||' ', ' '||phrase||' ')`, so the contract is
+    * SQL-replayable to the character. Zero shuffle: scan → kernel →
+    * inline explode of the ≤|phrases| hit array; the phrase list rides
+    * the plan as a literal (broadcast-free). Output: one row per
+    * (doc, phrase) hit — (idCol, pid, phrase, pos). */
+  def phraseHits(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(call_function("graft_phrase_pos", col(textCol),
+          typedLit(phrases))).as("h"))
+      .select(col(idCol), col("h.pid").as("pid"),
+        element_at(typedLit(phrases), col("h.pid").cast("int")).as("phrase"),
+        col("h.pos").as("pos"))
+  }
+
   /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", polyHash(col(textCol)))

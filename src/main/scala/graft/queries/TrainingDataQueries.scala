@@ -928,6 +928,29 @@ object TrainingDataQueries {
       "rules (completeness argmax, modal value, provenance priority) " +
       "in one keyed agg + one mode agg — the MDM merge step")
 
+  // q150: exact-phrase probe scan — multi-pattern containment (benchmark
+  // answer strings / canary GUIDs) via ONE compiled Aho–Corasick pass
+  // per doc, corpus scanned once regardless of probe count. The pos
+  // contract is byte-for-byte ANSI strpos over the padded strings, so
+  // the oracle replays it with a 5-row VALUES cross join.
+  private val q150Phrases = Seq("batch batch batch", "join order",
+    "window window", "spark group query", "data line join")
+  private val q150 = Q(
+    (s, dir) => TextAnalysis.phraseHits(table(s, dir, "documents"),
+        q150Phrases)
+      .orderBy("doc_id", "pid"),
+    Some("WITH p AS (SELECT CAST(c0 AS BIGINT) AS pid, c1 AS phrase FROM (VALUES " +
+      q150Phrases.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ") +
+      ") AS t(c0, c1)) " +
+      "SELECT d.doc_id, p.pid, p.phrase, " +
+      "strpos(' '||d.text||' ', ' '||p.phrase||' ') AS pos " +
+      "FROM documents d CROSS JOIN p " +
+      "WHERE strpos(' '||d.text||' ', ' '||p.phrase||' ') > 0 " +
+      "ORDER BY doc_id, pid"),
+    "Exact-phrase probe scan: first word-aligned occurrence of every " +
+      "probe phrase in one compiled Aho-Corasick pass per document")
+
   // q149: SEMANTIC decontamination — the embedding-space member of the
   // decontamination family (exact q50, fuzzy-lexical q136): train
   // vectors within cosine 0.4 of any held-out vector (vec_id % 10 = 7,
@@ -1084,6 +1107,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q150_phrase_probe" -> q150,
     "q149_semantic_decontaminate" -> q149,
     "q148_golden_record" -> q148,
     "q145_jaro_linkage" -> q145,

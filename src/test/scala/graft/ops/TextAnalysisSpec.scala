@@ -9,6 +9,41 @@ import graft.functions.TextFunctions
 class TextAnalysisSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  test("phraseHits: word-aligned first positions, strpos contract, seeded replay") {
+    val phrases = Seq("a b", "a b c", "b c", "zz", "c")
+    val docs = Seq(
+      (1L, "x a b c"),    // hits "a b"@3, "a b c"@3, "b c"@5, "c"@7
+      (2L, "a b x b c"),  // padding edge: phrase at start
+      (3L, "ab c"),       // "c"@4 only — "b c" must NOT match inside "ab c"
+      (4L, "w w w"),      // no hits at all
+      (5L, "c c c"))      // overlap/repeat: "c"@2 (first only)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseHits(docs, phrases)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // strpos positions are into ' '||text||' ' (1-based)
+    assert(got == Seq(
+      (1L, 1L, "a b", 3L), (1L, 2L, "a b c", 3L), (1L, 3L, "b c", 5L),
+      (1L, 5L, "c", 7L),
+      (2L, 1L, "a b", 1L), (2L, 3L, "b c", 7L), (2L, 5L, "c", 9L),
+      (3L, 5L, "c", 4L),
+      (5L, 5L, "c", 1L)))
+    // seeded random replay against String.indexOf on padded strings
+    val rnd = new scala.util.Random(0xAC0DEL)
+    val vocab = Array("a", "b", "c", "d")
+    val texts = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(20)(vocab(rnd.nextInt(4))).mkString(" ")))
+    val probes = Seq("a b", "c d a", "d d", "b")
+    val want = texts.flatMap { case (id, t) =>
+      probes.zipWithIndex.flatMap { case (p, pi) =>
+        val at = (" " + t + " ").indexOf(" " + p + " ")
+        if (at < 0) None else Some((id, (pi + 1).toLong, p, (at + 1).toLong))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got2 = TextAnalysis.phraseHits(texts.toDF("doc_id", "text"), probes)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got2 == want)
+  }
+
   test("polyHash matches the documented fold ((acc*31 + code) mod 1e9+7)") {
     val fp = Seq("ab").toDF("text")
       .select(TextFunctions.polyHash(col("text")).as("fp")).as[Long].head()
