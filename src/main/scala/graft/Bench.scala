@@ -106,7 +106,8 @@ object Bench {
       "q39_stream_dedup", "q40_stream_join", "q65_stream_left_join",
       "q101_stream_ewma", "q114_stream_funnel", "q124_stream_cm",
       "q128_stream_drift", "q130_stream_pit", "q131_stream_takedown",
-      "q134_stream_quantile", "q138_stream_topk", "q54_ann_recall")
+      "q134_stream_quantile", "q138_stream_topk", "q151_stream_trend",
+      "q54_ann_recall")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

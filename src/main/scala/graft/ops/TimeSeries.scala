@@ -61,17 +61,82 @@ object TimeSeries {
       sum(dec(col("__y"))).as("__sy"),
       sum(dec(col("__k") * col("__y"))).as("__sky"),
       sum(dec(col("__k") * col("__k"))).as("__skk"))
+    rationalsFromMoments(agg, keyCol)
+  }
+
+  /** The shared rational-fit epilogue over a moments frame
+    * (key, n, __sk, __sy, __sky, __skk): slope/intercept numerators over
+    * the shared denominator, NULL when the denominator is 0 (single
+    * observation, or all x identical). */
+  private def rationalsFromMoments(agg: DataFrame, keyCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val den = dec(col("n")) * col("__skk") - col("__sk") * col("__sk")
     agg.select(col(keyCol), col("n"),
-        when(den === 0, lit(null))
-          .otherwise(dec(col("n")) * col("__sky") - col("__sk") * col("__sy"))
-          .cast("decimal(38,0)").as("slope_num"),
-        when(den === 0, lit(null))
-          .otherwise(col("__sy") * col("__skk") - col("__sk") * col("__sky"))
-          .cast("decimal(38,0)").as("icept_num"),
-        when(den === 0, lit(null)).otherwise(den)
-          .cast("decimal(38,0)").as("den"))
+      when(den === 0, lit(null))
+        .otherwise(dec(col("n")) * col("__sky") - col("__sk") * col("__sy"))
+        .cast("decimal(38,0)").as("slope_num"),
+      when(den === 0, lit(null))
+        .otherwise(col("__sy") * col("__skk") - col("__sk") * col("__sky"))
+        .cast("decimal(38,0)").as("icept_num"),
+      when(den === 0, lit(null)).otherwise(den)
+        .cast("decimal(38,0)").as("den"))
   }
+
+  /** MERGEABLE per-key trend sufficient statistics with x = event time
+    * (WHOLE SECONDS since `originMicros`) — the incremental form of the
+    * OLS fit: unlike [[trendFit]]'s position x (which depends on global
+    * order), time-x moments are pure per-row products, so partial
+    * frames from any data split (micro-batches, partitions, days) SUM
+    * to the exact whole-series moments — the property the streaming
+    * twin rides. One map-side-combinable agg, NO window, no shuffle
+    * beyond the keyed exchange.
+    *
+    * x granularity is seconds (floor division on the µs offset —
+    * exact: offsets < 2⁵³ divide exactly in a double and the true
+    * quotient is never within 10⁻⁶ of rounding across an integer, and
+    * SQL replays it as integer `//`): at µs granularity the INTERCEPT
+    * numerator Σy·Σx² ≈ n²·ū·x̄² blows through 38 digits on a month of
+    * ordinary data (measured 4·10³⁸ at sf0.01). Overflow at seconds:
+    * largest term Σy·Σx² ≤ n²·u·X²; one year (X ≈ 3.2·10⁷) at
+    * u = 10⁷ holds to n ≈ 10⁷ rows/key inside 10³⁸ — re-origin per
+    * fit window (or widen the accumulator) past that; the origin is a
+    * parameter precisely so callers keep x small. */
+  def trendStatsTime(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, originMicros: Long): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        dec(floor((unix_micros(col(tsCol)) - lit(originMicros)) /
+          lit(1000000.0)).cast("long")).as("__x"),
+        dec(toUnits(col(valueCol))).as("__y"))
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sk"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sky"),
+        sum(col("__x") * col("__x")).as("skk"))
+  }
+
+  /** Collapse (possibly partial) [[trendStatsTime]] frames to the exact
+    * rational fit: per-key SUM of each moment, then the shared rational
+    * epilogue — merge-invariant, so any batch split hash-matches the
+    * direct whole-series fit. */
+  def trendFromStats(stats: DataFrame, keyCol: String): DataFrame =
+    rationalsFromMoments(
+      stats.groupBy(col(keyCol)).agg(
+        sum(col("n")).as("n"),
+        sum(col("sk")).as("__sk"),
+        sum(col("sy")).as("__sy"),
+        sum(col("sky")).as("__sky"),
+        sum(col("skk")).as("__skk")),
+      keyCol)
+
+  /** Whole-series time-x trend fit: [[trendStatsTime]] + the rational
+    * epilogue in one call (the batch twin of the streaming landing). */
+  def trendFitTime(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, originMicros: Long): DataFrame =
+    trendFromStats(trendStatsTime(df, keyCol, tsCol, valueCol, originMicros),
+      keyCol)
 
   /** CUSUM change-point detection per key — the classic
     * mean-shift locator (deploy regressions, price regime changes,

@@ -2619,7 +2619,49 @@ object AnalyticsQueries {
       "rationals (no division ever), DECIMAL(38,0) sufficient stats, " +
       "one shared keyed exchange")
 
+  /** STREAMING trend maintenance (the fourteenth streaming query —
+    * q147's incremental twin with TIME as the regressor): per-batch
+    * OLS moment rows landed exactly-once, per-key moment sums + the
+    * rational epilogue at read — hash-equal to the direct batch fit
+    * and to the oracle's whole-series SQL replay (merge-invariance of
+    * integer moments, the q124 cell-sum argument applied to
+    * sufficient statistics). Origin 2024-01-01 keeps x ≤ 31 days of
+    * whole seconds, far inside the DECIMAL(38,0) bound. */
+  private val q151 = Q(
+    (s, dir) => {
+      val origin = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+      val scratch = s"${Queries.scratchRoot}/q151-trendstream"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val stream = Queries.stagedEventStream(s, dir, "q151")
+      val q = graft.streaming.StreamSink.toTrendStats(stream,
+        s"$scratch/stats", s"$scratch/ckpt", "event_type", "ts", "value",
+        origin)
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.readTrend(s, s"$scratch/stats", "event_type")
+        .orderBy("event_type")
+    },
+    Some(EV + ", e AS (SELECT event_type, " +
+      "CAST((epoch_us(ts) - 1704067200000000) // 1000000 AS HUGEINT) AS x, " +
+      "CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT) AS y " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "s AS (SELECT event_type, count(*) AS n, sum(x) AS sk, " +
+      "sum(y) AS sy, sum(x*y) AS sky, sum(x*x) AS skk " +
+      "FROM e GROUP BY event_type) " +
+      "SELECT event_type, n, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS DECIMAL(38,0)) END AS slope_num, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(sy*skk - sk*sky AS DECIMAL(38,0)) END AS icept_num, " +
+      "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
+      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS DECIMAL(38,0)) END AS den " +
+      "FROM s ORDER BY event_type"),
+    "Streaming trend maintenance: exactly-once per-batch OLS moment " +
+      "landings, exact rational fit recovered at read — hash-equal to " +
+      "the whole-series fit under any batch split")
+
   val all: Map[String, Q] = Map(
+    "q151_stream_trend" -> q151,
     "q147_trend" -> q147,
     "q146_cusum" -> q146,
     "q144_benford" -> q144,

@@ -178,6 +178,41 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous TREND maintenance ([[graft.ops.TimeSeries
+    * .trendStatsTime]] — the [[toCmSketch]] landing protocol applied to
+    * OLS sufficient statistics): each micro-batch is collapsed to ≤
+    * |keys| exact-integer moment rows (n, Σx, Σy, Σxy, Σx²; x = event
+    * time, so moments are order-free pure sums) landed in a
+    * `batch=<id>` partition via the idempotent [[landBatch]] rename,
+    * and the live fit is recovered at read time by [[readTrend]]'s
+    * per-key moment SUM + rational epilogue. Exactly-once for the
+    * [[toCmSketch]] reason (a replayed batch overwrites its own
+    * landing); batch-split invariant because integer moments merge by
+    * addition — the read-back fit hash-matches the direct batch
+    * [[graft.ops.TimeSeries.trendFitTime]] whatever the trigger
+    * cadence. */
+  def toTrendStats(stream: DataFrame, path: String, checkpoint: String,
+      keyCol: String, tsCol: String, valueCol: String, originMicros: Long,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.TimeSeries.trendStatsTime(batch, keyCol,
+            tsCol, valueCol, originMicros), path, batchId)
+      }
+      .start()
+
+  /** The live per-key trend from a [[toTrendStats]] landing: moment
+    * sums over the batch partitions, then the exact rational fit —
+    * same row schema as a direct [[graft.ops.TimeSeries
+    * .trendFitTime]] call. */
+  def readTrend(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    graft.ops.TimeSeries.trendFromStats(
+      spark.read.parquet(path).drop("batch"), keyCol)
+
   /** Continuous HEAVY-HITTER maintenance
     * ([[graft.ops.Sketches.heavyHitters]] — the [[toCmSketch]] landing
     * protocol applied to the sketch family's top-k member): each

@@ -127,6 +127,31 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTest {
     assert(BigInt(r.getDecimal(4).toBigInteger) == n * skk - sk * sk)
   }
 
+  test("trendStatsTime merge-invariance: any split sums to the whole-series fit") {
+    val rnd = new scala.util.Random(0x5EED5L)
+    val origin = 1704067200000000L
+    val rows = (1 to 120).map { i =>
+      ("k" + (i % 3), new java.sql.Timestamp(1704067200000L + rnd.nextInt(1000000)),
+        rnd.nextInt(100000) / 100.0)
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val whole = TimeSeries.trendFitTime(df, "k", "ts", "v", origin)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // split into 4 arbitrary chunks, stats per chunk, union, merge
+    val parts = rows.grouped(37).map(ch =>
+      TimeSeries.trendStatsTime(ch.toDF("k", "ts", "v"), "k", "ts", "v", origin))
+      .reduce(_ unionByName _)
+    val merged = TimeSeries.trendFromStats(parts, "k")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(merged == whole)
+    // and the fit is exact: constant series -> slope_num 0
+    val const = (1 to 5).map(i =>
+      ("c", new java.sql.Timestamp(1704067200000L + i * 1000), 2.5)).toDF("k", "ts", "v")
+    val r = TimeSeries.trendFitTime(const, "k", "ts", "v", origin).collect().head
+    assert(BigDecimal(r.getDecimal(2)) == 0 &&
+      BigDecimal(r.getDecimal(3)) / BigDecimal(r.getDecimal(4)) == BigDecimal(2500000))
+  }
+
   test("cusumChangePoint: locates a planted level shift, exact statistic") {
     // key "a": 10 rows at 1.0, then 10 rows at 5.0 — the CUSUM magnitude
     // peaks at the last low row (position 10)
