@@ -109,6 +109,31 @@ object TextAnalysis {
         col("h.pos").as("pos"))
   }
 
+  /** Boilerplate passage mining — the template/chrome detector corpus
+    * curation runs BEFORE near-dup removal (cookie banners, nav chrome,
+    * license headers repeat across otherwise-distinct pages and poison
+    * both training and MinHash signatures): the `k` word `n`-grams
+    * shared by the most documents. Doc-frequency semantics via the
+    * compiled distinct-shingle kernel (one gram counted once per doc,
+    * however often it repeats inside); ONE keyed agg with map-side
+    * combine (hot boilerplate grams cost a combiner entry per task,
+    * never a shuffled row per occurrence), then global top-k as
+    * TakeOrdered — no full sort ever materializes. Deterministic under
+    * massive ties (n_docs desc, gram asc). At 100 TB the gram
+    * cardinality is the cost driver: partial aggregation sheds the
+    * singleton tail (most grams) before the exchange. */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 5, minDocs: Long = 2,
+      k: Int = 20, textCol: String = "text"): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(call_function("graft_word_ngrams", col(textCol),
+        lit(n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", polyHash(col(textCol)))

@@ -928,6 +928,23 @@ object TrainingDataQueries {
       "rules (completeness argmax, modal value, provenance priority) " +
       "in one keyed agg + one mode agg — the MDM merge step")
 
+  // q152: boilerplate passage mining — the most-shared word 5-grams
+  // (doc-frequency semantics, one count per doc) with deterministic
+  // tie-break; the template detector corpus curation runs before
+  // near-dup removal. One keyed agg + TakeOrdered top-k.
+  private val q152 = Q(
+    (s, dir) => TextAnalysis.boilerplateNgrams(table(s, dir, "documents"),
+      n = 5, minDocs = 2, k = 20),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      s"g AS (SELECT DISTINCT doc_id, ${duckWordGrams("ws", 5)} AS gram FROM w), " +
+      "c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram) " +
+      "SELECT gram, n_docs FROM c WHERE n_docs >= 2 " +
+      "ORDER BY n_docs DESC, gram LIMIT 20"),
+    "Boilerplate n-gram mining: top-20 most-shared word 5-grams " +
+      "(doc frequency via the compiled distinct-shingle kernel, " +
+      "map-side-combined agg, TakeOrdered top-k)")
+
   // q150: exact-phrase probe scan — multi-pattern containment (benchmark
   // answer strings / canary GUIDs) via ONE compiled Aho–Corasick pass
   // per doc, corpus scanned once regardless of probe count. The pos
@@ -1107,6 +1124,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q152_boilerplate" -> q152,
     "q150_phrase_probe" -> q150,
     "q149_semantic_decontaminate" -> q149,
     "q148_golden_record" -> q148,

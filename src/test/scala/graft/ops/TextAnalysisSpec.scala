@@ -44,6 +44,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(got2 == want)
   }
 
+  test("boilerplateNgrams: doc-frequency semantics, ties broken by gram asc") {
+    val docs = Seq(
+      (1L, "a b c d e x"),     // grams: "a b c d e", "b c d e x"
+      (2L, "a b c d e y"),     // shares "a b c d e"
+      (3L, "a b c d e a b c d e"), // in-doc repeat counts ONCE
+      (4L, "q r s t u"))       // unshared
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgrams(docs, n = 5, minDocs = 2, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b c d e", 3L)))
+  }
+
   test("polyHash matches the documented fold ((acc*31 + code) mod 1e9+7)") {
     val fp = Seq("ab").toDF("text")
       .select(TextFunctions.polyHash(col("text")).as("fp")).as[Long].head()
