@@ -328,4 +328,68 @@ object Curation {
     * kept as rows instead of counts (NULL predicates fail, as above). */
   def applyFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
     rules.foldLeft(df) { case (acc, (_, passes)) => acc.filter(passes <=> true) }
+
+  /** Cross-group QUANTILE NORMALIZATION — the score-calibration
+    * transform (bioinformatics' quantile normalization applied to
+    * curation): quality scores from different sources/classifiers are
+    * not comparable (each source has its own score distribution, so one
+    * global threshold over/under-keeps per source); map every row's
+    * score to the POOLED distribution's value at the row's within-group
+    * quantile, after which a single global threshold keeps the same
+    * fraction of every group. Everything integer and deterministic:
+    *
+    *  - within-group rank r of n_g (row_number by (unit, id));
+    *  - pooled target position p = ⌈r·N / n_g⌉ (integer arithmetic;
+    *    r·N stays under 2⁶³ to N·max n_g ≈ 9·10¹⁸ — decimals past that);
+    *  - normalized value = the pooled multiset's p-th smallest
+    *    (percentile_disc semantics), read off an exact pooled CDF.
+    *
+    * Shape — built for a bounded score domain (units on a fixed grid,
+    * ≤ ~10⁶ distinct values), which makes the pooled CDF EXACT and
+    * TINY without any N-row global sort (the q77 rule) or per-row
+    * nested-loop probe:
+    *  - one keyed window exchange for (r, n_g) — the only corpus-sized
+    *    shuffle;
+    *  - pooled CDF = value histogram (map-side-combined agg) + a
+    *    running sum over ≤|distinct units| rows (the one global-order
+    *    window, on the tiny frame);
+    *  - p → value lookup = BANDED interval equi-join (the [[RangeJoin]]
+    *    rewrite in integer domain): each CDF interval (lo, hi] explodes
+    *    to its covering width-W buckets with W ≈ N/|distinct units|
+    *    (so the exploded build side stays ≈ 2·|distinct units| rows),
+    *    probes join on p div W + residual filter — never a
+    *    BroadcastNestedLoopJoin.
+    * Group/corpus totals ride a broadcast 1-row stats frame (the q81
+    * span pattern) — nothing is collected to the driver. */
+  def quantileNormalize(df: DataFrame, idCol: String, grpCol: String,
+      unitCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col("__u0"), col(idCol))
+    val wg = Window.partitionBy(col(grpCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = df.select(col(idCol), col(grpCol),
+        col(unitCol).cast("long").as("__u0"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wg))
+    val hist = df.groupBy(col(unitCol).cast("long").as("__u"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wc = Window.orderBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = hist
+      .withColumn("__hi", sum(col("__cnt")).over(wc))
+      .withColumn("__lo", col("__hi") - col("__cnt"))
+    val stats = broadcast(
+      hist.agg(count(lit(1)).as("__nu"), sum(col("__cnt")).as("__N")))
+    val wBand = "greatest(__N div __nu, 1)"
+    val bands = cdf.crossJoin(stats)
+      .withColumn("__b",
+        explode(expr(s"sequence((__lo + 1) div ($wBand), __hi div ($wBand))")))
+      .select(col("__u"), col("__lo"), col("__hi"), col("__b"))
+    val probe = rows.crossJoin(stats)
+      .withColumn("__p", expr("(__r * __N + __ns - 1) div __ns"))
+      .withColumn("__b", expr(s"__p div ($wBand)"))
+    probe.join(bands, Seq("__b"))
+      .filter(col("__p") > col("__lo") && col("__p") <= col("__hi"))
+      .select(col(idCol), col(grpCol), col("__u0").as(unitCol),
+        col("__u").as("norm_u"))
+  }
 }

@@ -153,6 +153,40 @@ object CurationQueries {
     "Domain capping: top-5 docs per source by quality, salted two-phase " +
       "top-k (no single-task domain sort) proven equal to the plain window")
 
+  // q153: cross-source quantile normalization — per-source quality
+  // scores mapped onto the pooled distribution (percentile_disc
+  // semantics) so one global threshold keeps the same fraction of
+  // every source. All integer: rank r of n_g within source, pooled
+  // position p = ceil(r*N/n_g), value = pooled p-th smallest read off
+  // the exact unit-histogram CDF. The engine's banded interval join is
+  // proven equal to the oracle's direct inequality join by the hash
+  // check.
+  private val q153 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("u", graft.ops.TimeSeries.toUnits(
+          graft.ops.TextAnalysis.qualityScore(col("text"))))
+      Curation.quantileNormalize(docs, "doc_id", "source", "u")
+        .orderBy("doc_id")
+    },
+    Some("WITH d AS (SELECT doc_id, source, " +
+      "CAST(floor((" + Queries.duckQualityScore + ") * 1000000 + 0.5) " +
+      "AS BIGINT) AS u FROM documents), " +
+      "r AS (SELECT doc_id, source, u, CAST(row_number() OVER " +
+      "(PARTITION BY source ORDER BY u, doc_id) AS BIGINT) AS r, " +
+      "count(*) OVER (PARTITION BY source) AS ns FROM d), " +
+      "h AS (SELECT u AS hu, count(*) AS cnt FROM d GROUP BY hu), " +
+      "c AS (SELECT hu, sum(cnt) OVER (ORDER BY hu) AS hi, " +
+      "sum(cnt) OVER (ORDER BY hu) - cnt AS lo FROM h), " +
+      "t AS (SELECT count(*) AS n FROM d) " +
+      "SELECT r.doc_id, r.source, r.u, c.hu AS norm_u " +
+      "FROM r, t, c WHERE ((r.r * t.n + r.ns - 1) // r.ns) > c.lo " +
+      "AND ((r.r * t.n + r.ns - 1) // r.ns) <= c.hi " +
+      "ORDER BY r.doc_id"),
+    "Cross-source quantile normalization: within-source rank mapped to " +
+      "the pooled distribution's value (exact integer CDF, banded " +
+      "interval join) — score calibration before a global threshold")
+
   // q69: quality-filter funnel — every doc classified by the first rule
   // it fails, one aggregation. Thresholds chosen so every bucket is
   // non-empty at the test SFs (probed in DuckDB).
@@ -336,6 +370,7 @@ object CurationQueries {
       "overlap misses")
 
   val all: Map[String, Q] = Map(
+    "q153_quantile_normalize" -> q153,
     "q136_decontaminate_fuzzy" -> q136,
     "q92_bloom_decontaminate" -> q92,
     "q47_split_assign" -> q47,

@@ -248,4 +248,35 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .select("doc_id").as[Long].collect().toSeq
     assert(survivors == Seq(1L))
   }
+
+  test("quantileNormalize: pooled percentile_disc mapping, seeded replay") {
+    // hand case: group a = {10, 20}, group b = {30, 40}; pooled sorted
+    // = [10, 20, 30, 40], N = 4. a's rank-1 of 2 -> p = ceil(1*4/2) = 2
+    // -> 20; a's rank 2 -> p = 4 -> 40; same for b.
+    val hand = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "g", "u")
+    val gotHand = Curation.quantileNormalize(hand, "id", "g", "u")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotHand == Seq((1L, "a", 10L, 20L), (2L, "a", 20L, 40L),
+      (3L, "b", 30L, 20L), (4L, "b", 40L, 40L)))
+
+    // seeded replay vs a driver-side reference (ties included: small
+    // unit domain forces duplicate units within and across groups)
+    val rnd = new scala.util.Random(0xCA11B8L)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, "g" + rnd.nextInt(4), rnd.nextInt(20).toLong))
+    val pooled = rows.map(_._3).sorted
+    val byG = rows.groupBy(_._2)
+    val want = rows.map { case (id, g, u) =>
+      val members = byG(g).sortBy(r => (r._3, r._1))
+      val r = members.indexWhere(_._1 == id) + 1
+      val p = (r.toLong * pooled.length + members.length - 1) / members.length
+      (id, g, u, pooled(p.toInt - 1))
+    }.sortBy(_._1)
+    val got = Curation.quantileNormalize(rows.toDF("id", "g", "u"), "id", "g", "u")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // each row maps to exactly one pooled value (banded join lossless)
+    assert(got.size == rows.size)
+  }
 }
