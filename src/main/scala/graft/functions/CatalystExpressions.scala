@@ -873,6 +873,70 @@ object CatalystExpressions {
       copy(left = l, right = r)
   }
 
+  /** Greedy time-throttle fold over one key's chronologically sorted
+    * rows — the debounce/rate-limit recurrence (alert dedup,
+    * notification caps, retry suppression): keep a row iff at least
+    * `gap` µs have elapsed since the last KEPT row. Like [[EwmaFold]],
+    * row t depends on prior OUTPUT (which rows were kept), which no
+    * window frame expresses — the kernel is one O(n) pass carrying a
+    * single long (the last kept timestamp). `init` seeds that state for
+    * segmented/incremental folds (NULL = no prior kept row; the
+    * ewmaSegmented construction applies verbatim). Input rows must be
+    * pre-sorted array<struct<tsu: long, id: long>>; output one
+    * struct<id, kept> per input row, order preserved. */
+  case class ThrottleFold(rows: Expression, gap: Expression, init: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = rows
+    override def second: Expression = gap
+    override def third: Expression = init
+    override def nullable: Boolean = rows.nullable
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("kept", BooleanType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_throttle_fold"
+
+    override def checkInputDataTypes(): TypeCheckResult = rows.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 2 &&
+        st(0).dataType == LongType && st(1).dataType == LongType =>
+        if (gap.dataType != LongType) TypeCheckResult.TypeCheckFailure(
+          s"graft_throttle_fold expects gap: bigint, got ${gap.dataType.catalogString}")
+        else if (init.dataType != LongType && init.dataType != NullType)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_throttle_fold expects init: bigint (or NULL), got ${init.dataType.catalogString}")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_throttle_fold expects array<struct<tsu: bigint, id: bigint>>, " +
+          s"got ${other.catalogString}")
+    }
+
+    // eval (not nullSafeEval): init is legitimately NULL for the
+    // unseeded first segment (the EwmaFold precedent)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val rs = rows.eval(input)
+      if (rs == null) return null
+      val arr = rs.asInstanceOf[ArrayData]
+      val g = gap.eval(input).asInstanceOf[Long]
+      val i0 = init.eval(input)
+      var has = i0 != null
+      var last = if (has) i0.asInstanceOf[Long] else 0L
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 2)
+        val t = r.getLong(0)
+        val kept = !has || t - last >= g
+        if (kept) { has = true; last = t }
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(r.getLong(1), kept)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): Expression = copy(rows = f, gap = s, init = t)
+  }
+
   /** First word-aligned occurrence of each of a fixed set of phrases —
     * ONE Aho–Corasick automaton pass per row over ` text ` (padded), the
     * multi-pattern matcher exact-substring decontamination needs: with
@@ -1017,6 +1081,8 @@ object CatalystExpressions {
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_word_pairs",
       es => WordPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_throttle_fold",
+      es => ThrottleFold(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_phrase_pos",
       es => MultiPhrasePos(es.head, {
         val a = es(1).eval().asInstanceOf[

@@ -215,6 +215,33 @@ object TimeSeries {
       .select(col(keyCol), col("e.id").as(idCol), col("e.y").as("ewma_units"))
   }
 
+  /** Greedy time-throttle per key — the debounce/rate-limiter (alert
+    * dedup, notification caps, "at most one per T" delivery): keep an
+    * event iff ≥ `gapMs` elapsed since the last KEPT event of the same
+    * key. The kept set depends on prior OUTPUT (a dropped event does
+    * not reset the clock — `lag()` cannot express this), so it joins
+    * the [[ewma]] recurrence family: ONE keyed shuffle
+    * (collect + sort), then the compiled O(1)-state
+    * [[graft.functions.CatalystExpressions.ThrottleFold]] kernel; the
+    * SQL oracle replays the exact chain with a pre-numbered recursive
+    * CTE. Ordering (tsCol, idCol); equal-timestamp events after a kept
+    * one are dropped for any gap > 0. Hot keys: the fold state is one
+    * long — for keys whose history exceeds task memory, segment with
+    * the [[ewmaSegmented]] construction (ThrottleFold takes the same
+    * `init` seed). Output: one (key, id, kept) row per input event. */
+  def throttle(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      gapMs: Long): DataFrame = {
+    require(gapMs > 0, "gap must be positive")
+    graft.functions.CatalystExpressions.register(df.sparkSession)
+    df.select(col(keyCol), struct(unix_micros(col(tsCol)).as("tsu"),
+        col(idCol).cast("long").as("id")).as("r"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(col(keyCol), explode(call_function("graft_throttle_fold",
+        col("rs"), lit(gapMs * 1000L), lit(null).cast("long"))).as("e"))
+      .select(col(keyCol), col("e.id").as(idCol), col("e.kept").as("kept"))
+  }
+
   /** [[ewma]] with bounded per-task state: the series is cut into
     * chronological segments (`segment` — e.g. `to_date(ts)`), each
     * segment folds with one keyed shuffle over ONLY its own rows, and the

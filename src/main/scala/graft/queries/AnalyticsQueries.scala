@@ -2660,7 +2660,32 @@ object AnalyticsQueries {
       "landings, exact rational fit recovered at read — hash-equal to " +
       "the whole-series fit under any batch split")
 
+  /** Greedy 8-hour throttle per user ([[graft.ops.TimeSeries
+    * .throttle]] — the debounce recurrence: dropped events do NOT
+    * reset the clock, so no window/lag can express it): one keyed
+    * shuffle + the compiled O(1)-state fold, replayed exactly by a
+    * pre-numbered recursive CTE (the q93 recurrence-oracle shape). */
+  private val q154 = Q(
+    (s, dir) => graft.ops.TimeSeries.throttle(table(s, dir, "events"),
+        "user_id", "ts", "event_id", gapMs = 8L * 3600 * 1000)
+      .orderBy("user_id", "event_id"),
+    Some(EV.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", n AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+      "FROM ev), " +
+      "r AS (SELECT k, rn, id, t AS last, TRUE AS kept FROM n WHERE rn = 1 " +
+      "UNION ALL SELECT n.k, n.rn, n.id, " +
+      "CASE WHEN n.t - r.last >= 28800000000 THEN n.t ELSE r.last END AS last, " +
+      "n.t - r.last >= 28800000000 AS kept " +
+      "FROM r JOIN n ON n.k = r.k AND n.rn = r.rn + 1) " +
+      "SELECT k AS user_id, id AS event_id, kept FROM r " +
+      "ORDER BY user_id, event_id"),
+    "Greedy per-user time throttle (8 h): keep an event only if the gap " +
+      "since the last KEPT event elapsed — compiled recurrence fold, " +
+      "recursive-CTE oracle")
+
   val all: Map[String, Q] = Map(
+    "q154_throttle" -> q154,
     "q151_stream_trend" -> q151,
     "q147_trend" -> q147,
     "q146_cusum" -> q146,

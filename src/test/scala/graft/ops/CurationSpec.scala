@@ -278,5 +278,15 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(got == want)
     // each row maps to exactly one pooled value (banded join lossless)
     assert(got.size == rows.size)
+
+    // plan audit: the only nested loops are the TWO broadcast 1-row
+    // stats crosses; the p->value lookup itself is a hash equi-join on
+    // the band key (the whole point of the banding rewrite)
+    val plan = Curation.quantileNormalize(rows.toDF("id", "g", "u"),
+      "id", "g", "u").queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
+      plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 }

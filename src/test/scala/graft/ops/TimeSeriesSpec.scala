@@ -127,6 +127,41 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTest {
     assert(BigInt(r.getDecimal(4).toBigInteger) == n * skk - sk * sk)
   }
 
+  test("throttle: hand chain + seeded replay vs driver-side greedy fold") {
+    def ts(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusNanos(us * 1000L))
+    // gap 10 ms = 10000 µs; chain on key a in µs: 0 K, 5000 D, 9000 D,
+    // 10000 K, 19000 D, 21000 K (19000 is 9000 past the kept 10000 —
+    // dropped even though it is 14000 past the DROPPED 5000)
+    val ev = Seq(("a", 0L, 1L), ("a", 5000L, 2L), ("a", 9000L, 3L),
+      ("a", 10000L, 4L), ("a", 19000L, 5L), ("a", 21000L, 6L),
+      ("b", 7L, 7L))
+      .map { case (k, us, id) => (k, ts(us), id) }.toDF("k", "ts", "id")
+    val got = TimeSeries.throttle(ev, "k", "ts", "id", gapMs = 10)
+      .as[(String, Long, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, false),
+      ("a", 4L, true), ("a", 5L, false), ("a", 6L, true), ("b", 7L, true)))
+
+    // seeded replay: random arrivals vs a driver-side greedy fold
+    val rnd = new scala.util.Random(0x7407713L)
+    val rows = (1 to 400).map(i =>
+      ("u" + rnd.nextInt(5), rnd.nextInt(1000000).toLong, i.toLong))
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var last = Long.MinValue / 4
+      var has = false
+      rs.sortBy(r => (r._2, r._3)).map { case (_, us, id) =>
+        val kept = !has || us - last >= 50000L
+        if (kept) { has = true; last = us }
+        (k, id, kept)
+      }
+    }.toSeq.sortBy(_._2)
+    val got2 = TimeSeries.throttle(
+        rows.map { case (k, us, id) => (k, ts(us), id) }.toDF("k", "ts", "id"),
+        "k", "ts", "id", gapMs = 50)
+      .as[(String, Long, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got2 == want)
+  }
+
   test("trendStatsTime merge-invariance: any split sums to the whole-series fit") {
     val rnd = new scala.util.Random(0x5EED5L)
     val origin = 1704067200000000L

@@ -93,7 +93,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // span aggs (the q81/q95/q99 shape). (q112's bounded
     // |keys|·|groups| probe grid would belong here too, but its
     // checkpoint makes it eager — see the eager set.)
-    "q118_drift_audit", "q120_term_lift", "q123_rolling_wau")
+    "q118_drift_audit", "q120_term_lift", "q123_rolling_wau",
+    // r12 continuation: q144 crosses the broadcast 1-row grand total
+    // (__n) into the 9-digit frame; q153 crosses the broadcast 1-row
+    // (|distinct units|, N) stats into both the probe and CDF sides —
+    // the same linear 1-row shape (the data join itself is the banded
+    // equi-join, audited non-NLJ by its own spec)
+    "q144_benford", "q153_quantile_normalize")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
