@@ -366,4 +366,43 @@ object Quality {
       .select(col("c").as("col_name"), col("n_ref"), col("n_cur"),
         col("nulls_ref"), col("nulls_cur"), col("l1x"))
   }
+
+  /** Key-skew audit — the shuffle-planning diagnostic every 100 TB
+    * pipeline needs BEFORE the join/agg that dies on a hot key: the
+    * key-count distribution summarized as (n_keys, n_rows,
+    * max_share_ppm, Gini as an exact rational). Gini over ascending
+    * counts c_1..c_n: G = (2·Σ i·c_i − (n+1)·T) / (n·T) — 0 = uniform,
+    * →1 = one key owns everything; returned as (gini_num, gini_den)
+    * DECIMAL(38,0), never divided. Tie order between equal counts does
+    * not change Σ i·c_i, so the statistic is deterministic regardless
+    * of the tie-break.
+    *
+    * Shape: one keyed count agg (map-side combined — the |rows|→|keys|
+    * collapse), then a rank window + single-row fold over the KEYS
+    * frame only. The global-order window sorts |keys| rows, not |rows|
+    * — fine to ~10⁹ keys; past that, bin counts into a log-scale
+    * histogram first (the q117 binning) and compute Gini over bins.
+    * Empty input yields one row of NULL diagnostics. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c"), col(keyCol))
+    val agg = counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("__maxc"),
+        sum(dec(col("__i")) * dec(col("__c"))).as("__ic"))
+    agg.select(col("n_keys"), col("n_rows"),
+      when(col("n_rows").isNull, lit(null))
+        .otherwise(expr("__maxc * 1000000 div n_rows")).as("max_share_ppm"),
+      when(col("n_rows").isNull, lit(null))
+        .otherwise(lit(2) * col("__ic") -
+          dec(col("n_keys") + 1) * dec(col("n_rows")))
+        .cast("decimal(38,0)").as("gini_num"),
+      when(col("n_rows").isNull, lit(null))
+        .otherwise(dec(col("n_keys")) * dec(col("n_rows")))
+        .cast("decimal(38,0)").as("gini_den"))
+  }
 }

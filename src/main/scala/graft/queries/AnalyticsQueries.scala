@@ -2684,7 +2684,30 @@ object AnalyticsQueries {
       "since the last KEPT event elapsed — compiled recurrence fold, " +
       "recursive-CTE oracle")
 
+  /** Key-skew audit over the event stream's user key
+    * ([[graft.ops.Quality.keySkew]]): exact-rational Gini + max key
+    * share — the shuffle-planning diagnostic run before the join/agg
+    * that dies on a hot key. */
+  private val q155 = Q(
+    (s, dir) => graft.ops.Quality.keySkew(table(s, dir, "events"), "user_id"),
+    Some(EV + ", c AS (SELECT user_id, count(*) AS c FROM ev " +
+      "GROUP BY user_id), " +
+      "r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c), " +
+      "a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, " +
+      "max(c) AS maxc, " +
+      "sum(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS ic FROM r) " +
+      "SELECT n_keys, n_rows, " +
+      "CAST(maxc * 1000000 // n_rows AS BIGINT) AS max_share_ppm, " +
+      "CAST(2*ic - CAST(n_keys + 1 AS HUGEINT) * CAST(n_rows AS HUGEINT) " +
+      "AS DECIMAL(38,0)) AS gini_num, " +
+      "CAST(CAST(n_keys AS HUGEINT) * CAST(n_rows AS HUGEINT) " +
+      "AS DECIMAL(38,0)) AS gini_den FROM a"),
+    "Key-skew audit: per-key count distribution as n_keys/n_rows/max " +
+      "share ppm/exact-rational Gini — one keyed agg + a rank window " +
+      "over the keys frame only")
+
   val all: Map[String, Q] = Map(
+    "q155_skew_audit" -> q155,
     "q154_throttle" -> q154,
     "q151_stream_trend" -> q151,
     "q147_trend" -> q147,

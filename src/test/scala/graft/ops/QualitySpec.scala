@@ -192,4 +192,26 @@ class QualitySpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 1L, true), (3L, 2L, true), (5L, 1L, false)))
   }
+
+  test("keySkew: uniform -> Gini 0, concentrated -> (n-1)/n, empty -> NULLs") {
+    // uniform: 4 keys x 3 rows -> gini_num must be 0
+    val uni = (1 to 4).flatMap(k => Seq.fill(3)(("k" + k, 1)))
+      .toDF("k", "v")
+    val u = Quality.keySkew(uni, "k").collect().head
+    assert(u.getLong(0) == 4L && u.getLong(1) == 12L)
+    assert(u.getLong(2) == 250000L) // max share 3/12 = 250000 ppm
+    assert(BigDecimal(u.getDecimal(3)) == 0)
+    // all mass on one key among n=3 keys (two singletons, one heavy):
+    // counts asc (1, 1, 10), T = 12: num = 2*(1+2+30) - 4*12 = 18,
+    // den = 36 -> G = 1/2
+    val skewed = (Seq.fill(10)(("h", 1)) ++ Seq(("a", 1), ("b", 1)))
+      .toDF("k", "v")
+    val s = Quality.keySkew(skewed, "k").collect().head
+    assert(BigDecimal(s.getDecimal(3)) / BigDecimal(s.getDecimal(4)) ==
+      BigDecimal(1) / 2)
+    assert(s.getLong(2) == 833333L) // 10/12 in ppm, floored
+    // empty input: one row, NULL diagnostics
+    val e = Quality.keySkew(uni.filter(lit(false)), "k").collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(2) && e.isNullAt(3))
+  }
 }
