@@ -268,6 +268,80 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioFrame(user_id: Long, frame: Long, n_samples: Long,
+    sum_sq: Long, zero_cross: Long, peak: Long)
+
+  /** FRAMED audio features from a real WAV decode — the
+    * voice-activity-detection / silence-trim granularity (whole-clip
+    * energy says nothing about WHERE the speech is; VAD, trimming, and
+    * chunked ASR all consume per-frame energy): the decoded PCM stream
+    * is cut into consecutive `frameSize`-sample frames and each frame
+    * folds the same exact-integer features as [[decodeWavFeatures]].
+    * Zero crossings are counted WITHIN a frame only (the boundary
+    * sample pair belongs to neither) — the contract that lets a SQL
+    * oracle replay frames independently. Trailing partial frame kept
+    * (n_samples < frameSize marks it). */
+  def decodeWavFrameFeatures(id: Long, wav: Array[Byte],
+      frameSize: Int): Seq[AudioFrame] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Nil
+        else {
+          val big = fmt.isBigEndian
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = Seq.newBuilder[AudioFrame]
+          var f = 0L
+          var i = 0
+          while (i < n) {
+            val end = math.min(i + frameSize, n)
+            var sumSq = 0L
+            var zc = 0L
+            var peak = 0L
+            var prev = 0
+            var j = i
+            while (j < end) {
+              val lo = bytes(2 * j) & 0xff
+              val hi = bytes(2 * j + 1).toInt
+              val s = if (big) ((bytes(2 * j).toInt << 8) | (bytes(2 * j + 1) & 0xff))
+                else ((hi << 8) | lo)
+              sumSq += s.toLong * s
+              if (j > i && prev.toLong * s < 0) zc += 1
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              prev = s
+              j += 1
+            }
+            out += AudioFrame(id, f, (end - i).toLong, sumSq, zc, peak)
+            f += 1
+            i = end
+          }
+          out.result()
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => Nil
+      case _: java.io.IOException => Nil
+    }
+
+  /** Batched framed features: [[audioFeatures]]' pipeline at frame
+    * granularity — encode to the WAV container, decode it, fold per
+    * frame, all inside the mapPartitions batch. PCM16 losslessness
+    * makes each frame's features equal those computed from the raw
+    * samples, which is what the SQL oracle replays per (key, frame). */
+  def audioFrameFeatures(spark: SparkSession, signals: DataFrame,
+      frameSize: Int): DataFrame = {
+    import spark.implicits._
+    signals.as[(Long, Seq[Int])]
+      .flatMap { case (id, s) =>
+        decodeWavFrameFeatures(id, encodeWavPcm16(s.map(_.toShort).toArray),
+          frameSize)
+      }
+      .toDF()
+  }
+
   final case class ImageHash(doc_id: Long, sig: Long)
 
   /** REAL image encode via the JDK: a 16×16 grayscale test card

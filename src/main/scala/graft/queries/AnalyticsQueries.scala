@@ -2706,7 +2706,47 @@ object AnalyticsQueries {
       "share ppm/exact-rational Gini — one keyed agg + a rank window " +
       "over the keys frame only")
 
+  /** FRAMED audio features through the real JDK WAV codec (q132's
+    * per-clip features at VAD/silence-trim granularity —
+    * [[graft.ops.Multimodal.audioFrameFeatures]]): 16-sample frames,
+    * exact-integer energy/zero-cross/peak per frame, zero crossings
+    * counted within frames only so the oracle replays each frame
+    * independently off the raw samples (PCM16 losslessness, proved by
+    * the hash match). */
+  private val q156 = Q(
+    (s, dir) => {
+      val sig = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+            least(greatest(floor(col("value") * 100 + 0.5).cast("long")
+                - 16000L, lit(-32768L)), lit(32767L))
+              .cast("int").as("s")).as("r"))
+        .groupBy(col("user_id"))
+        .agg(expr("transform(sort_array(collect_list(r)), x -> x.s)")
+          .as("samples"))
+      graft.ops.Multimodal.audioFrameFeatures(s, sig, frameSize = 16)
+        .orderBy("user_id", "frame")
+    },
+    Some("WITH sg AS (SELECT user_id, ts, event_id, " +
+      "least(greatest(CAST(floor(value*100 + 0.5) AS BIGINT) - 16000, -32768), 32767) AS s " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "n AS (SELECT user_id, s, rn, (rn - 1) // 16 AS frame FROM " +
+      "(SELECT user_id, s, row_number() OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id) AS rn FROM sg)), " +
+      "o AS (SELECT user_id, frame, s, lag(s) OVER (PARTITION BY " +
+      "user_id, frame ORDER BY rn) AS prv FROM n) " +
+      "SELECT user_id, frame, count(*) AS n_samples, " +
+      "CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
+      "CAST(sum(CASE WHEN prv * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross, " +
+      "CAST(max(abs(s)) AS BIGINT) AS peak " +
+      "FROM o GROUP BY user_id, frame ORDER BY user_id, frame"),
+    "Framed audio features through the real JDK WAV codec: per-frame " +
+      "exact-integer energy/zero-cross/peak — the VAD/silence-trim " +
+      "granularity, frames replayed independently by the oracle")
+
   val all: Map[String, Q] = Map(
+    "q156_audio_frames" -> q156,
     "q155_skew_audit" -> q155,
     "q154_throttle" -> q154,
     "q151_stream_trend" -> q151,

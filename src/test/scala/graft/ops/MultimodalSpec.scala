@@ -183,4 +183,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       assert(got(id) == want, s"card $id")
     }
   }
+
+  test("framed audio features: frame cuts, in-frame-only zero crossings, partial tail") {
+    // 10 samples, frame 4 -> frames of 4, 4, 2. Signs planted so one
+    // crossing straddles the frame-1/frame-2 boundary and must NOT count.
+    val s = Seq(100, -200, 300, 400, /*|*/ -500, 600, 700, -800, /*|*/ 900, 1000)
+    val frames = Multimodal.decodeWavFrameFeatures(7L,
+      Multimodal.encodeWavPcm16(s.map(_.toShort).toArray), 4)
+    def feats(xs: Seq[Int]) = (
+      xs.map(x => x.toLong * x).sum,
+      xs.sliding(2).count(p => p.length == 2 && p(0).toLong * p(1) < 0),
+      xs.map(x => math.abs(x.toLong)).max)
+    assert(frames.map(f => (f.frame, f.n_samples)) ==
+      Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+    frames.zip(Seq(s.slice(0, 4), s.slice(4, 8), s.slice(8, 10))).foreach {
+      case (f, xs) =>
+        val (sq, zc, pk) = feats(xs)
+        assert((f.sum_sq, f.zero_cross, f.peak) == (sq, zc.toLong, pk), s"frame ${f.frame}")
+    }
+    // whole-clip features must equal the frame sums for energy/count
+    val whole = Multimodal.decodeWavFeatures(7L,
+      Multimodal.encodeWavPcm16(s.map(_.toShort).toArray)).get
+    assert(frames.map(_.sum_sq).sum == whole.sum_sq)
+    assert(frames.map(_.n_samples).sum == whole.n_samples)
+  }
 }
