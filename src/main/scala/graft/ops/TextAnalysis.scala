@@ -362,6 +362,35 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio-style query
+    * expansion — the classic recall lever when the literal query
+    * under-describes the need): run [[bm25TopK]] for the original
+    * query, mine the `mExpand` strongest non-query terms from the
+    * `kSeed` seed documents (Σtf, deterministic term tie-break), and
+    * re-run BM25 with the expanded query. Two driver-side collects,
+    * both BOUNDED planner metadata (≤ kSeed seed ids, ≤ mExpand terms
+    * — the IVF-codebook class, never data); each pass is the q95
+    * inverted-index shape where only query-term postings shuffle, so
+    * the whole query costs two retrieval jobs + one ≤kSeed-doc term
+    * agg at any corpus scale. */
+  def bm25Prf(docs: DataFrame, queryTerms: Seq[String], kSeed: Int,
+      mExpand: Int, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(kSeed > 0 && mExpand > 0 && k > 0)
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val seedIds = bm25TopK(docs, queryTerms, kSeed, idCol, textCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val expansion = docs
+      .filter(col(idCol).isin(seedIds: _*) && col(textCol).isNotNull)
+      .select(explode(call_function("graft_word_counts",
+        words(col(textCol)))).as("tc"))
+      .filter(!col("tc.term").isin(queryTerms: _*))
+      .groupBy(col("tc.term").as("term")).agg(sum(col("tc.tf")).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(mExpand)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, queryTerms ++ expansion, k, idCol, textCol)
+  }
+
   /** BM25 "more-like-this": for every QUERY document (rows matching
     * `isQuery`), the top-`k` most similar OTHER documents under Okapi
     * scoring over word-`shingleWidth`-gram terms — the per-document

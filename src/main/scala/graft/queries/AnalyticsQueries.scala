@@ -2745,7 +2745,30 @@ object AnalyticsQueries {
       "exact-integer energy/zero-cross/peak — the VAD/silence-trim " +
       "granularity, frames replayed independently by the oracle")
 
+  /** STREAMING throttle (the fifteenth streaming query — q154's
+    * incremental twin, the delivery-time shape of alert dedup): per-key
+    * state is ONE long (the last kept timestamp, the batch kernel's
+    * accumulator verbatim), so the streamed verdicts hash-check against
+    * q154's recursive-CTE oracle by batch-equivalence. */
+  private val q157 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val stream = Queries.stagedEventStream(s, dir, "q157")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .as[graft.streaming.ThrottleStream.TEv]
+      val out = graft.streaming.ThrottleStream.streaming(stream,
+        gapMs = 8L * 3600 * 1000)
+      Queries.runToMemorySink(out.toDF(), "q157", "update")
+        .orderBy("user_id", "event_id")
+    },
+    q154.oracle,
+    "Streaming greedy throttle (flatMapGroupsWithState, 8-byte state " +
+      "per key): verdicts hash-equal to the batch fold and its " +
+      "recursive-CTE oracle")
+
   val all: Map[String, Q] = Map(
+    "q157_stream_throttle" -> q157,
     "q156_audio_frames" -> q156,
     "q155_skew_audit" -> q155,
     "q154_throttle" -> q154,

@@ -187,6 +187,31 @@ object CurationQueries {
       "the pooled distribution's value (exact integer CDF, banded " +
       "interval join) — score calibration before a global threshold")
 
+  // q158: rendezvous (highest-random-weight) shard routing — the stable
+  // assignment that moves only 1/n of the lake on shard add/remove
+  // where mod-N reshuffles everything. Stateless projection; the
+  // oracle replays the seeded-hash argmax as a cross-join row_number.
+  private val q158Shards = Seq("shard-a", "shard-b", "shard-c", "shard-d")
+  private val q158 = Q(
+    (s, dir) => Curation.rendezvousRoute(table(s, dir, "documents"),
+        "doc_id", q158Shards)
+      .select(col("doc_id"), col("shard"))
+      .orderBy("doc_id"),
+    Some("WITH s AS (SELECT * FROM (VALUES " +
+      q158Shards.map(sh => s"('$sh', ${Curation.shardSeed(sh)})")
+        .mkString(", ") + ") t(sh, seed)), " +
+      "h AS (SELECT d.doc_id, t.sh, " +
+      "((d.doc_id % 2147483648 + 1) * ((2*t.seed + 1) % 2147483647)) % 2147483647 AS h1 " +
+      "FROM documents d CROSS JOIN s t), " +
+      "g2 AS (SELECT doc_id, sh, (h1*h1 + h1) % 2147483647 AS h2 FROM h), " +
+      "g AS (SELECT doc_id, sh, (h2*h2 + h2) % 2147483647 AS h FROM g2) " +
+      "SELECT doc_id, sh AS shard FROM (SELECT doc_id, sh, row_number() " +
+      "OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn FROM g) " +
+      "WHERE rn = 1 ORDER BY doc_id"),
+    "Rendezvous shard routing: highest seeded hash wins — stable under " +
+      "shard add/remove (only 1/n of rows move), stateless projection, " +
+      "integer-exact argmax")
+
   // q69: quality-filter funnel — every doc classified by the first rule
   // it fails, one aggregation. Thresholds chosen so every bucket is
   // non-empty at the test SFs (probed in DuckDB).
@@ -370,6 +395,7 @@ object CurationQueries {
       "overlap misses")
 
   val all: Map[String, Q] = Map(
+    "q158_rendezvous" -> q158,
     "q153_quantile_normalize" -> q153,
     "q136_decontaminate_fuzzy" -> q136,
     "q92_bloom_decontaminate" -> q92,

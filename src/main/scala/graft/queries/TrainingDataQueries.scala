@@ -817,6 +817,53 @@ object TrainingDataQueries {
       "contribution fold, in-row tf/doc-length — only query-term rows " +
       "shuffle")
 
+  /** Pseudo-relevance-feedback retrieval (q159): q95's BM25 run twice
+    * with a Rocchio-style expansion mined from the seed docs between
+    * the passes — recall lever for under-specified queries. The oracle
+    * replays both passes with q95's proven arithmetic; the tf CTE is
+    * parameterized by the term source (literal list vs the expansion
+    * subquery). */
+  private val q159 = {
+    val q0 = Seq("join", "scan", "spark")
+    val q0Sql = q0.map(t => s"'$t'").mkString(", ")
+    // one BM25 pass: tf/df/contribution/score given a term predicate;
+    // identical arithmetic to q95's proven replay
+    def pass(tag: String, termPred: String, scoreCols: String) =
+      s"tf$tag AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+        s"WHERE $termPred GROUP BY doc_id, term), " +
+        s"df$tag AS (SELECT term, count(*) AS df FROM tf$tag GROUP BY term), " +
+        s"c$tag AS (SELECT tf$tag.doc_id, tf$tag.term, " +
+        s"((st.n - df$tag.df + 0.5) / (df$tag.df + 0.5)) * (tf$tag.tf * 2.2) / " +
+        s"(tf$tag.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.sdl AS DOUBLE) / st.n)))) AS c " +
+        s"FROM tf$tag JOIN df$tag USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        s"s$tag AS (SELECT doc_id, $scoreCols" +
+        "CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list(c ORDER BY term)), (a, b) -> a + b) AS VARCHAR) " +
+        "AS DECIMAL(28,18)), 6) AS DOUBLE) AS bm25 " +
+        s"FROM c$tag GROUP BY doc_id)"
+    Q(
+      (s, dir) => TextAnalysis.bm25Prf(table(s, dir, "documents"),
+        q0, kSeed = 10, mExpand = 3, k = 25),
+      Some("WITH tok AS (SELECT doc_id, w AS term FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents " +
+        "WHERE text IS NOT NULL) WHERE w <> ''), " +
+        "dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        pass("1", s"term IN ($q0Sql)", "") + ", " +
+        "seed AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id LIMIT 10), " +
+        "exp AS (SELECT term FROM (SELECT t.term, count(*) AS w FROM tok t " +
+        s"JOIN seed USING (doc_id) WHERE t.term NOT IN ($q0Sql) " +
+        "GROUP BY t.term) ORDER BY w DESC, term LIMIT 3), " +
+        s"q AS (SELECT unnest([$q0Sql]) AS term UNION ALL SELECT term FROM exp), " +
+        pass("2", "term IN (SELECT term FROM q)", "count(*) AS n_terms, ") +
+        " SELECT doc_id, n_terms, bm25 FROM s2 " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 25"),
+      "PRF query expansion: BM25 seed pass, top expansion terms mined " +
+        "from the seed docs (bounded driver metadata), expanded BM25 " +
+        "final pass — two inverted-index retrieval jobs")
+  }
+
   /** Term co-occurrence association mining over the corpus
     * (ops/TextAnalysis.termLift): doc counts + integer fixed-point LIFT
     * for every frequent term pair — collocation discovery / template
@@ -1124,6 +1171,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q159_prf_retrieval" -> q159,
     "q152_boilerplate" -> q152,
     "q150_phrase_probe" -> q150,
     "q149_semantic_decontaminate" -> q149,

@@ -249,6 +249,34 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(survivors == Seq(1L))
   }
 
+  test("rendezvousRoute: the minimal-disruption property on add/remove") {
+    val ids = (1L to 2000L).toDF("doc_id")
+    val base = Seq("s1", "s2", "s3")
+    def route(shards: Seq[String]): Map[Long, String] =
+      Curation.rendezvousRoute(ids, "doc_id", shards)
+        .as[(Long, String)].collect().toMap
+    val r3 = route(base)
+    // roughly balanced: each shard gets a nontrivial share
+    val shares = r3.values.groupBy(identity).view.mapValues(_.size).toMap
+    base.foreach(s => assert(shares(s) > 2000 / 6, s"$s starved: $shares"))
+
+    // ADD a shard: a row either keeps its shard or moves to the NEW one
+    val r4 = route(base :+ "s4")
+    val moved = r3.keys.filter(id => r4(id) != r3(id))
+    assert(moved.forall(id => r4(id) == "s4"))
+    // the new shard takes roughly 1/4 (loose bounds)
+    assert(moved.size > 2000 / 8 && moved.size < 2000 / 2, moved.size)
+
+    // REMOVE a shard: only its rows move, everyone else stays put
+    val r2 = route(base.filterNot(_ == "s2"))
+    r3.foreach { case (id, sh) =>
+      if (sh == "s2") assert(r2(id) != "s2")
+      else assert(r2(id) == sh, s"row $id moved needlessly")
+    }
+    // single shard routes everything to it
+    assert(route(Seq("only")).values.toSet == Set("only"))
+  }
+
   test("quantileNormalize: pooled percentile_disc mapping, seeded replay") {
     // hand case: group a = {10, 20}, group b = {30, 40}; pooled sorted
     // = [10, 20, 30, 40], N = 4. a's rank-1 of 2 -> p = ceil(1*4/2) = 2
