@@ -484,4 +484,25 @@ object Lake {
       d.filter(col(c) >= lo && col(c) <= hi)
     }
   }
+
+  /** File-layout audit of a partitioned lake table — the small-files
+    * report that decides when [[compact]] runs (the #1 silent lake
+    * killer: a partition accumulating one file per micro-append reads
+    * 1000× slower than its compacted twin): per partition value, the
+    * file count and the min/max/total rows per file, computed from the
+    * scan's own `input_file_name` — no driver-side file listing, the
+    * audit scales like any other query over the table. Two-level agg:
+    * per-file counts (map-side combined; file names are scan-local so
+    * partial aggregation collapses each file inside its own tasks),
+    * then per-partition stats over the ≤|files| frame. */
+  def fileAudit(spark: SparkSession, path: String,
+      partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perFile = spark.read.parquet(path)
+      .groupBy(col(partitionCol), input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"))
+    perFile.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n_files"), sum(col("__n")).as("n_rows"),
+        min(col("__n")).as("min_file_rows"), max(col("__n")).as("max_file_rows"))
+  }
 }

@@ -2767,7 +2767,36 @@ object AnalyticsQueries {
       "per key): verdicts hash-equal to the batch fold and its " +
       "recursive-CTE oracle")
 
+  /** File-layout audit ([[graft.io.Lake.fileAudit]] — the small-files
+    * report driving compaction): two appends each repartitioned BY the
+    * partition column (one task per value ⇒ exactly one file per dir
+    * per write — the deterministic layout contract), then the audit
+    * must read back exactly 2 files per partition with equal per-file
+    * rows — the hash check PROVES the layout, not just the row
+    * counts. */
+  private val q160 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q160"
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .repartition(col("l_returnflag"))
+      li.write.mode("overwrite").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
+      li.write.mode("append").option("compression", "none")
+        .partitionBy("l_returnflag").parquet(scratch)
+      graft.io.Lake.fileAudit(s, scratch, "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, CAST(2 AS BIGINT) AS n_files, " +
+      "2*count(*) AS n_rows, count(*) AS min_file_rows, " +
+      "count(*) AS max_file_rows " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "File-layout audit of a partitioned write+append: files and " +
+      "min/max/total rows per partition from the scan's own " +
+      "input_file_name — the small-files report that drives compaction")
+
   val all: Map[String, Q] = Map(
+    "q160_file_audit" -> q160,
     "q157_stream_throttle" -> q157,
     "q156_audio_frames" -> q156,
     "q155_skew_audit" -> q155,
