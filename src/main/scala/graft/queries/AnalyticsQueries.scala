@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.{RangeJoin, Skew}
-import graft.queries.Queries.{dround, dsum, table, EV, Q}
+import graft.queries.Queries.{dround, dround6, dsum, table, EV, Q}
 
 /** Analytic operator pack beyond the D1–D19 declared surface: pivot,
   * cube/grouping sets, exact percentiles, semi-structured (JSON)
@@ -2795,7 +2795,48 @@ object AnalyticsQueries {
       "min/max/total rows per partition from the scan's own " +
       "input_file_name — the small-files report that drives compaction")
 
+  /** Volume-weighted average price per (type, day) — the reference
+    * schema's own `vwap` metric (`1m-seesion-pipeline/schemas.py:35`,
+    * the `vw` wire field) rebuilt as a first-class aggregate: weight =
+    * the JSON-extracted `props.k` volume, price in 1e-6 units, the
+    * average kept as an EXACT rational (Σu·k / Σk — decimal numerator,
+    * never divided) plus the q100-convention 6-dp display double. One
+    * map-side-combinable keyed agg; zero-volume rows excluded (a VWAP
+    * over zero volume is undefined, not zero). */
+  private val q161 = Q(
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      table(s, dir, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"),
+          from_json(col("props"), lit("k INT")).getField("k")
+            .cast("long").as("k"))
+        .filter(col("u").isNotNull && col("k").isNotNull && col("k") > 0)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(dec(col("u") * col("k"))).as("vwap_num"),
+          sum(col("k")).as("vwap_den"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("vwap_num"), col("vwap_den"),
+          round(col("vwap_num").cast("double") /
+            col("vwap_den").cast("double"), 6).as("vwap6"))
+        .orderBy("event_type", "day")
+    },
+    Some(EV + ", e AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u, " +
+      "CAST(props->>'k' AS BIGINT) AS k FROM ev " +
+      "WHERE value IS NOT NULL AND CAST(props->>'k' AS BIGINT) > 0), " +
+      "a AS (SELECT event_type, day, count(*) AS n, " +
+      "CAST(sum(u * k) AS DECIMAL(38,0)) AS vwap_num, " +
+      "CAST(sum(k) AS BIGINT) AS vwap_den FROM e GROUP BY event_type, day) " +
+      "SELECT event_type, day, n, vwap_num, vwap_den, " +
+      dround6("CAST(vwap_num AS DOUBLE) / vwap_den") + " AS vwap6 " +
+      "FROM a ORDER BY event_type, day"),
+    "VWAP per (type, day): JSON-extracted volume weight, exact rational " +
+      "average (decimal numerator over integer volume) + 6-dp display " +
+      "double, one keyed agg")
+
   val all: Map[String, Q] = Map(
+    "q161_vwap" -> q161,
     "q160_file_audit" -> q160,
     "q157_stream_throttle" -> q157,
     "q156_audio_frames" -> q156,
