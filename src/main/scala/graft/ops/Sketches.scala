@@ -502,6 +502,40 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** JOIN-SIZE estimation from two Count-Min sketches (the
+    * Alon–Gibbons–Matias–Szegedy / Cormode–Muthukrishnan inner-product
+    * result: for each hash row r, Σ_w c₁[r][w]·c₂[r][w] ≥ |A ⋈ B| on
+    * the sketched key, and the MIN over rows is the estimate — never an
+    * undercount): the cardinality-planning statistic that prices a join
+    * WITHOUT scanning either input, from two ≤ depth·width cell tables
+    * maintained at ingest (q112/q124). Sparse cells make the product a
+    * plain equi-join on (row, cell); a depth row with NO colliding
+    * cells has inner product 0, which forces the estimate (and the
+    * truth) to 0 — the densify guard below (`nr < depth`) restores
+    * exactly that case the sparse join cannot emit. Output one row per
+    * (grp_a, grp_b) sketch pair: `est`. */
+  def cmJoinSize(sk1: DataFrame, sk2: DataFrame, depth: Int): DataFrame = {
+    val a = sk1.select(col("grp").as("grp_a"), col("row"), col("cell"),
+      col("cnt").as("__ca"))
+    val b = sk2.select(col("grp").as("grp_b"), col("row"), col("cell"),
+      col("cnt").as("__cb"))
+    val hit = a.join(b, Seq("row", "cell"))
+      .groupBy(col("grp_a"), col("grp_b"), col("row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(min(col("__ip")).as("__minip"), count(lit(1)).as("__nr"))
+    // densify over the sketch-pair universe: a pair whose cells never
+    // collide (disjoint key sets at this width) produces NO joined row
+    // at all, yet its estimate is a hard 0 — the ≤|groups|² pair frame
+    // restores it (broadcast; group sets are sketch metadata, tiny)
+    val pairs = sk1.select(col("grp").as("grp_a")).distinct()
+      .crossJoin(broadcast(sk2.select(col("grp").as("grp_b")).distinct()))
+    pairs.join(hit, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        when(col("__nr").isNull || col("__nr") < depth, lit(0L))
+          .otherwise(col("__minip")).as("est"))
+  }
+
   /** Cell-wise merge of Count-Min sketches (all built with the SAME
     * depth/width) under a new group label. Touches only sketch rows —
     * ≤ depth·width per input group regardless of base-data size. */

@@ -2835,7 +2835,55 @@ object AnalyticsQueries {
       "average (decimal numerator over integer volume) + 6-dp display " +
       "double, one keyed agg")
 
+  /** Join-size estimation from Count-Min sketches
+    * ([[graft.ops.Sketches.cmJoinSize]] — the AGMS inner-product
+    * planner statistic): |views ⋈ purchases| on user_id priced from
+    * two ≤ d·w cell tables WITHOUT scanning either side at estimate
+    * time, with the exact answer alongside (never an undercount —
+    * the CM guarantee, visible in the output). */
+  private val q162 = Q(
+    (s, dir) => {
+      import graft.ops.Sketches
+      val d = 3; val w = 64
+      val ev = table(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+      val purch = ev.filter(col("event_type") === "purchase")
+      val est = Sketches.cmJoinSize(
+        Sketches.cmSketch(views, lit("view"), col("user_id"), d, w),
+        Sketches.cmSketch(purch, lit("purchase"), col("user_id"), d, w), d)
+      val exact = views.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(purch.groupBy(col("user_id")).agg(count(lit(1)).as("nb")),
+          "user_id")
+        .agg(sum(col("na") * col("nb")).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("grp_a"), col("grp_b"), col("est"), col("exact"))
+    },
+    Some {
+      val h = (k: String, r: String) =>
+        s"(((($k % 2147483647) * (1103515245 + $r*1000003) + 12345 + $r) " +
+          s"% 2147483647) + 2147483647) % 2147483647 % 64"
+      "WITH i(rw) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)), " +
+        "va AS (SELECT user_id FROM events WHERE event_type = 'view'), " +
+        "pu AS (SELECT user_id FROM events WHERE event_type = 'purchase'), " +
+        "ca AS (SELECT rw, " + h("user_id", "rw") + " AS cell, " +
+        "count(*) AS cnt FROM va CROSS JOIN i GROUP BY 1, 2), " +
+        "cb AS (SELECT rw, " + h("user_id", "rw") + " AS cell, " +
+        "count(*) AS cnt FROM pu CROSS JOIN i GROUP BY 1, 2), " +
+        "ip AS (SELECT ca.rw, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip " +
+        "FROM ca JOIN cb ON ca.rw = cb.rw AND ca.cell = cb.cell GROUP BY 1), " +
+        "e AS (SELECT CAST(CASE WHEN count(*) < 3 THEN 0 ELSE min(ip) END " +
+        "AS BIGINT) AS est FROM ip), " +
+        "x AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact FROM " +
+        "(SELECT user_id, count(*) AS na FROM va GROUP BY 1) a JOIN " +
+        "(SELECT user_id, count(*) AS nb FROM pu GROUP BY 1) b USING (user_id)) " +
+        "SELECT 'view' AS grp_a, 'purchase' AS grp_b, e.est, x.exact FROM e, x"
+    },
+    "Join-size estimation from CM sketches: min-over-rows inner product " +
+      "of two cell tables — the planner statistic that prices a join " +
+      "without scanning either input; exact count alongside")
+
   val all: Map[String, Q] = Map(
+    "q162_cm_join_size" -> q162,
     "q161_vwap" -> q161,
     "q160_file_audit" -> q160,
     "q157_stream_throttle" -> q157,

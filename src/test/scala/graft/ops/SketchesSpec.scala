@@ -341,4 +341,34 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     val top = truth.toSeq.maxBy(_._2)._1
     assert(merged.exists(_._1 == top))
   }
+
+  test("cmJoinSize: never undercounts, exact at collision-free width, " +
+      "disjoint keys estimate 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = 3
+    val aRows = (1 to 50).flatMap(i => Seq.fill(i % 3 + 1)(i.toLong))
+    val bRows = (30 to 80).flatMap(i => Seq.fill(i % 2 + 1)(i.toLong))
+    val a = aRows.toDF("k")
+    val b = bRows.toDF("k")
+    val exact = {
+      val ca = aRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = bRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ca.keysIterator.map(k => ca(k) * cb.getOrElse(k, 0L)).sum
+    }
+    for (w <- Seq(8, 64, 4096)) {
+      val est = Sketches.cmJoinSize(
+        Sketches.cmSketch(a, lit("a"), col("k"), d, w),
+        Sketches.cmSketch(b, lit("b"), col("k"), d, w), d)
+        .collect().head.getLong(2)
+      assert(est >= exact, s"w=$w undercounts: $est < $exact")
+      if (w == 4096) assert(est == exact, s"collision-free width: $est != $exact")
+    }
+    // disjoint key ranges at collision-free width: estimate must be 0
+    val c = (1000L to 1010L).toDF("k")
+    val z = Sketches.cmJoinSize(
+      Sketches.cmSketch(a, lit("a"), col("k"), d, 4096),
+      Sketches.cmSketch(c, lit("c"), col("k"), d, 4096), d)
+      .collect().head.getLong(2)
+    assert(z == 0L)
+  }
 }

@@ -99,7 +99,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // (|distinct units|, N) stats into both the probe and CDF sides —
     // the same linear 1-row shape (the data join itself is the banded
     // equi-join, audited non-NLJ by its own spec)
-    "q144_benford", "q153_quantile_normalize")
+    "q144_benford", "q153_quantile_normalize",
+    // q162 crosses the broadcast 1-row exact-count frame into the
+    // 1-row estimate (the q04 scalar shape)
+    "q162_cm_join_size")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
