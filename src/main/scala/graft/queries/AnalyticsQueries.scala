@@ -2882,7 +2882,59 @@ object AnalyticsQueries {
       "of two cell tables — the planner statistic that prices a join " +
       "without scanning either input; exact count alongside")
 
+  /** Seasonality-aware anomaly detection — q96's robust z-score
+    * conditioned on the HOUR-OF-DAY profile (a 3 am spike is an
+    * anomaly; the same value at noon is Tuesday): baseline = per
+    * (type, hour) sum/count over the first half of the month,
+    * evaluation = the second half, residual = |u·n_b − sum_b| (the
+    * n-scaled deviation from the baseline mean — exact integers, no
+    * division), top-3 per type by (residual, ts, id). Shape: one tiny
+    * baseline agg broadcast into the evaluation scan + a per-type
+    * top-k window — the evaluation rows never shuffle except for the
+    * k-bounded rank. */
+  private val q163 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"),
+          hour(col("ts")).cast("long").as("hod"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"))
+        .filter(col("u").isNotNull)
+      val base = ev.filter(col("dom") <= 15)
+        .groupBy(col("event_type").as("bt"), col("hod").as("bh"))
+        .agg(sum(col("u")).as("sum_b"), count(lit(1)).as("n_b"))
+      val scored = ev.filter(col("dom") > 15)
+        .join(broadcast(base),
+          col("event_type") === col("bt") && col("hod") === col("bh"))
+        .withColumn("resid", abs(col("u") * col("n_b") - col("sum_b")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("resid").desc, col("ts"), col("event_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("event_id"),
+          col("hod"), col("resid"), col("n_b"))
+        .orderBy("event_type", "rnk")
+    },
+    Some(EV + ", e AS (SELECT event_type, event_id, ts, " +
+      "CAST(hour(ts) AS BIGINT) AS hod, CAST(day(ts) AS BIGINT) AS dom, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u FROM ev " +
+      "WHERE value IS NOT NULL), " +
+      "b AS (SELECT event_type, hod, CAST(sum(u) AS BIGINT) AS sum_b, " +
+      "count(*) AS n_b FROM e WHERE dom <= 15 GROUP BY event_type, hod), " +
+      "sc AS (SELECT e.event_type, e.event_id, e.ts, e.hod, " +
+      "abs(e.u * b.n_b - b.sum_b) AS resid, b.n_b " +
+      "FROM e JOIN b USING (event_type, hod) WHERE e.dom > 15), " +
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY resid DESC, ts, event_id) AS BIGINT) AS rnk FROM sc) " +
+      "SELECT event_type, rnk, event_id, hod, resid, n_b FROM r " +
+      "WHERE rnk <= 3 ORDER BY event_type, rnk"),
+    "Seasonality-aware anomalies: hour-of-day baseline from the first " +
+      "half-month, n-scaled integer residuals on the second half, " +
+      "top-3 per type — broadcast baseline, k-bounded rank")
+
   val all: Map[String, Q] = Map(
+    "q163_seasonal_anomaly" -> q163,
     "q162_cm_join_size" -> q162,
     "q161_vwap" -> q161,
     "q160_file_audit" -> q160,
