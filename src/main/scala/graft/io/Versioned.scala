@@ -345,6 +345,22 @@ object Versioned {
     * compaction is a new version, never an in-place rewrite (readers
     * pinned to the old manifest keep streaming its immutable files).
     * Returns the committed version. */
+  /** CHANGE-DATA-FEED read between two committed versions — the
+    * "what changed since v" API (Delta's CDF / Iceberg's changelog)
+    * rebuilt over the manifest lake: both snapshots come through their
+    * immutable manifests ([[readAsOf]]) and diff via the q91 keyed
+    * full-outer comparison, so the feed is exact row-level
+    * insert/update/delete with per-row changed-column lists — the
+    * incremental-consumer contract (downstream sync, audit, cache
+    * invalidation) without storing any per-commit delta. Cost: two
+    * manifest-pruned snapshot reads + one keyed join, independent of
+    * how many versions lie between v1 and v2. */
+  def diffVersions(spark: SparkSession, path: String, v1: Long, v2: Long,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame =
+    graft.ops.Cdc.snapshotDiff(
+      readAsOf(spark, path, Some(v1)), readAsOf(spark, path, Some(v2)),
+      keyCols, compareCols)
+
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val vBase = latestVersion(spark, path).getOrElse(

@@ -2933,7 +2933,47 @@ object AnalyticsQueries {
       "half-month, n-scaled integer residuals on the second half, " +
       "top-3 per type — broadcast baseline, k-bounded rank")
 
+  /** CHANGE-DATA-FEED read between lake versions
+    * ([[graft.io.Versioned.diffVersions]] — Delta's CDF / Iceberg's
+    * changelog rebuilt over the manifest lake): commit v1, overwrite
+    * with a version containing deletions (%5 keys dropped), updates
+    * (%7 prices doubled) and inserts (%3=1 keys), then read the exact
+    * row-level feed v1→v2 — two manifest reads + one keyed diff,
+    * independent of intervening version count. The oracle re-derives
+    * each change class from the commit predicates. */
+  private val q164 = Q(
+    (s, dir) => {
+      import graft.io.Versioned
+      val scratch = s"${Queries.scratchRoot}/q164-cdf"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      Versioned.commit(o.filter(k % 3 === 0), scratch, "append")
+      val v2 = o.filter(k % 3 === 0 && k % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(k % 7 === 0, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(k % 3 === 1))
+      Versioned.commit(v2, scratch, "overwrite")
+      Versioned.diffVersions(s, scratch, 1L, 2L,
+          Seq("o_orderkey"), Seq("o_totalprice"))
+        .select(col("o_orderkey"), col("change"),
+          concat_ws(",", col("changed_cols")).as("changed"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, 'insert' AS change, '' AS changed " +
+      "FROM orders WHERE o_orderkey % 3 = 1 " +
+      "UNION ALL SELECT o_orderkey, 'delete', '' FROM orders " +
+      "WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0 " +
+      "UNION ALL SELECT o_orderkey, 'update', 'o_totalprice' FROM orders " +
+      "WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 " +
+      "ORDER BY o_orderkey"),
+    "Change-data-feed read between lake versions: exact row-level " +
+      "insert/update/delete with changed-column lists from two manifest " +
+      "snapshot reads + one keyed diff")
+
   val all: Map[String, Q] = Map(
+    "q164_version_diff" -> q164,
     "q163_seasonal_anomaly" -> q163,
     "q162_cm_join_size" -> q162,
     "q161_vwap" -> q161,

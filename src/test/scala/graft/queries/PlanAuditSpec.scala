@@ -44,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q92_bloom_decontaminate",
     // q108 commits three lake versions (real writes) at plan-build
     "q108_time_travel",
+    // q164 commits two lake versions then diffs them (real writes)
+    "q164_version_diff",
     // q109 materializes the per-type sketch (the q102 shape)
     "q109_kmv_setops",
     // q110 commits/rejects versioned batches (real writes + audits)
