@@ -2972,7 +2972,72 @@ object AnalyticsQueries {
       "insert/update/delete with changed-column lists from two manifest " +
       "snapshot reads + one keyed diff")
 
+  /** Rolling 7-day correlation of two daily series (the quant
+    * pairs-analysis query: does purchase volume track view volume this
+    * week?): daily unit totals per type (one map-side-combined agg —
+    * the |rows|→|days| collapse), inner-joined per day, then the q100
+    * sufficient-statistics correlation over a ROWS 6-PRECEDING window
+    * — window sums in DECIMAL (order-free, exact), ONE double
+    * conversion per sum, fixed-parenthesization corr, 6 dp. Windows
+    * run over the tiny days frame, never the event rows. */
+  private val q165 = Q(
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val ev = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"))
+      def daily(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("day")).agg(sum(col("u")).as(as))
+      val xy = daily("view", "x").join(daily("purchase", "y"), "day")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      val rolled = xy
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("sx", sum(dec(col("x"))).over(w))
+        .withColumn("sy", sum(dec(col("y"))).over(w))
+        .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(w))
+        .withColumn("syy", sum(dec(col("y")) * dec(col("y"))).over(w))
+        .withColumn("sxy", sum(dec(col("x")) * dec(col("y"))).over(w))
+        .filter(col("n7") === 7)
+      rolled.select(col("day"), col("n7"),
+          round(((d(col("n7")) * d(col("sxy"))) - (d(col("sx")) * d(col("sy")))) /
+            sqrt(((d(col("n7")) * d(col("sxx"))) - (d(col("sx")) * d(col("sx")))) *
+              ((d(col("n7")) * d(col("syy"))) - (d(col("sy")) * d(col("sy"))))),
+            6).as("corr6"))
+        .orderBy("day")
+    },
+    Some(EV + ", e AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u FROM ev " +
+      "WHERE value IS NOT NULL), " +
+      "dx AS (SELECT day, CAST(sum(u) AS BIGINT) AS x FROM e " +
+      "WHERE event_type = 'view' GROUP BY day), " +
+      "dy AS (SELECT day, CAST(sum(u) AS BIGINT) AS y FROM e " +
+      "WHERE event_type = 'purchase' GROUP BY day), " +
+      "xy AS (SELECT dx.day, x, y FROM dx JOIN dy USING (day)), " +
+      "r AS (SELECT day, " +
+      "count(*) OVER wnd AS n7, " +
+      "CAST(sum(CAST(x AS HUGEINT)) OVER wnd AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(y AS HUGEINT)) OVER wnd AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER wnd AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wnd AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER wnd AS DOUBLE) AS sxy " +
+      "FROM xy WINDOW wnd AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+      "SELECT day, n7, " +
+      "CAST(round(CAST(CAST(" +
+      "((CAST(n7 AS DOUBLE) * sxy) - (sx * sy)) / " +
+      "sqrt(((CAST(n7 AS DOUBLE) * sxx) - (sx * sx)) * " +
+      "((CAST(n7 AS DOUBLE) * syy) - (sy * sy)))" +
+      " AS VARCHAR) AS DECIMAL(28,18)), 6) AS DOUBLE) AS corr6 " +
+      "FROM r WHERE n7 = 7 ORDER BY day"),
+    "Rolling 7-day correlation of daily view/purchase unit totals: " +
+      "decimal window sums over the days frame, one double conversion " +
+      "per sum, q100 fixed-parenthesization corr, 6 dp")
+
   val all: Map[String, Q] = Map(
+    "q165_rolling_corr" -> q165,
     "q164_version_diff" -> q164,
     "q163_seasonal_anomaly" -> q163,
     "q162_cm_join_size" -> q162,
