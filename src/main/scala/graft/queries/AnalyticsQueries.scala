@@ -3036,7 +3036,59 @@ object AnalyticsQueries {
       "decimal window sums over the days frame, one double conversion " +
       "per sum, q100 fixed-parenthesization corr, 6 dp")
 
+  /** Time-weighted average price per (type, day) — q161's sibling with
+    * TIME as the weight (the TWAP execution benchmark: a price that
+    * held for 6 hours counts 6 hours, however few prints it had): each
+    * observation weighted by the µs until the next one in its (type,
+    * day) (lead window; the day's last print holds to midnight), the
+    * average kept as the exact rational Σu·dt / Σdt (decimal numerator
+    * — u·dt overflows a long; integer µs denominator) + the 6-dp
+    * display double. One keyed window (lead) + one keyed agg sharing
+    * the exchange. */
+  private val q166 = Q(
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val ev = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("ts"), col("event_id"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val dt = ev.withColumn("next_us",
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)),
+            unix_micros(col("day") + expr("INTERVAL 1 DAY"))))
+        .withColumn("dt", col("next_us") - unix_micros(col("ts")))
+      dt.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("u")) * dec(col("dt"))).as("twap_num"),
+          sum(col("dt")).as("twap_den"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("twap_num"), col("twap_den"),
+          round(col("twap_num").cast("double") /
+            col("twap_den").cast("double"), 6).as("twap6"))
+        .orderBy("event_type", "day")
+    },
+    Some(EV + ", e AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+      "ts, event_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "t AS (SELECT event_type, day, u, " +
+      "coalesce(epoch_us(lead(ts, 1) OVER (PARTITION BY event_type, day " +
+      "ORDER BY ts, event_id)), epoch_us(day + INTERVAL 1 DAY)) " +
+      "- epoch_us(ts) AS dt FROM e), " +
+      "a AS (SELECT event_type, day, count(*) AS n, " +
+      "CAST(sum(CAST(u AS HUGEINT) * CAST(dt AS HUGEINT)) AS DECIMAL(38,0)) AS twap_num, " +
+      "CAST(sum(dt) AS BIGINT) AS twap_den FROM t GROUP BY event_type, day) " +
+      "SELECT event_type, day, n, twap_num, twap_den, " +
+      dround6("CAST(twap_num AS DOUBLE) / twap_den") + " AS twap6 " +
+      "FROM a ORDER BY event_type, day"),
+    "TWAP per (type, day): price weighted by holding time to the next " +
+      "print (exact rational, decimal numerator over integer " +
+      "microseconds), lead window + agg sharing one keyed exchange")
+
   val all: Map[String, Q] = Map(
+    "q166_twap" -> q166,
     "q165_rolling_corr" -> q165,
     "q164_version_diff" -> q164,
     "q163_seasonal_anomaly" -> q163,
