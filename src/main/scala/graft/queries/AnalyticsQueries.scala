@@ -3087,7 +3087,58 @@ object AnalyticsQueries {
       "print (exact rational, decimal numerator over integer " +
       "microseconds), lead window + agg sharing one keyed exchange")
 
+  /** STREAMING change-point monitor (the sixteenth streaming query —
+    * q146's live twin against a pinned first-half reference, the q128
+    * deploy pattern): 24-byte state, monotone emissions (a row emits
+    * only when it improves the peak), sink snapshot = the current
+    * per-key change-point estimate, hash-checked against the batch
+    * windowed replay. Reference moments are a bounded driver collect
+    * (≤ |event types| rows — planner metadata). */
+  private val q167 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val refs = table(s, dir, "events")
+        .filter(col("value").isNotNull && dayofmonth(col("ts")) <= 15)
+        .groupBy(col("event_type"))
+        .agg(sum(graft.ops.TimeSeries.toUnits(col("value"))).as("sum_ref"),
+          count(lit(1)).as("n_ref"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val stream = Queries.stagedEventStream(s, dir, "q167")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"))
+        .as[graft.streaming.CusumStream.MEv]
+      val out = graft.streaming.CusumStream.streaming(stream, refs)
+      Queries.runToMemorySink(out.toDF(), "q167", "update")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("cusum_xnref"), col("event_id"))).as("m"))
+        .select(col("event_type"), col("m.event_id").as("event_id"),
+          col("m.cusum_xnref").as("cusum_xnref"))
+        .orderBy("event_type")
+    },
+    Some(EV + ", e AS (SELECT event_type, ts, event_id, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "r AS (SELECT event_type, CAST(sum(u) AS BIGINT) AS sum_ref, " +
+      "count(*) AS n_ref FROM e WHERE day(ts) <= 15 GROUP BY event_type), " +
+      "c AS (SELECT e.event_type, e.ts, e.event_id, " +
+      "abs(r.n_ref * (sum(u) OVER ws) - (row_number() OVER wr) * r.sum_ref) AS cx " +
+      "FROM e JOIN r USING (event_type) " +
+      "WINDOW ws AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id " +
+      "ROWS UNBOUNDED PRECEDING), " +
+      "wr AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)) " +
+      "SELECT event_type, event_id, CAST(cx AS BIGINT) AS cusum_xnref FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY cx DESC, ts, event_id) AS rn FROM c) " +
+      "WHERE rn = 1 ORDER BY event_type"),
+    "Streaming CUSUM monitor vs a pinned reference: 24-byte state, " +
+      "emit-on-improvement, snapshot = the live change-point estimate " +
+      "— hash-equal to the batch windowed replay")
+
   val all: Map[String, Q] = Map(
+    "q167_stream_cusum" -> q167,
     "q166_twap" -> q166,
     "q165_rolling_corr" -> q165,
     "q164_version_diff" -> q164,
