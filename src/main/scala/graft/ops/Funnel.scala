@@ -190,4 +190,52 @@ object Funnel {
       .filter(col("conv").isNotNull)
       .select(col("k"), col("ts_us"), col("id"), col("conv"), col("attributed"))
   }
+
+  /** Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    * [[lastTouch]]'s multi-credit sibling, the adtech default when
+    * neither first- nor last-touch alone is honest: for each
+    * converting key, the touches strictly before the FIRST conversion
+    * share the conversion's credit — 40% first touch, 40% last, the
+    * middle 20% split evenly; degenerate journeys defined explicitly
+    * (1 touch → 100%, 2 touches → 50/50). Credits are integer ppm with
+    * truncating division (Σ per journey may undershoot 10⁶ by the
+    * division remainder — the deterministic convention the oracle
+    * replays; never overshoots).
+    *
+    * Shape: one keyed agg for the first-conversion boundary (argmin
+    * struct — no window over conversions), broadcast-joined into the
+    * touch scan; rank/count window over touches clusters on the same
+    * key, then one tiny channel agg. Output: (channel, credit_ppm,
+    * n_touches). */
+  def positionCredits(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      convType: String): DataFrame = {
+    val u = events.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__ts"), col(idCol).cast("long").as("__id"),
+      col(typeCol).as("__t"))
+    val conv = u.filter(col("__t") === convType)
+      .groupBy(col("__k"))
+      .agg(min(struct(col("__ts"), col("__id"))).as("__c"))
+      .select(col("__k"), col("__c.__ts").as("__cts"), col("__c.__id").as("__cid"))
+    val touches = u.filter(col("__t").isin(touchTypes: _*))
+      .join(broadcast(conv), Seq("__k"))
+      .filter(struct(col("__ts"), col("__id")) <
+        struct(col("__cts"), col("__cid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__ts"), col("__id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    touches
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__credit",
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__n"),
+            when(col("__n") === 2, lit(500000L)).otherwise(lit(400000L)))
+          .otherwise(expr("200000 div (__n - 2)")))
+      .groupBy(col("__t").as("channel"))
+      .agg(sum(col("__credit")).as("credit_ppm"),
+        count(lit(1)).as("n_touches"))
+  }
 }

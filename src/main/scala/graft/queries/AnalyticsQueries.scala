@@ -3137,7 +3137,39 @@ object AnalyticsQueries {
       "emit-on-improvement, snapshot = the live change-point estimate " +
       "— hash-equal to the batch windowed replay")
 
+  /** Position-based multi-touch attribution
+    * ([[graft.ops.Funnel.positionCredits]] — q116's multi-credit
+    * sibling, the 40-20-40 adtech default): view/click touches before
+    * each user's first purchase share the credit; integer-ppm
+    * truncating arithmetic replayed exactly. */
+  private val q168 = Q(
+    (s, dir) => graft.ops.Funnel.positionCredits(table(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), "purchase")
+      .orderBy("channel"),
+    Some(EV + ", c AS (SELECT user_id, ts, event_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prn " +
+      "FROM ev WHERE event_type = 'purchase'), " +
+      "b AS (SELECT user_id, ts AS pts, event_id AS pid FROM c WHERE prn = 1), " +
+      "t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id " +
+      "FROM ev e JOIN b USING (user_id) " +
+      "WHERE e.event_type IN ('view', 'click') " +
+      "AND (e.ts < b.pts OR (e.ts = b.pts AND e.event_id < b.pid))), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id) AS rn, " +
+      "count(*) OVER (PARTITION BY user_id) AS n FROM t), " +
+      "cr AS (SELECT event_type, CASE WHEN n = 1 THEN 1000000 " +
+      "WHEN rn = 1 OR rn = n THEN " +
+      "CASE WHEN n = 2 THEN 500000 ELSE 400000 END " +
+      "ELSE 200000 // (n - 2) END AS credit FROM r) " +
+      "SELECT event_type AS channel, CAST(sum(credit) AS BIGINT) AS credit_ppm, " +
+      "count(*) AS n_touches FROM cr GROUP BY event_type ORDER BY channel"),
+    "Position-based (40-20-40) multi-touch attribution: touches before " +
+      "each user's first conversion share integer-ppm credit — argmin " +
+      "boundary agg, broadcast join, rank window on the same key")
+
   val all: Map[String, Q] = Map(
+    "q168_attribution_position" -> q168,
     "q167_stream_cusum" -> q167,
     "q166_twap" -> q166,
     "q165_rolling_corr" -> q165,

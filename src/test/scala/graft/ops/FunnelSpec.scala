@@ -127,4 +127,29 @@ class FunnelSpec extends AnyFunSuite with SparkTest {
     // id 2 credits the PRIOR touch A, not its own B; id 3 is organic
     assert(got == Map(2L -> Some("A"), 3L -> None))
   }
+
+  test("positionCredits: 40-20-40 with degenerate journeys and remainders") {
+    import org.apache.spark.sql.functions.col
+    def ts(ms: Long) = new Timestamp(ms)
+    // u1: 5 touches (V C C C V) then buy -> first V 400k, last V 400k,
+    //     3 middles C each 200000 div 3 = 66666
+    // u2: 1 touch C then buy -> C 1000000
+    // u3: 2 touches V C then buy -> 500k each
+    // u4: touch after purchase only -> no credit
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"),
+      (1L, 4L, "click"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "purchase"),
+      (3L, 1L, "view"), (3L, 2L, "click"), (3L, 3L, "purchase"),
+      (4L, 1L, "purchase"), (4L, 2L, "view"))
+      .map { case (u, t, e) => (u, ts(t * 1000), t, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.positionCredits(rows, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), "purchase")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // views: u1 first 400k + u1 last 400k + u3 first 500k = 1300000 (3)
+    // clicks: u1 middles 3x66666 + u2 1000000 + u3 last 500k = 1699998 (5)
+    assert(got == Map("view" -> ((1300000L, 3L)),
+      "click" -> ((1699998L, 5L))))
+  }
 }
