@@ -864,6 +864,51 @@ object TrainingDataQueries {
         "final pass — two inverted-index retrieval jobs")
   }
 
+  /** Embedding-quality audit (q169) — the bad-vector screen run before
+    * ANY ANN/semantic pass (q23/q29/q85/q149 all divide by the norm: a
+    * zero or non-finite vector poisons them silently): per label, the
+    * dimension profile (distinct/min/max — a ragged dim is an upstream
+    * encoder bug), zero-norm and non-finite counts, and min/max norm
+    * (6 dp; min/max are order-independent where a mean of floats is
+    * not). In-row fold for the squared norm (left-to-right, the q23
+    * replay convention), one keyed agg. */
+  private val q169 = Q(
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("d"),
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("n2"),
+          expr("exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT))")
+            .as("bad"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("d")).as("n_dims"),
+          min(col("d")).as("min_dim"), max(col("d")).as("max_dim"),
+          sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+          round(min(sqrt(col("n2"))), 6).as("min_nrm6"),
+          round(max(sqrt(col("n2"))), 6).as("max_nrm6"))
+        .orderBy("label")
+    },
+    Some("WITH e AS (SELECT label, CAST(len(embedding) AS BIGINT) AS d, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+      "(a, b) -> a + b) AS n2, " +
+      "len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 AS bad " +
+      "FROM embeddings) " +
+      "SELECT label, count(*) AS n_vecs, " +
+      "CAST(count(DISTINCT d) AS BIGINT) AS n_dims, " +
+      "min(d) AS min_dim, max(d) AS max_dim, " +
+      "CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+      "CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite, " +
+      dround6("min(sqrt(n2))") + " AS min_nrm6, " +
+      dround6("max(sqrt(n2))") + " AS max_nrm6 " +
+      "FROM e GROUP BY label ORDER BY label"),
+    "Embedding-quality audit per label: dim profile, zero-norm and " +
+      "non-finite counts, min/max norm — the bad-vector screen before " +
+      "every ANN/semantic pass")
+
   /** Term co-occurrence association mining over the corpus
     * (ops/TextAnalysis.termLift): doc counts + integer fixed-point LIFT
     * for every frequent term pair — collocation discovery / template
@@ -1171,6 +1216,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q169_embedding_audit" -> q169,
     "q159_prf_retrieval" -> q159,
     "q152_boilerplate" -> q152,
     "q150_phrase_probe" -> q150,
