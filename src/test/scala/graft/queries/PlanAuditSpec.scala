@@ -103,8 +103,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // equi-join, audited non-NLJ by its own spec)
     "q144_benford", "q153_quantile_normalize",
     // q162 crosses the broadcast 1-row exact-count frame into the
-    // 1-row estimate (the q04 scalar shape)
-    "q162_cm_join_size")
+    // 1-row estimate (the q04 scalar shape); q159 is two q95 BM25
+    // passes, each crossing the broadcast 1-row corpus stats
+    "q162_cm_join_size", "q159_prf_retrieval")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
