@@ -1043,6 +1043,7 @@ object CatalystExpressions {
     * GC and silently skip a fresh session). Ops call Column-side via
     * functions.call_function. */
   def register(spark: SparkSession): Unit = {
+    GraftRules.install(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotProduct(es.head, es(1)), "built-in")
@@ -1112,6 +1113,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import CatalystExpressions._
 
   def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => GraftRules.LevenshteinPrefilter)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[CatalystExpressions.type].getName, name, usage,
         "", "", "", "", "", "4.0.0", "", "built-in")
