@@ -3168,7 +3168,43 @@ object AnalyticsQueries {
       "each user's first conversion share integer-ppm credit — argmin " +
       "boundary agg, broadcast join, rank window on the same key")
 
+  /** Conversion-latency distribution (first view → first purchase per
+    * user — the time-to-convert product metric): conditional-min
+    * argmins in ONE keyed agg (no per-type self-joins), then exact
+    * interpolated percentiles (the q35 convention) over the ≤|users|
+    * latency frame. */
+  private val q170 = Q(
+    (s, dir) => {
+      val f = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      f.filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") > col("fv"))
+        .select(floor((unix_micros(col("fp")) - unix_micros(col("fv"))) /
+          lit(1000000.0)).cast("long").as("lat"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("lat"), lit(0.5)), 1).as("p50"),
+          round(percentile(col("lat"), lit(0.9)), 1).as("p90"),
+          round(percentile(col("lat"), lit(0.99)), 1).as("p99"),
+          max(col("lat")).as("max_lat"))
+    },
+    Some(EV + ", f AS (SELECT user_id, " +
+      "min(CASE WHEN event_type = 'view' THEN ts END) AS fv, " +
+      "min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp " +
+      "FROM ev GROUP BY user_id), " +
+      "l AS (SELECT (epoch_us(fp) - epoch_us(fv)) // 1000000 AS lat FROM f " +
+      "WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv) " +
+      "SELECT count(*) AS n_users, " +
+      dround("quantile_cont(lat, 0.5)", 1) + " AS p50, " +
+      dround("quantile_cont(lat, 0.9)", 1) + " AS p90, " +
+      dround("quantile_cont(lat, 0.99)", 1) + " AS p99, " +
+      "max(lat) AS max_lat FROM l"),
+    "Conversion latency (first view to first purchase): conditional " +
+      "argmins in one keyed agg, exact interpolated percentiles over " +
+      "the per-user latency frame")
+
   val all: Map[String, Q] = Map(
+    "q170_conversion_latency" -> q170,
     "q168_attribution_position" -> q168,
     "q167_stream_cusum" -> q167,
     "q166_twap" -> q166,
