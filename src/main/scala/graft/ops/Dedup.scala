@@ -92,6 +92,34 @@ object Dedup {
     jaccardVerify(cand, withSets.select(col("id"), col("sh")), threshold)
   }
 
+  /** EXPLAIN variant of [[minhashNearDups]] — the dedup audit surface:
+    * reviewing a removal decision (or debugging a threshold) needs the
+    * EVIDENCE, not just the verdict. For every near-dup pair, the
+    * shared-shingle count and each side's coverage in exact ppm
+    * (`inter·10⁶ div nsh` — how much of THIS doc the overlap explains;
+    * asymmetric by design: a quote inside a long doc covers the short
+    * side, not the long one). Same candidate generation + verification
+    * as the detector (banding → equi-join → exact intersect), one extra
+    * in-row projection — no new shuffle. */
+  def explainPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val pairs = minhashNearDups(docs, idCol, textCol, shingleWidth, k,
+      bands, threshold)
+    val sets = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWidth).as("sh"))
+    pairs.select(col("da"), col("db"))
+      .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
+      .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("nsh_a"),
+        size(col("sb")).cast("long").as("nsh_b"))
+      .withColumn("cov_a_ppm", expr("inter * 1000000 div nsh_a"))
+      .withColumn("cov_b_ppm", expr("inter * 1000000 div nsh_b"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * frame — the shared tail of every MinHash/n-gram dedup variant.
     * Input: cand(da, db), sets(id, sh). */

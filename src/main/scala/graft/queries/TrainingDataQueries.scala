@@ -864,6 +864,29 @@ object TrainingDataQueries {
         "final pass — two inverted-index retrieval jobs")
   }
 
+  // q171: dedup-pair EXPLANATION — the audit evidence behind each
+  // near-dup verdict: shared-shingle count + per-side coverage ppm
+  // (asymmetric: a quote covers the short doc, not the long one).
+  // Oracle = q20's exact pair set with the same integer arithmetic.
+  private val q171 = Q(
+    (s, dir) => Dedup.explainPairs(table(s, dir, "documents"), "doc_id",
+        "text", shingleWidth = 3, k = 128, bands = 32, threshold = 0.8)
+      .orderBy("da", "db"),
+    Some(duckWordShingles +
+      ", z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id), " +
+      "c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "p AS (SELECT da, db, inter, x.nsh AS nsh_a, y.nsh AS nsh_b " +
+      "FROM c JOIN z x ON c.da = x.doc_id JOIN z y ON c.db = y.doc_id " +
+      "WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.8) " +
+      "SELECT da, db, inter, nsh_a, nsh_b, " +
+      "inter * 1000000 // nsh_a AS cov_a_ppm, " +
+      "inter * 1000000 // nsh_b AS cov_b_ppm " +
+      "FROM p ORDER BY da, db"),
+    "Near-dup pair explanation: shared-shingle evidence + per-side " +
+      "coverage ppm behind each dedup verdict — same banding/verify " +
+      "path, one extra in-row projection")
+
   /** Embedding-quality audit (q169) — the bad-vector screen run before
     * ANY ANN/semantic pass (q23/q29/q85/q149 all divide by the norm: a
     * zero or non-finite vector poisons them silently): per label, the
@@ -1216,6 +1239,7 @@ object TrainingDataQueries {
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,
     "q64_repetition_signals" -> q64,
+    "q171_explain_pairs" -> q171,
     "q169_embedding_audit" -> q169,
     "q159_prf_retrieval" -> q159,
     "q152_boilerplate" -> q152,
