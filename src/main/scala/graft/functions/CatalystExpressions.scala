@@ -1114,6 +1114,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GraftRules.LevenshteinPrefilter)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[CatalystExpressions.type].getName, name, usage,
         "", "", "", "", "", "4.0.0", "", "built-in")

@@ -3203,7 +3203,32 @@ object AnalyticsQueries {
       "argmins in one keyed agg, exact interpolated percentiles over " +
       "the per-user latency frame")
 
+  /** Top-3 orders per priority through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerGroup]] — the (c)-tier LogicalPlan +
+    * Strategy + SparkPlan stack): partial k-bounded heaps prune
+    * map-side so the exchange carries ≤ groups·partitions·k rows where
+    * the window formulation shuffles and sorts EVERY row; the oracle
+    * replays the semantics with the plain row_number window, so the
+    * hash check proves the custom operator exact. */
+  private val q172 = Q(
+    (s, dir) => graft.plans.TopKPerGroup.topKPerGroup(
+        table(s, dir, "orders"), Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey")),
+    Some("SELECT o_orderpriority, o_orderkey, o_totalprice FROM " +
+      "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+      "WHERE rn <= 3 " +
+      "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"),
+    "Top-3 per priority via the custom partial/final top-k physical " +
+      "operator: map-side k-pruned heaps, exchange carries <= G*P*k " +
+      "rows — hash-proven equal to the window formulation")
+
   val all: Map[String, Q] = Map(
+    "q172_topk_operator" -> q172,
     "q170_conversion_latency" -> q170,
     "q168_attribution_position" -> q168,
     "q167_stream_cusum" -> q167,
