@@ -3227,7 +3227,82 @@ object AnalyticsQueries {
       "operator: map-side k-pruned heaps, exchange carries <= G*P*k " +
       "rows — hash-proven equal to the window formulation")
 
+  /** Aggregation-tree cascade (the OLAP serving pattern: the DAY rollup
+    * is derived from the HOUR rollup, never from base — at 100 TB each
+    * coarser grain reads the previous one's few thousand rows instead
+    * of rescanning the table): minute→hour→day cascade over additive
+    * measures (count + unit sum), hash-proven equal to the direct
+    * day-from-base aggregation — the additivity proof that makes
+    * rollup-tree serving sound. */
+  private val q173 = Q(
+    (s, dir) => {
+      val minutely = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.TimeSeries.toUnits(col("value"))).as("su"))
+      val hourly = minutely
+        .groupBy(col("event_type"), date_trunc("hour", col("m")).as("h"))
+        .agg(sum(col("n")).as("n"), sum(col("su")).as("su"))
+      hourly
+        .groupBy(col("event_type"), date_trunc("day", col("h")).as("day"))
+        .agg(sum(col("n")).as("n"), sum(col("su")).as("su"))
+        .orderBy("event_type", "day")
+    },
+    Some(EV + " SELECT event_type, date_trunc('day', ts) AS day, " +
+      "count(*) AS n, " +
+      "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS su " +
+      "FROM ev WHERE value IS NOT NULL " +
+      "GROUP BY event_type, day ORDER BY event_type, day"),
+    "Aggregation-tree cascade: day rollup derived from hour derived " +
+      "from minute (additive measures only) — hash-equal to the direct " +
+      "day aggregation, the rollup-serving soundness proof")
+
+  /** Sessionized bounce rate per day (the q121 sessionization composed
+    * into the product KPI: share of single-event sessions): sessions
+    * from the 30-minute-gap rule, bounce = n_events = 1, day = the
+    * session start's day; integer ppm. */
+  private val q174 = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = table(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val sess = g.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("start"), count(lit(1)).as("n_ev"))
+      sess.groupBy(date_trunc("day", col("start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"))
+        .orderBy("day")
+    },
+    Some(EV + ", g AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+      "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), " +
+      "sess AS (SELECT user_id, sid, min(ts) AS start, count(*) AS n_ev " +
+      "FROM s2 GROUP BY user_id, sid), " +
+      "d AS (SELECT date_trunc('day', start) AS day, count(*) AS n_sessions, " +
+      "CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce " +
+      "FROM sess GROUP BY day) " +
+      "SELECT day, n_sessions, n_bounce, " +
+      "n_bounce * 1000000 // n_sessions AS bounce_ppm " +
+      "FROM d ORDER BY day"),
+    "Bounce rate per day: 30-minute-gap sessionization composed into " +
+      "the single-event-session KPI, integer ppm")
+
   val all: Map[String, Q] = Map(
+    "q174_bounce_rate" -> q174,
+    "q173_rollup_cascade" -> q173,
     "q172_topk_operator" -> q172,
     "q170_conversion_latency" -> q170,
     "q168_attribution_position" -> q168,
