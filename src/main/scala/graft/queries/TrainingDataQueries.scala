@@ -763,6 +763,51 @@ object TrainingDataQueries {
     "Reference ET session classification (premarket/regular/afterhours) " +
       "as a single-pass session column")
 
+  // q175: per-SESSION VWAP — the reference's two core domain concepts
+  // composed (the 3 session tables of ingest_1m_session.py:204-209 and
+  // the vwap field of schemas.py:35): session classification (q31's
+  // DST-aware column) x the exact-rational volume-weighted average
+  // (q161's arithmetic, weight = props.k). One pass, one keyed agg.
+  private val q175 = Q(
+    (s, dir) => {
+      import graft.ops.BarOps
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      BarOps.withEastern(table(s, dir, "events"), "ts")
+        .withColumn("session",
+          coalesce(BarOps.sessionColumn(col("hhmm")), lit("closed")))
+        .select(col("session"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("u"),
+          from_json(col("props"), lit("k INT")).getField("k")
+            .cast("long").as("k"))
+        .filter(col("u").isNotNull && col("k").isNotNull && col("k") > 0)
+        .groupBy(col("session"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("u") * col("k"))).as("vwap_num"),
+          sum(col("k")).as("vwap_den"))
+        .select(col("session"), col("n"), col("vwap_num"), col("vwap_den"),
+          round(col("vwap_num").cast("double") /
+            col("vwap_den").cast("double"), 6).as("vwap6"))
+        .orderBy("session")
+    },
+    Some("WITH h AS (SELECT " +
+      "hour(ts - INTERVAL 5 HOUR)*100 + minute(ts - INTERVAL 5 HOUR) AS hhmm, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u, " +
+      "CAST(props->>'k' AS BIGINT) AS k FROM events " +
+      "WHERE value IS NOT NULL AND CAST(props->>'k' AS BIGINT) > 0), " +
+      "c AS (SELECT CASE WHEN hhmm BETWEEN 400 AND 929 THEN 'premarket' " +
+      "WHEN hhmm BETWEEN 930 AND 1600 THEN 'regular' " +
+      "WHEN hhmm BETWEEN 1601 AND 2000 THEN 'afterhours' ELSE 'closed' END " +
+      "AS session, u, k FROM h), " +
+      "a AS (SELECT session, count(*) AS n, " +
+      "CAST(sum(u * k) AS DECIMAL(38,0)) AS vwap_num, " +
+      "CAST(sum(k) AS BIGINT) AS vwap_den FROM c GROUP BY session) " +
+      "SELECT session, n, vwap_num, vwap_den, " +
+      dround6("CAST(vwap_num AS DOUBLE) / vwap_den") + " AS vwap6 " +
+      "FROM a ORDER BY session"),
+    "Per-session VWAP: the reference's session classification composed " +
+      "with its vwap metric — exact rational per trading session, one " +
+      "pass, one keyed agg")
+
   private val q32 = Q(
     (s, dir) => {
       import s.implicits._
@@ -1258,5 +1303,6 @@ object TrainingDataQueries {
     "q74_ivf_pq" -> q74,
     "q75_ivf_pq_index_roundtrip" -> q75,
     "q30_table_counts" -> q30,
-    "q31_session_split" -> q31)
+    "q31_session_split" -> q31,
+    "q175_session_vwap" -> q175)
 }
