@@ -538,6 +538,59 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Content-defined chunking of a single-space-separated word stream —
+    * the SHIFT-ROBUST passage splitter (FastCDC/rsync family, word
+    * granularity): a chunk boundary falls AFTER word w iff
+    * polyHash(w) mod divisor == 0, where polyHash is the
+    * [[graft.functions.TextFunctions.polyHash]] char fold
+    * ((acc·31 + codepoint) mod 1e9+7) so the boundary rule replays in any
+    * SQL engine. Because a boundary depends only on the word AT the
+    * boundary — never on absolute position — inserting or deleting words
+    * re-synchronizes the chunking at the next boundary, so two documents
+    * differing by one early edit still share every later chunk;
+    * [[WordChunks]]' fixed tiling shifts every subsequent tile and
+    * shares none. Every word lands in exactly one chunk (a boundary word
+    * CLOSES its chunk); the trailing chunk is emitted iff non-terminated.
+    * Expected chunk length = divisor words (hash residues are
+    * near-uniform). Split keeps empty tokens (limit −1) like the oracle's
+    * string_split; an empty word hashes to 0 ≡ 0 and is always a
+    * boundary. */
+  case class CdcChunks(child: Expression, divisor: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_cdc_chunks"
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = text.split(" ", -1)
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      val sb = new java.lang.StringBuilder()
+      var open = false
+      var i = 0
+      while (i < words.length) {
+        if (open) sb.append(' ')
+        sb.append(words(i))
+        open = true
+        val w = words(i)
+        var h = 0L
+        var j = 0
+        while (j < w.length) { h = (h * 31 + w.charAt(j)) % 1000000007L; j += 1 }
+        if (h % divisor == 0) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          sb.setLength(0)
+          open = false
+        }
+        i += 1
+      }
+      if (open)
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Greedy longest-match subword tokenizer against a FIXED vocabulary —
     * the WordPiece/BPE-apply shape (tokenizers ship as a vocab file;
     * applying one is the exact-token-count step packing and budget
@@ -1070,6 +1123,8 @@ object CatalystExpressions {
     reg.createOrReplaceTempFunction("graft_word_windows",
       es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_chunks",
+      es => CdcChunks(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_ewma_fold",
       es => EwmaFold(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_counts",
@@ -1158,6 +1213,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info("graft_word_windows", "_FUNC_(text, width, stride) - overlapping word windows (context segmentation)"),
       es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks", "_FUNC_(text, divisor) - content-defined word chunking (boundary where polyHash(word) mod divisor = 0)"),
+      es => CdcChunks(es.head, es(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_word_counts"),
       info("graft_word_counts", "_FUNC_(tokens) - per-row term-frequency pairs (term, tf), term-sorted, empties skipped"),
       es => WordCounts(es.head)))

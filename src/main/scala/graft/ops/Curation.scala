@@ -444,4 +444,67 @@ object Curation {
       .select(col(idCol), col(grpCol), col("__u0").as(unitCol),
         col("__u").as("norm_u"))
   }
+
+  /** Deterministic seeded NEGATIVE sampling (contrastive-training pairs:
+    * every anchor needs k random non-matching examples, reproducibly,
+    * WITHOUT the |corpus|² cross join a naive "sample k others" implies):
+    * documents hash into `nBuckets` buckets (seeded nonlinear id hash);
+    * a per-bucket RESERVOIR of `perBucket` candidates is drawn by a
+    * second seeded hash via the partial/final
+    * [[graft.plans.TopKPerGroup]] operator (exchange bounded by
+    * buckets·partitions·perBucket); anchor a's j-th negative is the
+    * reservoir candidate of bucket (bucket(a)+j) mod nBuckets minimizing
+    * a third per-(anchor,candidate) seeded mix — so negatives vary per
+    * anchor, never repeat within an anchor (distinct target buckets),
+    * and can never equal the anchor (j ≥ 1 keeps the target off the
+    * anchor's own bucket).
+    *
+    * Scale shape: the reservoir (nBuckets·perBucket rows — the bounded
+    * driver-side planner-metadata class, like the IVF codebooks) rides
+    * the plan as a MAP LITERAL; each anchor's k negatives are an in-row
+    * fold over ≤perBucket candidates — ZERO joins, zero shuffles beyond
+    * the reservoir's own bounded exchange. Pure 64-bit integer
+    * arithmetic, replayed exactly by the SQL oracle. */
+  def negativeSample(docs: DataFrame, idCol: String = "doc_id",
+      nBuckets: Int = 8, perBucket: Int = 4, k: Int = 3,
+      seed: Long = 1001L): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(k >= 1 && k < nBuckets,
+      s"k must be in [1, nBuckets) so targets never hit the anchor's bucket")
+    require(perBucket >= 1, s"perBucket must be >= 1, got $perBucket")
+    val withBkt = docs.select(col(idCol).cast("long").as("__id"))
+      .withColumn("__bkt", idHashSeeded(col("__id"), seed) % nBuckets)
+    val res = graft.plans.TopKPerGroup.topKPerGroup(
+      withBkt.withColumn("__h2", idHashSeeded(col("__id"), seed + 1)),
+      Seq("__bkt"), Seq(col("__h2").asc, col("__id").asc), perBucket)
+    // bounded driver collect: ≤ nBuckets·perBucket rows (documented
+    // planner-metadata class) — becomes the literal reservoir map
+    val byBucket: Map[Long, Seq[Long]] = res
+      .select(col("__bkt"), col("__id")).collect()
+      .groupBy(_.getLong(0)).map { case (b, rows) =>
+        b -> rows.map(_.getLong(1)).sorted.toSeq
+      }
+    val buckets = byBucket.keys.toSeq.sorted
+    val resMap = map_from_arrays(
+      typedLit(buckets),
+      typedLit(buckets.map(byBucket)))
+    def argmin(cands: Column): Column =
+      aggregate(cands,
+        struct(lit(Long.MaxValue).as("m"), lit(-1L).as("c")),
+        (acc, cand) => {
+          val m = idHashSeeded(col("__id") * lit(8191L) + cand, seed + 2)
+          when(m < acc.getField("m") ||
+            (m === acc.getField("m") && cand < acc.getField("c")),
+            struct(m.as("m"), cand.as("c"))).otherwise(acc)
+        }).getField("c")
+    val negs = (1 to k).map { j =>
+      struct(lit(j.toLong).as("j"),
+        argmin(element_at(resMap, (col("__bkt") + j) % nBuckets)).as("neg_id"))
+    }
+    withBkt
+      .select(col("__id"), explode(array(negs: _*)).as("__s"))
+      .select(col("__id").as(idCol), col("__s.j").as("j"),
+        col("__s.neg_id").as("neg_id"))
+      .filter(col("neg_id").isNotNull && col("neg_id") >= 0)
+  }
 }

@@ -786,6 +786,40 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Content-defined chunk dedup — the SHIFT-ROBUST repeated-passage
+    * detector completing the exact-dedup family (document-level q12,
+    * fixed-tile q70, content-defined here): chunk boundaries are placed
+    * where polyHash(word) mod `divisor` == 0 (compiled
+    * [[graft.functions.CatalystExpressions.CdcChunks]] kernel), so an
+    * edit early in a document re-synchronizes the chunking at the next
+    * boundary and the two copies still share every later chunk —
+    * [[chunkExactDups]]' fixed tiling shifts ALL subsequent tiles after
+    * one inserted word and reports nothing (the rsync/FastCDC argument,
+    * spec-demonstrated). Output: every chunk of ≥ `minWords` words
+    * appearing in >1 document, with doc and occurrence counts — same
+    * contract as q70 so the two detectors compose.
+    *
+    * Shape at scale: identical to [[chunkExactDups]] — one explode
+    * (corpus tokens / divisor rows on average), the minWords filter sheds
+    * the one-word boundary-chunk tail BEFORE the exchange, then ONE hash
+    * aggregation keyed by chunk (collect_set keeps the single narrow
+    * shuffle; see q70's Expand note). Production would group on a
+    * 128-bit chunk hash; plain text keeps it SQL-replayable. */
+  def cdcChunkDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", divisor: Int = 8, minWords: Int = 2): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val chunks = call_function("graft_cdc_chunks", col(textCol), lit(divisor))
+    docs
+      .select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .filter(size(split(col("chunk"), " ", -1)) >= minWords)
+      .groupBy("chunk")
+      .agg(size(collect_set(col("id"))).cast("long").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Blocked fuzzy entity linkage: pairs of DISTINCT attribute values
     * within `1 ≤ levenshtein ≤ maxDist`, each annotated with how many
     * records carry it — the record-linkage / entity-resolution step

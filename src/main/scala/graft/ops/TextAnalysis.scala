@@ -362,6 +362,119 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 
+  /** Driver-side twin of [[graft.functions.TextFunctions.polyHash]] —
+    * the index bucket of a term must be computable WITHOUT a Spark job
+    * (serve-time partition pruning needs the query terms' buckets as
+    * literals). */
+  private[graft] def polyHashLocal(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+
+  /** Durable BM25 INVERTED INDEX on the lake — the serving half of q95:
+    * [[bm25TopK]] re-tokenizes the corpus on every query, which is the
+    * right shape exactly once; a search service tokenizes at INGEST and
+    * serves every query from postings. Layout:
+    * `postings/` (term, doc_id, tf) partitioned by
+    * `bucket = polyHash(term) mod nBuckets` (so a query's scan is
+    * PARTITION-PRUNED to its terms' buckets), `doclen/` (doc_id, dl),
+    * and the corpus stats (N, Σdl) as a driver-written `meta.tsv`
+    * sidecar (tmp+rename publish, the writeShingleIndex protocol — zero
+    * Spark jobs to read at serve time).
+    *
+    * Build shape: hash-repartition before the tokenize (the
+    * writeShingleIndex parallelism note — a single-row-group source
+    * would tokenize single-threaded), ONE WordCounts pass feeding both
+    * doclen and the exploded postings. */
+  def writeBm25Index(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    graft.functions.CatalystExpressions.register(spark)
+    val n = spark.sparkContext.defaultParallelism
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("doc_id"), call_function("graft_word_counts",
+        graft.functions.TextFunctions.words(col(textCol))).as("tcs"))
+      .persist()
+    try {
+      perDoc
+        .select(col("doc_id"),
+          expr("aggregate(tcs, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+      perDoc
+        .select(col("doc_id"), explode(col("tcs")).as("tc"))
+        .select(col("tc.term").as("term"), col("doc_id"), col("tc.tf").as("tf"))
+        .withColumn("bucket",
+          pmod(graft.functions.TextFunctions.polyHash(col("term")),
+            lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+    } finally perDoc.unpersist()
+    val stats = spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .head()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"${stats.getLong(0)}\t${stats.getLong(1)}\t$nBuckets\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish index meta at $dst")
+  }
+
+  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val Array(n, sdl, b) = line.trim.split("\t")
+    (n.toLong, sdl.toLong, b.toInt)
+  }
+
+  /** BM25 top-k SERVED from the durable index: the scan touches ONLY the
+    * probed buckets' postings (partition pruning on the query terms'
+    * bucket literals — at any corpus scale the query cost follows the
+    * query's postings, not the corpus), document frequencies come from
+    * the pruned postings themselves (pruning keeps every posting of a
+    * probed term, so df is exact), (N, Σdl) ride as literals from the
+    * sidecar, and NO text is read or tokenized anywhere. Identical
+    * arithmetic to [[bm25TopK]] — per-doc contributions sum in term
+    * order — so the served answer hash-matches q95's oracle. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKFromIndex needs query terms")
+    val (n, sdl, nBuckets) = readBm25Meta(spark, path)
+    val buckets = queryTerms.map(t => polyHashLocal(t) % nBuckets).distinct
+    val qp = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val contrib = qp
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .withColumn("n", lit(n))
+      .withColumn("avgdl", lit(sdl).cast("double") / col("n"))
+      .withColumn("c",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(transform(array_sort(collect_list(struct(term, c))), " +
+          "x -> x.c), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("s"))
+      .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** Pseudo-relevance-feedback retrieval (Rocchio-style query
     * expansion — the classic recall lever when the literal query
     * under-describes the need): run [[bm25TopK]] for the original

@@ -3300,7 +3300,263 @@ object AnalyticsQueries {
     "Bounce rate per day: 30-minute-gap sessionization composed into " +
       "the single-event-session KPI, integer ppm")
 
+  /** A/B experiment readout (the two-proportion z-test every product
+    * experiment ends in): users are assigned to variants by the SEEDED
+    * nonlinear id hash (q47/q77's replayable split — assignment must be
+    * sticky and data-independent, never random() at query time),
+    * exposure = any view, conversion = any purchase; per-variant counts
+    * collapse map-side, the z statistic is one double formula with fixed
+    * parenthesization over the four exact integer counts (the q100
+    * convention: integers shuffle, doubles appear once at the end,
+    * rounded to 6 dp). Two keyed aggregations total — the per-user
+    * collapse and the 2-row variant rollup. */
+  private val q177 = Q(
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("viewed"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .filter(col("viewed") === 1L)
+        // conversion = a HEAVY purchaser (>= 15 purchases): a threshold
+        // that actually splits the population — "any purchase" saturates
+        // at p = 1 where the z statistic is undefined (se = 0)
+        .withColumn("purchased", when(col("np") >= 15L, 1L).otherwise(0L))
+        .withColumn("variant",
+          graft.ops.Curation.idHashSeeded(col("user_id"), 99L) % 2)
+      val t = users.groupBy()
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 0, col("purchased")).otherwise(0L)).as("x_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 1, col("purchased")).otherwise(0L)).as("x_b"))
+      val pd = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+      // degenerate-experiment guard (the driftAudit NULL convention): an
+      // empty variant has no defined rate or z — NULL, never 0/NaN/error
+      t.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("x_a * 1000000 div nullif(n_a, 0)").as("cr_a_ppm"),
+        expr("x_b * 1000000 div nullif(n_b, 0)").as("cr_b_ppm"),
+        (expr("x_a * 1000000 div nullif(n_a, 0)") -
+          expr("x_b * 1000000 div nullif(n_b, 0)")).as("diff_ppm"),
+        when(col("n_a") === 0 || col("n_b") === 0 ||
+          col("x_a") + col("x_b") === 0 ||
+          col("x_a") + col("x_b") === col("n_a") + col("n_b"),
+          lit(null).cast("double")).otherwise(round(
+          (col("x_a").cast("double") / col("n_a") -
+            col("x_b").cast("double") / col("n_b")) /
+            sqrt(pd * (lit(1.0) - pd) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)).as("z6"))
+    },
+    Some(EV + ", u AS (SELECT user_id, " +
+      "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed, " +
+      "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 " +
+      "THEN 1 ELSE 0 END AS purchased " +
+      "FROM ev GROUP BY user_id), " +
+      "v1 AS (SELECT purchased, " +
+      "((user_id % 2147483648) * 48271 + 99) % 2147483647 AS g " +
+      "FROM u WHERE viewed = 1), " +
+      "v AS (SELECT purchased, ((g*g + g) % 2147483647) % 2 AS variant FROM v1), " +
+      "t AS (SELECT " +
+      "CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(sum(CASE WHEN variant = 0 THEN purchased ELSE 0 END) AS BIGINT) AS x_a, " +
+      "CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+      "CAST(sum(CASE WHEN variant = 1 THEN purchased ELSE 0 END) AS BIGINT) AS x_b " +
+      "FROM v) " +
+      "SELECT n_a, x_a, n_b, x_b, " +
+      "x_a * 1000000 // nullif(n_a, 0) AS cr_a_ppm, " +
+      "x_b * 1000000 // nullif(n_b, 0) AS cr_b_ppm, " +
+      "x_a * 1000000 // nullif(n_a, 0) - x_b * 1000000 // nullif(n_b, 0) AS diff_ppm, " +
+      "CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0 " +
+      "OR x_a + x_b = n_a + n_b THEN NULL ELSE " +
+      dround6("(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) / " +
+        "sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b))") + " END AS z6 FROM t"),
+    "A/B two-proportion z-test: sticky seeded-hash variant assignment, " +
+      "exact integer counts, one fixed-parenthesization double formula " +
+      "at 6 dp")
+
+  /** Peak concurrency per event type (the occupancy / "max concurrent
+    * sessions" sweep-line): each event opens a 5-minute visit interval,
+    * endpoints become (+1, −1) deltas, and the running sum over the
+    * keyed endpoint order is the live concurrency — the classic
+    * interval-scheduling maximum computed without any interval join.
+    * Ordering by (t, delta) processes closings BEFORE openings at the
+    * same instant (half-open intervals), so touching visits never
+    * double-count; the default RANGE frame makes all peer rows carry
+    * the post-instant sum, so equal-instant openings produce no
+    * transient intermediate values on either engine.
+    *
+    * Scale shape: one projection doubles the rows (2 endpoints per
+    * event), then ONE keyed exchange shared by the running-sum window,
+    * the per-key max window, and (via the same clustering) the final
+    * argmin agg — O(1) window state per row, hot keys cost time never
+    * memory (the q94 sweep argument). */
+  private val q178 = Q(
+    (s, dir) => {
+      val pts = table(s, dir, "events")
+        .select(col("event_type"), explode(array(
+          struct(unix_micros(col("ts")).as("t_us"), lit(1L).as("delta")),
+          struct((unix_micros(col("ts")) + 300000000L).as("t_us"),
+            lit(-1L).as("delta")))).as("p"))
+        .select(col("event_type"), col("p.t_us").as("t_us"),
+          col("p.delta").as("delta"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("t_us"), col("delta"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      pts.withColumn("run", sum(col("delta")).over(w))
+        .withColumn("pk", max(col("run")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("run")).as("peak"),
+          timestamp_micros(min(when(col("run") === col("pk"), col("t_us"))))
+            .as("peak_at"))
+        .orderBy("event_type")
+    },
+    Some(EV + ", p AS (SELECT event_type, epoch_us(ts) AS t_us, 1 AS delta FROM ev " +
+      "UNION ALL SELECT event_type, epoch_us(ts) + 300000000, -1 FROM ev), " +
+      "r AS (SELECT event_type, t_us, sum(delta) OVER " +
+      "(PARTITION BY event_type ORDER BY t_us, delta) AS run FROM p), " +
+      "m AS (SELECT event_type, CAST(max(run) AS BIGINT) AS peak " +
+      "FROM r GROUP BY event_type) " +
+      "SELECT r.event_type AS event_type, m.peak, " +
+      "make_timestamp(min(CASE WHEN r.run = m.peak THEN r.t_us END)) AS peak_at " +
+      "FROM r JOIN m ON r.event_type = m.event_type " +
+      "GROUP BY r.event_type, m.peak ORDER BY r.event_type"),
+    "Peak concurrent 5-minute visits per event type: sweep-line (+1/-1) " +
+      "running sum, closings before openings at equal instants, one " +
+      "keyed exchange — no interval join")
+
+  /** Top-10 session journey trigrams (the path-mining query behind every
+    * "where do users go next" product question): sessions from the q121
+    * 30-minute-gap rule, consecutive event-type triples via two lead
+    * windows INSIDE each session, global count + top-k.
+    *
+    * Scale shape: the session window and the two leads share ONE keyed
+    * exchange (same (user) clustering, q121's plan); the path count is a
+    * map-side-combinable agg over ≤|event-types|³ distinct keys and the
+    * top-10 is TakeOrdered (per-task heaps), never a global sort. */
+  private val q179 = Q(
+    (s, dir) => {
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = table(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wu))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      g.withColumn("e2", lead(col("event_type"), 1).over(ws))
+        .withColumn("e3", lead(col("event_type"), 2).over(ws))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+    Some(EV + ", g AS (SELECT user_id, ts, event_id, event_type, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+      "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), " +
+      "t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2 " +
+      "|| '>' || lead(event_type, 2) OVER w2 AS path, " +
+      "lead(event_type, 2) OVER w2 AS e3 FROM s2 " +
+      "WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)) " +
+      "SELECT path, count(*) AS n FROM t WHERE e3 IS NOT NULL " +
+      "GROUP BY path ORDER BY n DESC, path LIMIT 10"),
+    "Top-10 session journey trigrams: 30-minute-gap sessions, two lead " +
+      "windows sharing the session exchange, map-side path counts + " +
+      "TakeOrdered top-k")
+
+  /** Max drawdown per event type (the risk metric every equity/PnL curve
+    * is judged by: largest peak-to-trough fall of the cumulative daily
+    * value): daily unit totals (|rows| → |days| map-side collapse, the
+    * q165 rule), then equity = running sum, peak = running max, drawdown
+    * = peak − equity — two stacked O(1)-state windows sharing ONE keyed
+    * exchange with the day collapse's clustering; the report picks the
+    * max drawdown and its EARLIEST trough day. All exact integer 1e-6
+    * units end to end. */
+  private val q181 = Q(
+    (s, dir) => {
+      val daily = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(graft.ops.TimeSeries.toUnits(col("value"))).as("su"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      daily.withColumn("eq", sum(col("su")).over(w))
+        .withColumn("pk", max(col("eq")).over(w))
+        .withColumn("dd", col("pk") - col("eq"))
+        .withColumn("mx", max(col("dd")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("dd")).as("max_dd_units"),
+          min(when(col("dd") === col("mx"), col("day"))).as("trough_day"))
+        .orderBy("event_type")
+    },
+    Some(EV + ", d AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+      "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS su " +
+      "FROM ev WHERE value IS NOT NULL GROUP BY event_type, day), " +
+      "e AS (SELECT event_type, day, " +
+      "CAST(sum(su) OVER (PARTITION BY event_type ORDER BY day " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS eq FROM d), " +
+      "p AS (SELECT event_type, day, max(eq) OVER (PARTITION BY event_type " +
+      "ORDER BY day ROWS UNBOUNDED PRECEDING) - eq AS dd FROM e) " +
+      "SELECT event_type, CAST(max(dd) AS BIGINT) AS max_dd_units, " +
+      "min(CASE WHEN dd = (SELECT max(p2.dd) FROM p p2 " +
+      "WHERE p2.event_type = p.event_type) THEN day END) AS trough_day " +
+      "FROM p GROUP BY event_type ORDER BY event_type"),
+    "Max drawdown per event type: cumulative daily equity curve, running " +
+      "peak, largest peak-to-trough fall + earliest trough day — exact " +
+      "integer units, stacked O(1)-state windows on one keyed exchange")
+
+  /** Streaming last-touch attribution (SEVENTEENTH streaming query —
+    * q116's incremental twin): conversions credit their channel AT
+    * DELIVERY TIME from 9-byte per-user state
+    * ([[graft.streaming.AttributionStream]]); the landed credit rows
+    * aggregate to the identical channel report, hash-checked against
+    * q116's window-formulation oracle by batch-equivalence (the
+    * q114/q124/q157 pattern). */
+  private val q182 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val src = Queries.stagedEventStream(s, dir, "q182")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "click",
+            from_json(col("props"), lit("k INT")).getField("k")
+              .cast("long") % 8).as("touch"),
+          when(col("event_type") === "purchase", col("value")).as("conv"))
+        .filter(col("touch").isNotNull || col("conv").isNotNull)
+        .as[graft.streaming.AttributionStream.AEv]
+      val out = graft.streaming.AttributionStream.streaming(src)
+      Queries.runToMemorySink(out.toDF(), "q182", "update")
+        .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.ops.BarOps.moneySum(col("conv")).as("revenue"))
+        .orderBy("channel")
+    },
+    q116.oracle,
+    "Streaming last-touch attribution (flatMapGroupsWithState, one " +
+      "channel per user of state): credits bit-equal to the batch " +
+      "window and its oracle")
+
   val all: Map[String, Q] = Map(
+    "q182_stream_attribution" -> q182,
+    "q181_drawdown" -> q181,
+    "q179_session_paths" -> q179,
+    "q178_peak_concurrency" -> q178,
+    "q177_ab_test" -> q177,
     "q174_bounce_rate" -> q174,
     "q173_rollup_cascade" -> q173,
     "q172_topk_operator" -> q172,

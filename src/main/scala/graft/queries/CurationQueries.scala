@@ -394,7 +394,45 @@ object CurationQueries {
       "verified) — catches the paraphrased leakage exact n-gram " +
       "overlap misses")
 
+  // q180: deterministic seeded NEGATIVE sampling (contrastive pairs) —
+  // reservoir per hash bucket via the custom TopKPerGroup operator,
+  // reservoir rides the plan as a literal map (bounded planner metadata,
+  // the codebook class), per-anchor argmin is an in-row fold: ZERO
+  // joins/shuffles on the anchor side. The oracle replays reservoir
+  // (row_number window), target-bucket join, and argmin verbatim in the
+  // same 64-bit integer arithmetic.
+  private def duckSeedHash(x: String, seed: Long): String = {
+    val g = s"((($x) % 2147483648) * 48271 + $seed) % 2147483647"
+    s"(($g)*($g) + ($g)) % 2147483647"
+  }
+
+  private val q180 = Q(
+    (s, dir) => Curation.negativeSample(table(s, dir, "documents"),
+        "doc_id", nBuckets = 8, perBucket = 4, k = 3, seed = 1001L)
+      .orderBy("doc_id", "j"),
+    Some("WITH b AS (SELECT doc_id, " +
+      duckSeedHash("doc_id", 1001L) + " % 8 AS bkt FROM documents), " +
+      "hh AS (SELECT doc_id, bkt, " +
+      duckSeedHash("doc_id", 1002L) + " AS h2 FROM b), " +
+      "res AS (SELECT bkt, doc_id AS cand FROM (SELECT bkt, doc_id, " +
+      "row_number() OVER (PARTITION BY bkt ORDER BY h2, doc_id) AS rn " +
+      "FROM hh) WHERE rn <= 4), " +
+      "pj AS (SELECT a.doc_id, j.j, r.cand FROM b a " +
+      "CROSS JOIN (VALUES (1), (2), (3)) AS j(j) " +
+      "JOIN res r ON r.bkt = (a.bkt + j.j) % 8), " +
+      "mx AS (SELECT doc_id, j, cand, " +
+      duckSeedHash("doc_id * 8191 + cand", 1003L) + " AS m FROM pj), " +
+      "pick AS (SELECT doc_id, j, cand, row_number() OVER " +
+      "(PARTITION BY doc_id, j ORDER BY m, cand) AS rn FROM mx) " +
+      "SELECT doc_id, CAST(j AS BIGINT) AS j, cand AS neg_id FROM pick " +
+      "WHERE rn = 1 ORDER BY doc_id, j"),
+    "Seeded negative sampling for contrastive training: bucketed " +
+      "reservoir (custom top-k operator) as a literal map, per-anchor " +
+      "in-row argmin — k negatives per anchor with zero anchor-side " +
+      "joins")
+
   val all: Map[String, Q] = Map(
+    "q180_negative_sample" -> q180,
     "q158_rendezvous" -> q158,
     "q153_quantile_normalize" -> q153,
     "q136_decontaminate_fuzzy" -> q136,

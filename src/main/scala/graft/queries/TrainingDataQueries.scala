@@ -808,6 +808,62 @@ object TrainingDataQueries {
       "with its vwap metric — exact rational per trading session, one " +
       "pass, one keyed agg")
 
+  // q176: CONTENT-DEFINED chunk dedup — the shift-robust twin of q70's
+  // fixed tiling. Boundary rule = polyHash(word) mod 8 == 0 (the q27
+  // char fold, so the oracle replays the chunking verbatim: per-word
+  // hash → boundary flag → chunk id as a prefix sum → string_agg). An
+  // early insertion re-synchronizes at the next boundary where fixed
+  // tiles shift forever (the rsync/FastCDC argument, spec-shown).
+  private val duckWordHash =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  private val q176 = Q(
+    (s, dir) => Dedup.cdcChunkDups(table(s, dir, "documents"),
+        "doc_id", "text", divisor = 8, minWords = 2)
+      .orderBy("chunk"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "p AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM w), " +
+      s"b AS (SELECT doc_id, pos, word, CASE WHEN $duckWordHash % 8 = 0 " +
+      "THEN 1 ELSE 0 END AS bnd FROM p), " +
+      "c AS (SELECT doc_id, pos, word, coalesce(sum(bnd) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM b), " +
+      "g AS (SELECT doc_id, cid, string_agg(word, ' ' ORDER BY pos) AS chunk, " +
+      "count(*) AS nw FROM c GROUP BY doc_id, cid) " +
+      "SELECT chunk, count(DISTINCT doc_id) AS n_docs, " +
+      "count(*) AS n_occurrences FROM g WHERE nw >= 2 GROUP BY chunk " +
+      "HAVING count(DISTINCT doc_id) > 1 ORDER BY chunk"),
+    "Content-defined chunk dedup: boundaries where polyHash(word) mod 8 " +
+      "= 0 — edits re-synchronize at the next boundary, so shifted " +
+      "copies still share chunks fixed tiling loses")
+
+  // q183: BM25 SERVED from the durable inverted index — the production
+  // search shape (tokenize at ingest, serve queries from postings). The
+  // postings scan is partition-pruned to the query terms' hash buckets,
+  // (N, Σdl) ride as sidecar literals, no text is read at serve time.
+  // Index built on first touch keyed by sf dir + source fingerprint
+  // (the q84 pattern); identical arithmetic to q95 ⇒ shares its oracle.
+  // lazy: shares q95's oracle, which is declared later in this file
+  private lazy val q183 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q183-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/documents.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/postings") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
+        TextAnalysis.writeBm25Index(table(s, dir, "documents"), scratch)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
+      TextAnalysis.bm25TopKFromIndex(s, scratch,
+        Seq("join", "scan", "spark"), k = 25)
+    },
+    q95.oracle,
+    "BM25 served from the durable inverted index: partition-pruned " +
+      "postings, sidecar corpus stats, zero tokenization at query time " +
+      "— hash-equal to the in-session q95")
+
   private val q32 = Q(
     (s, dir) => {
       import s.implicits._
@@ -1304,5 +1360,7 @@ object TrainingDataQueries {
     "q75_ivf_pq_index_roundtrip" -> q75,
     "q30_table_counts" -> q30,
     "q31_session_split" -> q31,
-    "q175_session_vwap" -> q175)
+    "q175_session_vwap" -> q175,
+    "q176_cdc_chunks" -> q176,
+    "q183_bm25_index" -> q183)
 }

@@ -373,6 +373,62 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got.nonEmpty, "expected shared chunks in the test corpus")
   }
 
+  // polyHash("x") = 120 and polyHash("go") = 3304 are ≡ 0 (mod 8):
+  // boundaries fall after those words, everything else continues a chunk.
+  test("cdcChunkDups: boundary rule, trailing chunk, minWords filter") {
+    val corpus = Seq(
+      (1L, "a b x c d go e"), // chunks: "a b x" | "c d go" | "e" (1 word, filtered)
+      (2L, "a b x c d go"),   // chunks: "a b x" | "c d go"
+      (3L, "q a b x")         // one chunk "q a b x" — prefix differs, so
+      ).toDF("doc_id", "text") // it shares NOTHING with doc 1/2's first chunk
+    val got = Dedup.cdcChunkDups(corpus, "doc_id", "text", divisor = 8,
+        minWords = 2)
+      .orderBy("chunk").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a b x", 2L, 2L), ("c d go", 2L, 2L)))
+  }
+
+  test("cdcChunkDups re-synchronizes after an insertion where fixed tiling loses everything") {
+    val base = "a b x c d go e f x y z"
+    val corpus = Seq((1L, base), (2L, "ins " + base)).toDF("doc_id", "text")
+    // CDC: the inserted word only perturbs the chunk it lands in — every
+    // chunk after the first boundary is shared verbatim
+    val cdc = Dedup.cdcChunkDups(corpus, "doc_id", "text", divisor = 8,
+        minWords = 2)
+      .orderBy("chunk").as[(String, Long, Long)].collect().toSeq
+    assert(cdc == Seq(("c d go", 2L, 2L), ("e f x", 2L, 2L), ("y z", 2L, 2L)))
+    // fixed tiling: the same insertion shifts every later tile by one
+    // word — zero shared tiles (the shift-robustness gap q176 closes)
+    val fixed = Dedup.chunkExactDups(corpus, "doc_id", "text", width = 3)
+      .collect()
+    assert(fixed.isEmpty)
+  }
+
+  test("cdcChunkDups matches a naive driver-side replay on the real corpus") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    def polyHash(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val naive = real.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        text.split(" ", -1).foreach { w =>
+          cur += w
+          if (polyHash(w) % 8 == 0) { chunks += cur.mkString(" "); cur.clear() }
+        }
+        if (cur.nonEmpty) chunks += cur.mkString(" ")
+        chunks.filter(_.split(" ", -1).length >= 2).map(c => (id, c))
+      }
+    val expected = naive.groupBy(_._2).map { case (c, occ) =>
+      (c, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.filter(_._2 > 1).toSet
+    val got = Dedup.cdcChunkDups(real, "doc_id", "text", divisor = 8,
+        minWords = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "expected shared CDC chunks in the test corpus")
+  }
+
   test("fuzzyLinkPairs: distinct-first, blocked, thresholded, counted") {
     val recs = Seq(
       "red bolt", "red bolt", "red bolt", // 3 records of one value

@@ -70,7 +70,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // r13: q138 runs its heavy-hitter stream + landings at plan-build;
     // q142 first-touch-builds its index + prior labels and runs the
     // checkpointed component propagation
-    "q138_stream_topk", "q142_incremental_clusters")
+    "q138_stream_topk", "q142_incremental_clusters",
+    // r12 continuation: q180 draws its bounded reservoir (a TopKPerGroup
+    // job + driver collect) at plan-build; q182 runs the attribution
+    // stream; q183 first-touch-builds the inverted index and reads its
+    // sidecar meta
+    "q180_negative_sample", "q182_stream_attribution", "q183_bm25_index")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
