@@ -748,6 +748,60 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All ordered pairs (a < b) of the DISTINCT longs in the input array —
+    * the in-row pair generation for basket co-occurrence mining
+    * (ops/Recs.coVisitation): the long-typed twin of [[WordPairs]], same
+    * compiled-kernel rationale (the declarative transform/slice nest is
+    * interpreted per element and re-slices per anchor). Input arrays are
+    * expected already distinct+sorted (the caller groups with
+    * sort_array(collect_set)); the kernel re-sorts defensively so raw
+    * arrays are also accepted. */
+  case class LongPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_long_pairs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) set.add(arr.getLong(i))
+        i += 1
+      }
+      val d = set.size()
+      // d·(d−1)/2 output pairs: a pathological basket (a bot cart with
+      // tens of thousands of distinct items) would blow the row quadratic
+      // — bound baskets upstream (Recs.coVisitation's maxBasket slice)
+      // rather than wrap silently
+      require(d <= 20000,
+        s"graft_long_pairs: $d distinct items in one row (> 20000) — " +
+          "cap the basket before pair generation")
+      val sorted = new Array[Long](d)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { sorted(j) = it.next(); j += 1 }
+      val out = new Array[Any](d * (d - 1) / 2)
+      j = 0
+      var a = 0
+      while (a < d) {
+        var b = a + 1
+        while (b < d) {
+          out(j) = org.apache.spark.sql.catalyst.InternalRow(sorted(a), sorted(b))
+          j += 1
+          b += 1
+        }
+        a += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** One O(n) pass of the EWMA recurrence over a key's time-sorted rows:
     * y_1 = x_1 (or `(a·x_1 + b·init) div 100` when an `init` state from a
     * previous segment is present), y_t = (a·x_t + b·y_{t−1}) div 100 in
@@ -1137,6 +1191,8 @@ object CatalystExpressions {
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_word_pairs",
       es => WordPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_long_pairs",
+      es => LongPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_throttle_fold",
       es => ThrottleFold(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_phrase_pos",
@@ -1229,6 +1285,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_word_pairs"),
       info("graft_word_pairs", "_FUNC_(tokens) - ordered pairs (ta < tb) of the distinct non-empty tokens"),
       es => WordPairs(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_long_pairs"),
+      info("graft_long_pairs", "_FUNC_(items) - ordered pairs (a < b) of the distinct longs"),
+      es => LongPairs(es.head)))
     e.injectFunction((FunctionIdentifier("graft_ewma_fold"),
       info("graft_ewma_fold", "_FUNC_(rows, alphaNum, init) - O(n) EWMA fold over time-sorted rows (init = chained segment state or NULL)"),
       es => EwmaFold(es.head, es(1), es(2))))

@@ -3551,7 +3551,34 @@ object AnalyticsQueries {
       "channel per user of state): credits bit-equal to the batch " +
       "window and its oracle")
 
+  /** Co-visitation recommendations ("frequently bought together") over
+    * the order baskets: distinct parts per order, in-row pair explosion
+    * through the compiled long-pair kernel (never a self-join — see
+    * ops/Recs), symmetric co-occurrence counts, and the 5 strongest
+    * neighbors per part served by the custom TopKPerGroup physical
+    * operator (bounded exchange, no full window sort). The oracle
+    * replays the same pair set via the classic self-join formulation —
+    * two equivalent plans, one hash. */
+  private val q184 = Q(
+    (s, dir) => graft.ops.Recs.coVisitation(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", k = 5)
+      .orderBy(col("part"), col("cooc").desc, col("rec")),
+    Some("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM d a " +
+      "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      "c AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb), " +
+      "s AS (SELECT pa AS part, pb AS rec, n FROM c " +
+      "UNION ALL SELECT pb, pa, n FROM c), " +
+      "r AS (SELECT part, rec, n, row_number() OVER " +
+      "(PARTITION BY part ORDER BY n DESC, rec) AS rn FROM s) " +
+      "SELECT part, rec, n AS cooc FROM r WHERE rn <= 5 " +
+      "ORDER BY part, cooc DESC, rec"),
+    "Co-visitation top-5 per part: in-row basket pair kernel + bounded " +
+      "top-k operator — the collaborative-filtering counts the oracle " +
+      "computes via a self-join")
+
   val all: Map[String, Q] = Map(
+    "q184_covisitation" -> q184,
     "q182_stream_attribution" -> q182,
     "q181_drawdown" -> q181,
     "q179_session_paths" -> q179,
