@@ -3577,7 +3577,125 @@ object AnalyticsQueries {
       "top-k operator — the collaborative-filtering counts the oracle " +
       "computes via a self-join")
 
+  /** Exact per-day ROC-AUC ([[graft.ops.Eval.rocAuc]] — Mann–Whitney
+    * rank statistic with average-rank tie correction, all integer/
+    * decimal arithmetic, ppm report): does the event value score
+    * discriminate purchases? NULL for single-class days, never a
+    * fabricated 0.5. The oracle replays the identical rank algebra
+    * through a window; both sides floor-divide nonnegative integers,
+    * so the ppm is hash-exact. */
+  private val q185 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events").filter(col("value").isNotNull)
+        .select(date_trunc("day", col("ts")).as("day"),
+          graft.ops.TimeSeries.toUnits(col("value")).as("score"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+      graft.ops.Eval.rocAuc(ev, col("score"), col("y"),
+        Seq("day" -> col("day"))).orderBy("day")
+    },
+    Some(EV + ", e AS (SELECT date_trunc('day', ts) AS day, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS s, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "g AS (SELECT day, s, count(*) AS n, sum(y) AS p FROM e GROUP BY day, s), " +
+      "r AS (SELECT day, n, p, coalesce(sum(n) OVER (PARTITION BY day " +
+      "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g), " +
+      "a AS (SELECT day, sum(CAST(p AS HUGEINT) * (2 * CAST(cb AS HUGEINT) + n + 1)) AS sr2, " +
+      "sum(p) AS np, sum(n) AS nn FROM r GROUP BY day) " +
+      "SELECT day, CAST(np AS BIGINT) AS n_pos, CAST(nn - np AS BIGINT) AS n_neg, " +
+      "CAST(CASE WHEN np = 0 OR np = nn THEN NULL ELSE " +
+      "((sr2 - CAST(np AS HUGEINT) * (np + 1)) * 1000000) " +
+      "// (2 * CAST(np AS HUGEINT) * (nn - np)) END AS BIGINT) AS auc_x1e6 " +
+      "FROM a ORDER BY day"),
+    "Exact grouped ROC-AUC: Mann-Whitney rank statistic with tie " +
+      "correction in integer arithmetic, ppm-reported")
+
+  /** Calibration / reliability table ([[graft.ops.Eval.calibrationBins]]):
+    * 10 deterministic equal-frequency score bins (q117's NTILE
+    * total-order convention), each reporting exact mean predicted score
+    * and positive rate in ppm — the over/under-confidence readout
+    * behind threshold picking. */
+  private val q186 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events").filter(col("value").isNotNull)
+      graft.ops.Eval.calibrationBins(ev,
+        graft.ops.TimeSeries.toUnits(col("value")),
+        (col("event_type") === "purchase").cast("long"),
+        col("event_id"), bins = 10).orderBy("bin")
+    },
+    Some(EV + ", e AS (SELECT event_id, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS s, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+      "FROM ev WHERE value IS NOT NULL), " +
+      "b AS (SELECT s, y, ntile(10) OVER (ORDER BY s, event_id) AS bin FROM e) " +
+      "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, " +
+      "CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT) AS avg_score_x1e6, " +
+      "CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_x1e6 " +
+      "FROM b GROUP BY bin ORDER BY bin"),
+    "Calibration bins: deterministic score deciles with exact ppm mean " +
+      "score and positive rate")
+
+  /** Chi-squared feature selection ([[graft.ops.Eval.chiSqFeatures]]):
+    * top-5 tokens most associated with each language by the 2x2
+    * contingency statistic over document frequency — exact integer
+    * counts, the chi2 value a fixed double expression tree (q100
+    * display-double convention), per-label top-k through the bounded
+    * TopKPerGroup operator. */
+  private val q187 = Q(
+    (s, dir) => graft.ops.Eval.chiSqFeatures(
+        table(s, dir, "documents"), col("text"), col("lang"), k = 5)
+      .orderBy(col("label"), col("chi2").desc, col("token")),
+    Some("WITH w AS (SELECT doc_id, lang AS label, " +
+      "unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "t AS (SELECT DISTINCT doc_id, label, token FROM w WHERE token <> ''), " +
+      "a AS (SELECT token, label, count(*) AS a FROM t GROUP BY token, label), " +
+      "ta AS (SELECT token, label, a, sum(a) OVER (PARTITION BY token) AS ta FROM a), " +
+      "l AS (SELECT lang AS label, count(*) AS nl FROM documents GROUP BY lang), " +
+      "nt AS (SELECT count(*) AS nn FROM documents), " +
+      "x AS (SELECT label, token, a, ta - a AS b, nl - a AS c, " +
+      "nn - nl - (ta - a) AS dd, nn FROM ta JOIN l USING (label) CROSS JOIN nt " +
+      "WHERE ta < nn), " +
+      "sc AS (SELECT label, token, CAST(a AS BIGINT) AS df_in, " +
+      "CAST(b AS BIGINT) AS df_out, " +
+      Queries.dround6("CAST(nn AS DOUBLE) * " +
+        "(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+        "(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) / " +
+        "((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)) * " +
+        "(CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(dd AS DOUBLE)))") +
+      " AS chi2 FROM x), " +
+      "r AS (SELECT label, token, df_in, df_out, chi2, row_number() OVER " +
+      "(PARTITION BY label ORDER BY chi2 DESC, token) AS rn FROM sc) " +
+      "SELECT label, token, df_in, df_out, chi2 FROM r WHERE rn <= 5 " +
+      "ORDER BY label, chi2 DESC, token"),
+    "Chi-squared feature selection: top-5 tokens per language by exact " +
+      "2x2 contingency counts, bounded top-k serve")
+
+  /** Leakage-safe leave-one-out target encoding
+    * ([[graft.ops.Eval.targetEncodeLoo]]): each event's user encoded by
+    * the mean value of the user's OTHER events — exact integral
+    * (sum - own)/(n - 1) in micro-units, NULL for singleton keys. */
+  private val q188 = Q(
+    (s, dir) => {
+      val ev = table(s, dir, "events").filter(col("value").isNotNull)
+      graft.ops.Eval.targetEncodeLoo(ev, col("event_id"), col("user_id"),
+        graft.ops.TimeSeries.toUnits(col("value"))).orderBy("id")
+    },
+    Some(EV + ", e AS (SELECT event_id, user_id, " +
+      "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y " +
+      "FROM ev WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "st AS (SELECT user_id, sum(CAST(y AS HUGEINT)) AS sy, count(*) AS n " +
+      "FROM e GROUP BY user_id) " +
+      "SELECT event_id AS id, user_id AS key, " +
+      "CAST(CASE WHEN n = 1 THEN NULL ELSE (sy - y) // (n - 1) END AS BIGINT) AS loo_x1e6 " +
+      "FROM e JOIN st USING (user_id) ORDER BY id"),
+    "Leave-one-out target encoding: per-user mean event value excluding " +
+      "the row itself, exact micro-unit arithmetic")
+
   val all: Map[String, Q] = Map(
+    "q188_target_encode" -> q188,
+    "q187_chi2_features" -> q187,
+    "q186_calibration" -> q186,
+    "q185_roc_auc" -> q185,
     "q184_covisitation" -> q184,
     "q182_stream_attribution" -> q182,
     "q181_drawdown" -> q181,
