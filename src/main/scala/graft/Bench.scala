@@ -108,7 +108,7 @@ object Bench {
       "q128_stream_drift", "q130_stream_pit", "q131_stream_takedown",
       "q134_stream_quantile", "q138_stream_topk", "q151_stream_trend",
       "q157_stream_throttle", "q167_stream_cusum", "q182_stream_attribution",
-      "q54_ann_recall")
+      "q189_stream_covisit", "q54_ann_recall")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -47,6 +47,15 @@ object Recs {
       .select(explode(call_function("graft_long_pairs", col("its"))).as("p"))
       .select(col("p.a").as("pa"), col("p.b").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cooc"))
+    serveTopK(cooc, k)
+  }
+
+  /** Top-`k` neighbor serve from a half-matrix of (pa, pb, cooc) counts
+    * (pa < pb): symmetrize and take the k strongest per item through the
+    * bounded TopKPerGroup operator. Shared by the batch miner above and
+    * the streaming maintainer ([[graft.streaming.CoVisitStream]], whose
+    * emitted-pair aggregation produces the same half-matrix). */
+  def serveTopK(cooc: DataFrame, k: Int): DataFrame = {
     val sym = cooc.select(col("pa").as("part"), col("pb").as("rec"), col("cooc"))
       .unionAll(cooc.select(col("pb").as("part"), col("pa").as("rec"), col("cooc")))
     graft.plans.TopKPerGroup.topKPerGroup(sym, Seq("part"),

@@ -3691,7 +3691,32 @@ object AnalyticsQueries {
     "Leave-one-out target encoding: per-user mean event value excluding " +
       "the row itself, exact micro-unit arithmetic")
 
+  /** STREAMING co-visitation maintenance (EIGHTEENTH streaming query —
+    * q184's incremental twin, [[graft.streaming.CoVisitStream]]): basket
+    * items stream in; per-basket keyed state (the sorted distinct item
+    * set, ≤ maxBasket longs) emits each unordered pair exactly once — at
+    * the moment its second member arrives — so the emitted-pair counts
+    * equal the batch miner's half-matrix whatever the micro-batch
+    * cadence, and the serve is the SAME `Recs.serveTopK` bounded top-k.
+    * Shares q184's self-join oracle via batch-equivalence. */
+  private val q189 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val src = Queries.stagedTableStream(s, dir, "q189", "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .as[graft.streaming.CoVisitStream.CvEv]
+      val pairs = graft.streaming.CoVisitStream.streaming(src)
+      val cooc = Queries.runToMemorySink(pairs.toDF(), "q189", "update")
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cooc"))
+      graft.ops.Recs.serveTopK(cooc, 5)
+        .orderBy(col("part"), col("cooc").desc, col("rec"))
+    },
+    q184.oracle,
+    "Streaming co-visitation: per-basket keyed state emits each pair " +
+      "exactly once; counts and serve bit-equal to the batch miner")
+
   val all: Map[String, Q] = Map(
+    "q189_stream_covisit" -> q189,
     "q188_target_encode" -> q188,
     "q187_chi2_features" -> q187,
     "q186_calibration" -> q186,

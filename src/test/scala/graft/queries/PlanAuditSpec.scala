@@ -75,7 +75,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // job + driver collect) at plan-build; q182 runs the attribution
     // stream; q183 first-touch-builds the inverted index and reads its
     // sidecar meta
-    "q180_negative_sample", "q182_stream_attribution", "q183_bm25_index")
+    "q180_negative_sample", "q182_stream_attribution", "q183_bm25_index",
+    // q189 runs the co-visitation stream at plan-build
+    "q189_stream_covisit")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -110,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // q162 crosses the broadcast 1-row exact-count frame into the
     // 1-row estimate (the q04 scalar shape); q159 is two q95 BM25
     // passes, each crossing the broadcast 1-row corpus stats
-    "q162_cm_join_size", "q159_prf_retrieval")
+    "q162_cm_join_size", "q159_prf_retrieval",
+    // q187 crosses the broadcast 1-row corpus size N into the
+    // (token, label) count frame — the q120 corpus-size shape
+    "q187_chi2_features")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
