@@ -158,6 +158,124 @@ object Eval {
       Seq(col("chi2").desc, col("token").asc), k)
   }
 
+  /** Offline RANKING evaluation of a top-k recommender against held-out
+    * relevance — the temporal-split readout (train on the past, score
+    * against the future) every production recommender ships behind.
+    * `recs` is a (part, rec, cooc) top-k frame (rank = cooc desc, rec
+    * asc — [[Recs.coVisitation]]'s serve order); `testRelevant` is the
+    * symmetric distinct (part, rec) relevance set from the held-out
+    * window ([[Recs.coOccurring]]). Per part:
+    *   - `hits`      — relevant recommendations among the k,
+    *   - `rr_x1e6`   — reciprocal rank of the FIRST hit (0 when none),
+    *   - `ndcg_x1e6` — binary-gain NDCG@k, ideal = all of the part's
+    *     held-out partners ranked first (NULL when the part has no
+    *     held-out partner — "unmeasurable", never a fabricated 0).
+    *
+    * Discounts 1/log2(r+1) and 1/r enter as ppm INTEGER constants
+    * (driver-computed literals, the q144 Benford-constants pattern), so
+    * the whole metric is integer arithmetic and replays exactly in any
+    * SQL engine.
+    *
+    * Scale shape: rank assignment is a window over the ≤ k·|parts| rec
+    * frame (already top-k-bounded — never the fact table), relevance is
+    * one equi-join, the per-part fold one keyed agg, and the ideal-DCG
+    * lookup a broadcast-free CASE over the part's held-out partner
+    * count. */
+  def recEval(recs: DataFrame, testRelevant: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    def log2(x: Double): Double = Math.log(x) / Math.log(2.0)
+    val disc = (1 to k).map(r => r -> Math.round(1e6 / log2(r + 1.0)))
+    val rrd = (1 to k).map(r => r -> Math.round(1e6 / r))
+    val cum = disc.scanLeft(0 -> 0L) { case ((_, acc), (r, d)) =>
+      r -> (acc + d)
+    }.toMap
+    def caseOf(pairs: Seq[(Int, Long)], on: Column): Column =
+      pairs.foldLeft(lit(0L)) { case (acc, (r, v)) =>
+        when(on === r, lit(v)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("cooc").desc, col("rec").asc)
+    val ranked = recs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val rel = testRelevant.select(col("part"), col("rec"))
+      .withColumn("__hit", lit(1L))
+    val scored = ranked.join(rel, Seq("part", "rec"), "left")
+      .withColumn("__hit", coalesce(col("__hit"), lit(0L)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_recs"),
+        sum(col("__hit")).as("hits"),
+        sum(col("__hit") * caseOf(disc, col("__rk"))).as("__dcg"),
+        max(col("__hit") * caseOf(rrd, col("__rk"))).as("rr_x1e6"))
+    val nrel = testRelevant.groupBy(col("part"))
+      .agg(count(lit(1)).as("__nrel"))
+    val ideal = caseOf((1 to k).map(r => r -> cum(r)),
+      least(coalesce(col("__nrel"), lit(0L)), lit(k.toLong)))
+    scored.join(nrel, Seq("part"), "left")
+      .withColumn("__idcg", ideal)
+      .select(col("part"), col("n_recs"), col("hits"), col("rr_x1e6"),
+        when(col("__idcg") === 0, lit(null))
+          .otherwise(expr("(__dcg * 1000000) div __idcg"))
+          .cast("long").as("ndcg_x1e6"))
+  }
+
+  /** CLASSIFIER AGREEMENT audit: per-class precision / recall / F1 plus
+    * Cohen's κ between a true labeling and a prediction — the readout
+    * for auto-labelers, weak supervision, and annotator agreement
+    * (κ corrects raw agreement for chance: κ = (p_o − p_e)/(1 − p_e),
+    * p_e from the label marginals). One row per class (precision NULL
+    * when the class is never predicted — undefined, not 0) and a
+    * `__all` rollup (the q133 convention) carrying micro-averaged
+    * metrics — equal to accuracy for single-label classification — and
+    * the κ ppm, exact: κ_x1e6 = (N·agree − Σ nt·np)·10⁶ div (N² −
+    * Σ nt·np), every term integral.
+    *
+    * Scale shape: ONE keyed exchange collapses the fact table to the
+    * ≤ |classes|² confusion matrix (map-side combine); the matrix is
+    * localCheckpoint'd (the q95 one-materialization pattern — three
+    * marginal consumers must not re-scan the corpus) and every
+    * downstream step runs on those few rows. */
+  def classifierAudit(df: DataFrame, trueCol: Column,
+      predCol: Column): DataFrame = {
+    val conf = df.select(trueCol.as("__t"), predCol.as("__p"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__t"), col("__p")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nt = conf.groupBy(col("__t").as("label")).agg(sum("c").as("n_true"))
+    val np = conf.groupBy(col("__p").as("label")).agg(sum("c").as("n_pred"))
+    val tp = conf.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("c").as("tp"))
+    val cls = nt.join(np, Seq("label"), "full").join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+    val perClass = cls.select(col("label"), col("n_true"), col("n_pred"),
+      col("tp"),
+      when(col("n_pred") === 0, lit(null))
+        .otherwise(expr("(tp * 1000000) div n_pred")).cast("long")
+        .as("precision_x1e6"),
+      when(col("n_true") === 0, lit(null))
+        .otherwise(expr("(tp * 1000000) div n_true")).cast("long")
+        .as("recall_x1e6"),
+      when(col("n_true") + col("n_pred") === 0, lit(null))
+        .otherwise(expr("(2 * tp * 1000000) div (n_true + n_pred)"))
+        .cast("long").as("f1_x1e6"),
+      lit(null).cast("long").as("kappa_x1e6"))
+    val rollup = cls.agg(
+        sum(col("n_true")).as("__n"), sum(col("tp")).as("__agree"),
+        sum(dec(col("n_true")) * dec(col("n_pred"))).as("__pe"))
+      .select(lit("__all").as("label"), col("__n").as("n_true"),
+        col("__n").as("n_pred"), col("__agree").as("tp"),
+        expr("(__agree * 1000000) div __n").cast("long")
+          .as("precision_x1e6"),
+        expr("(__agree * 1000000) div __n").cast("long").as("recall_x1e6"),
+        expr("(__agree * 1000000) div __n").cast("long").as("f1_x1e6"),
+        when(dec(col("__n")) * dec(col("__n")) === col("__pe"), lit(null))
+          .otherwise(expr(
+            "((CAST(__n AS DECIMAL(38,0)) * __agree - __pe) * 1000000) " +
+              "div (CAST(__n AS DECIMAL(38,0)) * __n - __pe)"))
+          .cast("long").as("kappa_x1e6"))
+    perClass.unionAll(rollup)
+  }
+
   /** Leakage-safe LEAVE-ONE-OUT target encoding: each row's categorical
     * key is replaced by the mean target of the OTHER rows sharing the
     * key — the encoding that lets a model consume high-cardinality keys

@@ -75,6 +75,14 @@ object Recs {
       .drop("rn")
   }
 
+  /** Symmetric DISTINCT co-occurrence partners (part, rec) — the
+    * held-out relevance frame for offline recommender evaluation
+    * ([[Eval.recEval]]): (p, r) present iff p and r share a basket. */
+  def coOccurring(items: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 10000): DataFrame =
+    coVisitationPairs(items, basketCol, itemCol, maxBasket)
+      .select(col("part"), col("rec"))
+
   private def coVisitationPairs(items: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
     graft.functions.CatalystExpressions.register(items.sparkSession)

@@ -3715,7 +3715,96 @@ object AnalyticsQueries {
     "Streaming co-visitation: per-basket keyed state emits each pair " +
       "exactly once; counts and serve bit-equal to the batch miner")
 
+  /** Offline recommender evaluation ([[graft.ops.Eval.recEval]] over
+    * [[graft.ops.Recs]]): TEMPORAL train/test split of the order log at
+    * 2000-07-01 (~80/20), co-visitation top-5 mined from the past,
+    * scored against the future's held-out co-occurrences — hits, MRR,
+    * and binary NDCG@5 per part, discounts as ppm integer constants
+    * (the q144 pattern), NULL where the part has no held-out partner.
+    * The oracle replays the mine (q184's self-join form), the split,
+    * and the metric algebra with the same literal constants. */
+  private val q190 = Q(
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val train = li.filter(col("l_shipdate") < lit("2000-07-01"))
+      val test = li.filter(col("l_shipdate") >= lit("2000-07-01"))
+      val recs = graft.ops.Recs.coVisitation(train, "l_orderkey",
+        "l_partkey", k = 5)
+      val rel = graft.ops.Recs.coOccurring(test, "l_orderkey", "l_partkey")
+      graft.ops.Eval.recEval(recs, rel, k = 5).orderBy("part")
+    },
+    Some("WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+      "WHERE l_shipdate < '2000-07-01'), " +
+      "p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM d a " +
+      "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      "c AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb), " +
+      "sy AS (SELECT pa AS part, pb AS rec, n FROM c " +
+      "UNION ALL SELECT pb, pa, n FROM c), " +
+      "r AS (SELECT part, rec, row_number() OVER " +
+      "(PARTITION BY part ORDER BY n DESC, rec) AS rk FROM sy), " +
+      "topk AS (SELECT part, rec, rk FROM r WHERE rk <= 5), " +
+      "dt AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+      "WHERE l_shipdate >= '2000-07-01'), " +
+      "pt AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM dt a " +
+      "JOIN dt b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      "relp AS (SELECT pa AS part, pb AS rec FROM pt " +
+      "UNION SELECT pb, pa FROM pt), " +
+      "j AS (SELECT t.part, t.rk, CASE WHEN rel.part IS NULL THEN 0 ELSE 1 END AS hit " +
+      "FROM topk t LEFT JOIN relp rel ON t.part = rel.part AND t.rec = rel.rec), " +
+      "sc AS (SELECT part, count(*) AS n_recs, sum(hit) AS hits, " +
+      "sum(hit * CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
+      "WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END) AS dcg, " +
+      "max(hit * CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 500000 " +
+      "WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000 END) AS rr " +
+      "FROM j GROUP BY part), " +
+      "nr AS (SELECT part, count(*) AS nrel FROM relp GROUP BY part) " +
+      "SELECT sc.part, CAST(n_recs AS BIGINT) AS n_recs, " +
+      "CAST(hits AS BIGINT) AS hits, CAST(rr AS BIGINT) AS rr_x1e6, " +
+      "CAST(CASE WHEN coalesce(nrel, 0) = 0 THEN NULL ELSE " +
+      "(dcg * 1000000) // (CASE least(nrel, 5) WHEN 1 THEN 1000000 " +
+      "WHEN 2 THEN 1630930 WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 " +
+      "WHEN 5 THEN 2948460 END) END AS BIGINT) AS ndcg_x1e6 " +
+      "FROM sc LEFT JOIN nr ON sc.part = nr.part ORDER BY sc.part"),
+    "Temporal-split recommender eval: hits, MRR, binary NDCG@5 of the " +
+      "past's co-visitation recs against the future's held-out baskets")
+
+  /** Classifier agreement audit ([[graft.ops.Eval.classifierAudit]] over
+    * the q24 langId predictor vs the true lang label): per-class
+    * precision/recall/F1 in ppm plus the `__all` micro rollup with
+    * Cohen's kappa — all integer arithmetic off the confusion matrix. */
+  private val q191 = Q(
+    (s, dir) => graft.ops.Eval.classifierAudit(
+        graft.ops.TextAnalysis.langId(table(s, dir, "documents")),
+        col("lang"), col("pred_lang"))
+      .orderBy("label"),
+    Some("WITH b AS (SELECT lang AS t, " + TrainingDataQueries.duckLangCase +
+      " AS p FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL), " +
+      "conf AS (SELECT t, p, count(*) AS c FROM b GROUP BY t, p), " +
+      "ntc AS (SELECT t AS label, sum(c) AS n_true FROM conf GROUP BY t), " +
+      "npc AS (SELECT p AS label, sum(c) AS n_pred FROM conf GROUP BY p), " +
+      "tpc AS (SELECT t AS label, c AS tp FROM conf WHERE t = p), " +
+      "cls AS (SELECT label, coalesce(n_true, 0) AS nt, " +
+      "coalesce(n_pred, 0) AS np2, coalesce(tp, 0) AS tp " +
+      "FROM ntc FULL JOIN npc USING (label) LEFT JOIN tpc USING (label)), " +
+      "g AS (SELECT sum(nt) AS n, sum(tp) AS agree, sum(nt * np2) AS pe FROM cls) " +
+      "SELECT label, CAST(nt AS BIGINT) AS n_true, CAST(np2 AS BIGINT) AS n_pred, " +
+      "CAST(tp AS BIGINT) AS tp, " +
+      "CAST(CASE WHEN np2 = 0 THEN NULL ELSE (tp * 1000000) // np2 END AS BIGINT) AS precision_x1e6, " +
+      "CAST(CASE WHEN nt = 0 THEN NULL ELSE (tp * 1000000) // nt END AS BIGINT) AS recall_x1e6, " +
+      "CAST(CASE WHEN nt + np2 = 0 THEN NULL ELSE (2 * tp * 1000000) // (nt + np2) END AS BIGINT) AS f1_x1e6, " +
+      "CAST(NULL AS BIGINT) AS kappa_x1e6 FROM cls " +
+      "UNION ALL SELECT '__all', CAST(n AS BIGINT), CAST(n AS BIGINT), " +
+      "CAST(agree AS BIGINT), CAST((agree * 1000000) // n AS BIGINT), " +
+      "CAST((agree * 1000000) // n AS BIGINT), CAST((agree * 1000000) // n AS BIGINT), " +
+      "CAST(CASE WHEN n * n = pe THEN NULL ELSE " +
+      "((n * agree - pe) * 1000000) // (n * n - pe) END AS BIGINT) " +
+      "FROM g ORDER BY label"),
+    "Classifier agreement: per-class precision/recall/F1 + Cohen's " +
+      "kappa for the langId predictor vs the true label, exact ppm")
+
   val all: Map[String, Q] = Map(
+    "q191_kappa" -> q191,
+    "q190_rec_eval" -> q190,
     "q189_stream_covisit" -> q189,
     "q188_target_encode" -> q188,
     "q187_chi2_features" -> q187,

@@ -95,7 +95,7 @@ object TrainingDataQueries {
     "Embedding cosine near-dup pairs (threshold 0.4) via lossless IVF-cell " +
       "blocking — equi-join on admissible cell pairs, never a nested loop")
 
-  private val duckLangCase = {
+  private[queries] val duckLangCase = {
     def cnt(m: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$m'))"
     val scores = TextAnalysis.markers.map { case (lang, ms) =>
       lang -> ms.map(cnt).mkString(" + ")

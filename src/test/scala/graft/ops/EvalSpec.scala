@@ -79,6 +79,60 @@ class EvalSpec extends AnyFunSuite with SparkTest {
     assert(deTokens == Seq("hund", "katze")) // both chi2-max, token tiebreak
   }
 
+  test("recEval: hits, MRR, NDCG hand case; unmeasurable part NULL") {
+    val recs = Seq(
+      (1L, 10L, 5L), (1L, 20L, 3L), (1L, 30L, 3L), // part 1: ranks 10,20,30
+      (2L, 10L, 1L))                               // part 2: one rec
+      .toDF("part", "rec", "cooc")
+    val rel = Seq((1L, 20L), (1L, 99L), (20L, 1L), (99L, 1L))
+      .toDF("part", "rec")
+    val got = Eval.recEval(recs, rel, k = 5).orderBy("part")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // part 1: hit at rank 2 only; nrel = 2 -> idcg = 1000000 + 630930
+    val ndcg1 = 630930L * 1000000L / 1630930L
+    assert(got == Seq(
+      (1L, 3L, 1L, 500000L, Some(ndcg1)),
+      (2L, 1L, 0L, 0L, None))) // no held-out partner: NULL, not 0
+  }
+
+  test("recEval: perfect ranking scores ndcg 1000000") {
+    val recs = Seq((1L, 10L, 9L), (1L, 20L, 8L)).toDF("part", "rec", "cooc")
+    val rel = Seq((1L, 10L), (1L, 20L)).toDF("part", "rec")
+    val got = Eval.recEval(recs, rel, k = 5).collect().head
+    assert(got.getLong(2) == 2L)          // hits
+    assert(got.getLong(3) == 1000000L)    // rr
+    assert(got.getLong(4) == 1000000L)    // ndcg
+  }
+
+  test("classifierAudit: per-class metrics and Cohen's kappa") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("t", "p")
+    val got = Eval.classifierAudit(df, $"t", $"p").orderBy("label")
+      .collect()
+    val rows = got.map(r => r.getString(0) -> r).toMap
+    // a: nt=2 np=1 tp=1; b: nt=2 np=3 tp=2
+    assert(rows("a").getLong(4) == 1000000L) // precision
+    assert(rows("a").getLong(5) == 500000L)  // recall
+    assert(rows("a").getLong(6) == 666666L)  // f1 = 2/3
+    assert(rows("b").getLong(4) == 666666L)
+    assert(rows("b").getLong(5) == 1000000L)
+    assert(rows("b").getLong(6) == 800000L)
+    assert(rows("a").isNullAt(7) && rows("b").isNullAt(7))
+    // __all: n=4 agree=3, pe = 2*1 + 2*3 = 8, kappa = (12-8)/(16-8) = .5
+    val all = rows("__all")
+    assert(all.getLong(1) == 4L && all.getLong(3) == 3L)
+    assert(all.getLong(4) == 750000L)
+    assert(all.getLong(7) == 500000L)
+  }
+
+  test("classifierAudit: never-predicted class has NULL precision") {
+    val df = Seq(("a", "b"), ("b", "b")).toDF("t", "p")
+    val got = Eval.classifierAudit(df, $"t", $"p").orderBy("label").collect()
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.isNullAt(4))              // precision undefined
+    assert(a.getLong(5) == 0L)         // recall 0
+  }
+
   test("targetEncodeLoo: leave-one-out means, singleton NULL") {
     val df = Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "a", 9L), (4L, "b", 7L))
       .toDF("id", "k", "y")

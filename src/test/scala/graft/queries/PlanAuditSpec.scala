@@ -76,8 +76,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // stream; q183 first-touch-builds the inverted index and reads its
     // sidecar meta
     "q180_negative_sample", "q182_stream_attribution", "q183_bm25_index",
-    // q189 runs the co-visitation stream at plan-build
-    "q189_stream_covisit")
+    // q189 runs the co-visitation stream at plan-build; q191
+    // localCheckpoints the confusion matrix (the q95 pattern)
+    "q189_stream_covisit", "q191_kappa")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
