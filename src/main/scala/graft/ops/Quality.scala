@@ -405,4 +405,67 @@ object Quality {
         .otherwise(dec(col("n_keys")) * dec(col("n_rows")))
         .cast("decimal(38,0)").as("gini_den"))
   }
+
+  /** T-CLOSENESS audit — the third member of the release-readiness
+    * family ([[kAnonymity]] group sizes, [[lDiversity]] sensitive
+    * variety, HERE sensitive DISTRIBUTION): a group can be large AND
+    * varied yet still leak — if its salary distribution skews far from
+    * the table's, membership shifts an attacker's posterior. For an
+    * ORDERED sensitive attribute the Li et al. distance is the earth
+    * mover's distance with unit adjacent-step cost =
+    * (1/(m−1))·Σᵢ|prefixᵢ(Q_g − P)| over the m sorted values; carried
+    * CROSS-MULTIPLIED (|cum_g·N − cum·n_g| — every term integral, the
+    * driftAudit convention) and reported as floor-divided ppm; groups
+    * with t_x1e6 > `tX1e6` are flagged. A table with one sensitive
+    * value (m = 1) is trivially 0-close.
+    *
+    * Scale shape: ONE exchange aggregates the fact table to
+    * (QI, value) counts; the global distribution, group sizes, and N
+    * all derive from that small frame (never a second fact scan); the
+    * dense group×value grid is a broadcast cross of the m-row value
+    * list (the q81 span-grid shape — linear, not quadratic), and the
+    * prefix sums are a window over m rows per group. */
+  def tCloseness(df: DataFrame, qiCols: Seq[(String, Column)],
+      sensitiveCol: Column, tX1e6: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val named = qiCols.map { case (n, c) => c.as(n) }
+    val qis = qiCols.map { case (n, _) => col(n) }
+    val counts = df.select((named :+ sensitiveCol.as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((qis :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // three small-frame consumers, one fact scan
+    val global = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__cg"))
+    val groups = counts.groupBy(qis: _*).agg(sum(col("__c")).as("n"))
+    val tot = global.agg(sum(col("__cg")).as("__nn"),
+      count(lit(1)).as("__m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qis: _*).orderBy(col("__v"))
+    val filled = groups.crossJoin(broadcast(global))
+      .join(counts, qiCols.map(_._1) :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val terms = filled
+      .withColumn("__cumg", sum(col("__c")).over(w))
+      .withColumn("__cum", sum(col("__cg")).over(w))
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__rk") < col("__m")) // the m-th prefix is always 0
+      .groupBy((qis ++ Seq(col("n"), col("__nn"), col("__m"))): _*)
+      .agg(sum(abs(dec(col("__cumg")) * dec(col("__nn")) -
+        dec(col("__cum")) * dec(col("n")))).as("__s"))
+    val scored = terms
+      .withColumn("__den",
+        dec(col("n")) * dec(col("__nn")) * (dec(col("__m")) - 1))
+      .withColumn("t_x1e6",
+        expr("CAST((__s * 1000000) div __den AS BIGINT)"))
+    // m = 1 groups never reach `terms` (no row has rk < 1) — re-attach
+    // them as trivially 0-close so the report covers every group
+    val degenerate = groups.crossJoin(broadcast(tot))
+      .filter(col("__m") === 1)
+      .select((qis ++ Seq(col("n"), lit(0L).as("t_x1e6"))): _*)
+    scored.select((qis ++ Seq(col("n"), col("t_x1e6"))): _*)
+      .unionAll(degenerate)
+      .withColumn("at_risk", col("t_x1e6") > tX1e6)
+  }
 }

@@ -3802,7 +3802,45 @@ object AnalyticsQueries {
     "Classifier agreement: per-class precision/recall/F1 + Cohen's " +
       "kappa for the langId predictor vs the true label, exact ppm")
 
+  /** T-closeness audit ([[graft.ops.Quality.tCloseness]] — the third
+    * release-readiness member after q141 k-anonymity and q143
+    * l-diversity): per-(priority, status) QI group, the ordered EMD
+    * between the group's order-total distribution and the table's,
+    * cross-multiplied exact integer, ppm-reported, flagged past
+    * t = 0.15. */
+  private val q192 = Q(
+    (s, dir) => graft.ops.Quality.tCloseness(table(s, dir, "orders"),
+        Seq("priority" -> col("o_orderpriority"),
+          "status" -> col("o_orderstatus")),
+        floor(col("o_totalprice") / 20000).cast("long"), tX1e6 = 150000L)
+      .orderBy("priority", "status"),
+    Some("WITH b AS (SELECT o_orderpriority AS priority, o_orderstatus AS status, " +
+      "CAST(floor(o_totalprice / 20000) AS BIGINT) AS v FROM orders " +
+      "WHERE o_totalprice IS NOT NULL), " +
+      "cnt AS (SELECT priority, status, v, count(*) AS c FROM b GROUP BY 1, 2, 3), " +
+      "glob AS (SELECT v, sum(c) AS cg FROM cnt GROUP BY v), " +
+      "grp AS (SELECT priority, status, sum(c) AS n FROM cnt GROUP BY 1, 2), " +
+      "tot AS (SELECT sum(cg) AS nn, count(*) AS m FROM glob), " +
+      "grid AS (SELECT priority, status, n, v, cg FROM grp CROSS JOIN glob), " +
+      "fil AS (SELECT g.priority, g.status, g.n, g.v, g.cg, " +
+      "coalesce(c.c, 0) AS c FROM grid g LEFT JOIN cnt c " +
+      "ON g.priority = c.priority AND g.status = c.status AND g.v = c.v), " +
+      "w AS (SELECT priority, status, n, " +
+      "sum(c) OVER pw AS cumg, sum(cg) OVER pw AS cum, " +
+      "row_number() OVER pw AS rk FROM fil " +
+      "WINDOW pw AS (PARTITION BY priority, status ORDER BY v)), " +
+      "s AS (SELECT priority, status, n, nn, m, " +
+      "sum(abs(CAST(cumg AS HUGEINT) * nn - CAST(cum AS HUGEINT) * n)) AS ss " +
+      "FROM w CROSS JOIN tot WHERE rk < m GROUP BY 1, 2, 3, 4, 5) " +
+      "SELECT priority, status, CAST(n AS BIGINT) AS n, " +
+      "CAST((ss * 1000000) // (CAST(n AS HUGEINT) * nn * (m - 1)) AS BIGINT) AS t_x1e6, " +
+      "CAST((ss * 1000000) // (CAST(n AS HUGEINT) * nn * (m - 1)) AS BIGINT) > 150000 AS at_risk " +
+      "FROM s ORDER BY priority, status"),
+    "T-closeness audit: per-QI-group ordered EMD of the sensitive " +
+      "distribution vs the table's, exact cross-multiplied ppm")
+
   val all: Map[String, Q] = Map(
+    "q192_t_closeness" -> q192,
     "q191_kappa" -> q191,
     "q190_rec_eval" -> q190,
     "q189_stream_covisit" -> q189,
