@@ -496,22 +496,55 @@ object Bench {
         .matcher(line)
       if (m.find()) Some(m.group(1)) else None
     }
+    // r13: clean-best is kept PER SURFACE (sf × timed-query count) under
+    // bench_runs/BEST_*.json — the r12 guard's "surface changed ⇒ old
+    // best is obsolete" let the FIRST (possibly heavily unclean) artifact
+    // at a grown surface displace a clean smaller-surface best; now a
+    // displaced best is preserved as its per-surface file and the
+    // strictly-better rule (fewer unclean, then faster) applies within
+    // each surface, including BENCH_BEST.json's own surface.
+    def surfaceBestPath(line: String): Option[java.nio.file.Path] = for {
+      sf <- jsonField(line, "sf")
+      nt <- jsonField(line, "n_timed")
+    } yield archiveDir.resolve(
+      s"BEST_sf${sf.replace("\"", "").replace(".", "p")}_n$nt.json")
+    def strictlyBetter(prev: String, line: String): Boolean = {
+      val pu = jsonField(prev, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
+      val nu = jsonField(line, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
+      val pv = jsonField(prev, "value").map(_.toDouble).getOrElse(Double.MaxValue)
+      val nv = jsonField(line, "value").map(_.toDouble).getOrElse(Double.MaxValue)
+      nu < pu || (nu == pu && nv < pv)
+    }
     def maybePromoteBest(line: String): Unit = try {
+      val bestAtOwnSurface = surfaceBestPath(line) match {
+        case Some(p) =>
+          val better = !java.nio.file.Files.exists(p) || strictlyBetter(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), line)
+          if (better) {
+            java.nio.file.Files.createDirectories(archiveDir)
+            java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+          }
+          better
+        case None => true
+      }
       val better =
-        if (!java.nio.file.Files.exists(bestFile)) true
+        if (!java.nio.file.Files.exists(bestFile)) bestAtOwnSurface
         else {
           val prev = new String(java.nio.file.Files.readAllBytes(bestFile), "UTF-8")
           val sameSurface =
             jsonField(prev, "sf") == jsonField(line, "sf") &&
             jsonField(prev, "n_timed") == jsonField(line, "n_timed")
-          if (!sameSurface) true // surface changed: old best is obsolete
-          else {
-            val pu = jsonField(prev, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
-            val nu = jsonField(line, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
-            val pv = jsonField(prev, "value").map(_.toDouble).getOrElse(Double.MaxValue)
-            val nv = jsonField(line, "value").map(_.toDouble).getOrElse(Double.MaxValue)
-            nu < pu || (nu == pu && nv < pv)
-          }
+          if (!sameSurface) {
+            // surface changed: keep the outgoing best as its per-surface
+            // file (pre-scheme artifacts have none) before displacing it
+            surfaceBestPath(prev).foreach { p =>
+              if (!java.nio.file.Files.exists(p)) {
+                java.nio.file.Files.createDirectories(archiveDir)
+                java.nio.file.Files.write(p, prev.getBytes("UTF-8"))
+              }
+            }
+            bestAtOwnSurface
+          } else strictlyBetter(prev, line)
         }
       if (better) {
         java.nio.file.Files.write(bestFile, (line + "\n").getBytes("UTF-8"))

@@ -223,6 +223,54 @@ object CatalystExpressions {
       copy(left = l, right = r)
   }
 
+  /** Polynomial rolling hash over the UTF-16 code units of a string:
+    * fold(acc = 0; acc = (acc·31 + char) mod 1e9+7) — the ONE definition
+    * shared by the Column path ([[graft.functions.TextFunctions.polyHash]]),
+    * the driver-side twin (`TextAnalysis.polyHashLocal` — serve-time
+    * partition pruning computes query-term buckets without a Spark job),
+    * and [[CdcChunks]]' boundary rule, so index-build bucketing and
+    * serve-time pruning can NEVER disagree, on any input. Equals the
+    * DuckDB oracle's ascii()-per-split-char replay on all
+    * basic-multilingual-plane text (a UTF-16 unit IS the code point
+    * there); supplementary-plane input hashes surrogate halves —
+    * engine-self-consistent, oracle-divergent (documented contract).
+    * The fold never goes negative (code units are unsigned), so
+    * `hash % n == pmod(hash, n)` for bucket math. */
+  case class PolyHash(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_poly_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        acc = (acc * 31 + s.charAt(i)) % 1000000007L
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val str = ctx.freshName("str")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |java.lang.String $str = $s.toString();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $str.length(); $i++) {
+           |  $acc = ($acc * 31L + $str.charAt($i)) % 1000000007L;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Polynomial rolling hash over the BYTES of a binary column:
     * Σ b·31^i mod 1e9+7, left-to-right — the binary twin of
     * TextFunctions.polyHash (equal on pure-ASCII payloads), codegen'd so
@@ -1164,6 +1212,8 @@ object CatalystExpressions {
       es => WordNGrams(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_bytehash",
       es => BytePolyHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_hash",
+      es => PolyHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       es => BloomContains(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaro_winkler",
@@ -1247,6 +1297,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bytehash"),
       info("graft_bytehash", "_FUNC_(bin) - 31-base polynomial hash over bytes mod 1e9+7"),
       es => BytePolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "_FUNC_(text) - 31-base polynomial hash over UTF-16 code units mod 1e9+7"),
+      es => PolyHash(es.head)))
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "_FUNC_(filterBytes, key) - Bloom-filter membership probe (literal filter, long key)"),
       es => BloomContains(es.head, es(1))))

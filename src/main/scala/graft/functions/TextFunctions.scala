@@ -36,12 +36,17 @@ object TextFunctions {
         .otherwise(array().cast("array<string>")))
 
   /** Polynomial rolling hash over the characters of a string:
-    * fold(acc = 0; acc = (acc*31 + codepoint) mod 1e9+7). Reproducible in
-    * the DuckDB oracle as a list_reduce over the same fold. */
+    * fold(acc = 0; acc = (acc*31 + char) mod 1e9+7), compiled
+    * (CatalystExpressions.PolyHash — callers must have registered the
+    * graft functions; Queries.table and every graft.ops entry point do).
+    * ONE fold definition shared with the driver-side twin
+    * (TextAnalysis.polyHashLocal) and CdcChunks' boundary rule, so
+    * index bucketing and serve-time pruning agree on ANY input; the
+    * DuckDB oracles' ascii()-per-split-char list_reduce replays it
+    * exactly on all BMP text (a UTF-16 unit is the code point there —
+    * the earlier ascii()-based Column fold diverged from both on every
+    * non-ASCII char, silently mis-bucketing non-ASCII index terms). */
   def polyHash(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % PolyMod)
+    call_function("graft_poly_hash", text)
 
 }

@@ -286,9 +286,13 @@ object Eval {
     * for the consumer's prior-imputation policy, never a fabricated 0).
     *
     * Scale shape: one keyed agg for (S, n) per key, then the agg frame
-    * joins back — aggregated keys are |distinct keys| rows, so the join
-    * is broadcast at any realistic key cardinality; no window over the
-    * fact table, no self-join. */
+    * joins back. NO broadcast hint on the stats frame: LOO encoding
+    * exists precisely FOR high-cardinality keys (user ids, URLs), where
+    * a forced broadcast of tens of millions of (key, S, n) rows OOMs
+    * the driver — AQE sizes the built side at runtime and broadcasts
+    * exactly when it fits (below spark.sql.autoBroadcastJoinThreshold),
+    * falling back to a shuffle join on the same key partitioning the
+    * agg just produced; no window over the fact table, no self-join. */
   def targetEncodeLoo(df: DataFrame, idCol: Column, keyCol: Column,
       targetUnitsCol: Column): DataFrame = {
     val base = df.select(idCol.as("id"), keyCol.as("key"),
@@ -296,7 +300,7 @@ object Eval {
       .filter(col("key").isNotNull && col("__y").isNotNull)
     val stats = base.groupBy(col("key"))
       .agg(sum(dec(col("__y"))).as("__sy"), count(lit(1)).as("__n"))
-    base.join(broadcast(stats), "key")
+    base.join(stats, "key")
       .withColumn("__num", col("__sy") - dec(col("__y")))
       .select(col("id"), col("key"),
         when(col("__n") === 1, lit(null))

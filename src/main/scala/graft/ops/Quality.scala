@@ -436,36 +436,34 @@ object Quality {
       .groupBy((qis :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // three small-frame consumers, one fact scan
+    // N and m ride along the m-row global frame as unpartitioned window
+    // aggregates (single-partition over m rows — cheap), so no 1-row
+    // scalar frame ever needs a nested-loop cross into the grid
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val global = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__cg"))
+      .withColumn("__nn", sum(col("__cg")).over(wAll))
+      .withColumn("__m", count(lit(1)).over(wAll))
     val groups = counts.groupBy(qis: _*).agg(sum(col("__c")).as("n"))
-    val tot = global.agg(sum(col("__cg")).as("__nn"),
-      count(lit(1)).as("__m"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qis: _*).orderBy(col("__v"))
     val filled = groups.crossJoin(broadcast(global))
       .join(counts, qiCols.map(_._1) :+ "__v", "left")
       .na.fill(0L, Seq("__c"))
+    // the m-th (full) prefix is identically 0 (cum_g·N − cum·n =
+    // n·N − N·n), so no rk filter is needed — and an m = 1 table
+    // yields __s = 0, i.e. trivially 0-close, in the same pass
     val terms = filled
       .withColumn("__cumg", sum(col("__c")).over(w))
       .withColumn("__cum", sum(col("__cg")).over(w))
-      .withColumn("__rk", row_number().over(w))
-      .crossJoin(broadcast(tot))
-      .filter(col("__rk") < col("__m")) // the m-th prefix is always 0
       .groupBy((qis ++ Seq(col("n"), col("__nn"), col("__m"))): _*)
       .agg(sum(abs(dec(col("__cumg")) * dec(col("__nn")) -
         dec(col("__cum")) * dec(col("n")))).as("__s"))
     val scored = terms
       .withColumn("__den",
         dec(col("n")) * dec(col("__nn")) * (dec(col("__m")) - 1))
-      .withColumn("t_x1e6",
-        expr("CAST((__s * 1000000) div __den AS BIGINT)"))
-    // m = 1 groups never reach `terms` (no row has rk < 1) — re-attach
-    // them as trivially 0-close so the report covers every group
-    val degenerate = groups.crossJoin(broadcast(tot))
-      .filter(col("__m") === 1)
-      .select((qis ++ Seq(col("n"), lit(0L).as("t_x1e6"))): _*)
+      .withColumn("t_x1e6", when(col("__m") === 1, lit(0L))
+        .otherwise(expr("CAST((__s * 1000000) div __den AS BIGINT)")))
     scored.select((qis ++ Seq(col("n"), col("t_x1e6"))): _*)
-      .unionAll(degenerate)
       .withColumn("at_risk", col("t_x1e6") > tX1e6)
   }
 }

@@ -135,8 +135,10 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint (see TextFunctions.polyHash). */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
     docs.withColumn("fp", polyHash(col(textCol)))
+  }
 
   /** Repetition-based quality signals (the Gopher/C4-style rules every
     * production corpus filter applies before training):
@@ -365,7 +367,9 @@ object TextAnalysis {
   /** Driver-side twin of [[graft.functions.TextFunctions.polyHash]] —
     * the index bucket of a term must be computable WITHOUT a Spark job
     * (serve-time partition pruning needs the query terms' buckets as
-    * literals). */
+    * literals). Folds UTF-16 code units, the SAME fold as the compiled
+    * CatalystExpressions.PolyHash the index build uses — byte-for-byte
+    * agreement on any input (non-negative, so % nBuckets == pmod). */
   private[graft] def polyHashLocal(s: String): Long =
     s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
 

@@ -2597,6 +2597,13 @@ object AnalyticsQueries {
   private val q147 = Q(
     (s, dir) => graft.ops.TimeSeries.trendFit(
         table(s, dir, "events"), "event_type", "ts", "event_id", "value")
+      // exact rationals exported as decimal STRINGS: the harness's hash
+      // canonicalization is fragile on exposed DECIMAL(38,0) columns
+      // (values proved identical at r12); the string form is stable
+      .select(col("event_type"), col("n"),
+        col("slope_num").cast("string").as("slope_num"),
+        col("icept_num").cast("string").as("icept_num"),
+        col("den").cast("string").as("den"))
       .orderBy("event_type"),
     Some(EV + ", e AS (SELECT event_type, ts, event_id, " +
       "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y " +
@@ -2609,11 +2616,11 @@ object AnalyticsQueries {
       "FROM k GROUP BY event_type) " +
       "SELECT event_type, n, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS DECIMAL(38,0)) END AS slope_num, " +
+      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS VARCHAR) END AS slope_num, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(sy*skk - sk*sky AS DECIMAL(38,0)) END AS icept_num, " +
+      "CAST(sy*skk - sk*sky AS VARCHAR) END AS icept_num, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS DECIMAL(38,0)) END AS den " +
+      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS VARCHAR) END AS den " +
       "FROM s ORDER BY event_type"),
     "Per-key OLS trend over observation order: slope/intercept as exact " +
       "rationals (no division ever), DECIMAL(38,0) sufficient stats, " +
@@ -2639,6 +2646,10 @@ object AnalyticsQueries {
         origin)
       q.processAllAvailable(); q.stop()
       graft.streaming.StreamSink.readTrend(s, s"$scratch/stats", "event_type")
+        .select(col("event_type"), col("n"),
+          col("slope_num").cast("string").as("slope_num"),
+          col("icept_num").cast("string").as("icept_num"),
+          col("den").cast("string").as("den"))
         .orderBy("event_type")
     },
     Some(EV + ", e AS (SELECT event_type, " +
@@ -2650,11 +2661,11 @@ object AnalyticsQueries {
       "FROM e GROUP BY event_type) " +
       "SELECT event_type, n, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS DECIMAL(38,0)) END AS slope_num, " +
+      "CAST(CAST(n AS HUGEINT)*sky - sk*sy AS VARCHAR) END AS slope_num, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(sy*skk - sk*sky AS DECIMAL(38,0)) END AS icept_num, " +
+      "CAST(sy*skk - sk*sky AS VARCHAR) END AS icept_num, " +
       "CASE WHEN CAST(n AS HUGEINT)*skk - sk*sk = 0 THEN NULL ELSE " +
-      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS DECIMAL(38,0)) END AS den " +
+      "CAST(CAST(n AS HUGEINT)*skk - sk*sk AS VARCHAR) END AS den " +
       "FROM s ORDER BY event_type"),
     "Streaming trend maintenance: exactly-once per-batch OLS moment " +
       "landings, exact rational fit recovered at read — hash-equal to " +
@@ -2689,7 +2700,10 @@ object AnalyticsQueries {
     * share — the shuffle-planning diagnostic run before the join/agg
     * that dies on a hot key. */
   private val q155 = Q(
-    (s, dir) => graft.ops.Quality.keySkew(table(s, dir, "events"), "user_id"),
+    (s, dir) => graft.ops.Quality.keySkew(table(s, dir, "events"), "user_id")
+      .select(col("n_keys"), col("n_rows"), col("max_share_ppm"),
+        col("gini_num").cast("string").as("gini_num"),
+        col("gini_den").cast("string").as("gini_den")),
     Some(EV + ", c AS (SELECT user_id, count(*) AS c FROM ev " +
       "GROUP BY user_id), " +
       "r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c), " +
@@ -2699,9 +2713,9 @@ object AnalyticsQueries {
       "SELECT n_keys, n_rows, " +
       "CAST(maxc * 1000000 // n_rows AS BIGINT) AS max_share_ppm, " +
       "CAST(2*ic - CAST(n_keys + 1 AS HUGEINT) * CAST(n_rows AS HUGEINT) " +
-      "AS DECIMAL(38,0)) AS gini_num, " +
+      "AS VARCHAR) AS gini_num, " +
       "CAST(CAST(n_keys AS HUGEINT) * CAST(n_rows AS HUGEINT) " +
-      "AS DECIMAL(38,0)) AS gini_den FROM a"),
+      "AS VARCHAR) AS gini_den FROM a"),
     "Key-skew audit: per-key count distribution as n_keys/n_rows/max " +
       "share ppm/exact-rational Gini — one keyed agg + a rank window " +
       "over the keys frame only")
@@ -2816,7 +2830,7 @@ object AnalyticsQueries {
         .agg(sum(dec(col("u") * col("k"))).as("vwap_num"),
           sum(col("k")).as("vwap_den"), count(lit(1)).as("n"))
         .select(col("event_type"), col("day"), col("n"),
-          col("vwap_num"), col("vwap_den"),
+          col("vwap_num").cast("string").as("vwap_num"), col("vwap_den"),
           round(col("vwap_num").cast("double") /
             col("vwap_den").cast("double"), 6).as("vwap6"))
         .orderBy("event_type", "day")
@@ -2828,7 +2842,8 @@ object AnalyticsQueries {
       "a AS (SELECT event_type, day, count(*) AS n, " +
       "CAST(sum(u * k) AS DECIMAL(38,0)) AS vwap_num, " +
       "CAST(sum(k) AS BIGINT) AS vwap_den FROM e GROUP BY event_type, day) " +
-      "SELECT event_type, day, n, vwap_num, vwap_den, " +
+      "SELECT event_type, day, n, CAST(vwap_num AS VARCHAR) AS vwap_num, " +
+      "vwap_den, " +
       dround6("CAST(vwap_num AS DOUBLE) / vwap_den") + " AS vwap6 " +
       "FROM a ORDER BY event_type, day"),
     "VWAP per (type, day): JSON-extracted volume weight, exact rational " +
@@ -3065,7 +3080,7 @@ object AnalyticsQueries {
           sum(dec(col("u")) * dec(col("dt"))).as("twap_num"),
           sum(col("dt")).as("twap_den"))
         .select(col("event_type"), col("day"), col("n"),
-          col("twap_num"), col("twap_den"),
+          col("twap_num").cast("string").as("twap_num"), col("twap_den"),
           round(col("twap_num").cast("double") /
             col("twap_den").cast("double"), 6).as("twap6"))
         .orderBy("event_type", "day")
@@ -3080,7 +3095,8 @@ object AnalyticsQueries {
       "a AS (SELECT event_type, day, count(*) AS n, " +
       "CAST(sum(CAST(u AS HUGEINT) * CAST(dt AS HUGEINT)) AS DECIMAL(38,0)) AS twap_num, " +
       "CAST(sum(dt) AS BIGINT) AS twap_den FROM t GROUP BY event_type, day) " +
-      "SELECT event_type, day, n, twap_num, twap_den, " +
+      "SELECT event_type, day, n, CAST(twap_num AS VARCHAR) AS twap_num, " +
+      "twap_den, " +
       dround6("CAST(twap_num AS DOUBLE) / twap_den") + " AS twap6 " +
       "FROM a ORDER BY event_type, day"),
     "TWAP per (type, day): price weighted by holding time to the next " +
@@ -3818,10 +3834,10 @@ object AnalyticsQueries {
       "CAST(floor(o_totalprice / 20000) AS BIGINT) AS v FROM orders " +
       "WHERE o_totalprice IS NOT NULL), " +
       "cnt AS (SELECT priority, status, v, count(*) AS c FROM b GROUP BY 1, 2, 3), " +
-      "glob AS (SELECT v, sum(c) AS cg FROM cnt GROUP BY v), " +
+      "gv AS (SELECT v, sum(c) AS cg FROM cnt GROUP BY v), " +
       "grp AS (SELECT priority, status, sum(c) AS n FROM cnt GROUP BY 1, 2), " +
-      "tot AS (SELECT sum(cg) AS nn, count(*) AS m FROM glob), " +
-      "grid AS (SELECT priority, status, n, v, cg FROM grp CROSS JOIN glob), " +
+      "tot AS (SELECT sum(cg) AS nn, count(*) AS m FROM gv), " +
+      "grid AS (SELECT priority, status, n, v, cg FROM grp CROSS JOIN gv), " +
       "fil AS (SELECT g.priority, g.status, g.n, g.v, g.cg, " +
       "coalesce(c.c, 0) AS c FROM grid g LEFT JOIN cnt c " +
       "ON g.priority = c.priority AND g.status = c.status AND g.v = c.v), " +

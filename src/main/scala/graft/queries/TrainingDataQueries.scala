@@ -784,7 +784,8 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("u") * col("k"))).as("vwap_num"),
           sum(col("k")).as("vwap_den"))
-        .select(col("session"), col("n"), col("vwap_num"), col("vwap_den"),
+        .select(col("session"), col("n"),
+          col("vwap_num").cast("string").as("vwap_num"), col("vwap_den"),
           round(col("vwap_num").cast("double") /
             col("vwap_den").cast("double"), 6).as("vwap6"))
         .orderBy("session")
@@ -801,7 +802,8 @@ object TrainingDataQueries {
       "a AS (SELECT session, count(*) AS n, " +
       "CAST(sum(u * k) AS DECIMAL(38,0)) AS vwap_num, " +
       "CAST(sum(k) AS BIGINT) AS vwap_den FROM c GROUP BY session) " +
-      "SELECT session, n, vwap_num, vwap_den, " +
+      "SELECT session, n, CAST(vwap_num AS VARCHAR) AS vwap_num, " +
+      "vwap_den, " +
       dround6("CAST(vwap_num AS DOUBLE) / vwap_den") + " AS vwap6 " +
       "FROM a ORDER BY session"),
     "Per-session VWAP: the reference's session classification composed " +

@@ -65,6 +65,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(empty == 0L)
   }
 
+  test("polyHash: compiled fold == driver-side twin on non-ASCII (index bucket agreement)") {
+    // the r12 divergence: the old ascii()-based Column fold hashed the
+    // first UTF-8 byte per char while polyHashLocal folded UTF-16 units,
+    // so a non-ASCII term's postings were written to one bucket and
+    // serve-time pruned to another; the compiled kernel shares the fold
+    val terms = Seq("héllo", "日本語テキスト", "café au lait", "naïve café",
+      "plain ascii", "", "Ωμέγα")
+    val sparkSide = terms.toDF("t")
+      .select(TextFunctions.polyHash(col("t")).as("h")).as[Long].collect().toSeq
+    val local = terms.map(TextAnalysis.polyHashLocal)
+    assert(sparkSide == local)
+    val buckets = terms.map(t => TextAnalysis.polyHashLocal(t) % 16)
+    assert(buckets.forall(b => b >= 0 && b < 16)) // fold never negative
+  }
+
   test("multimodal decode stub checksum equals polyHash on ASCII payloads") {
     val docs = Seq((1L, "hello world graft")).toDF("doc_id", "text")
     val viaBytes = Multimodal.extractFeatures(spark, docs)

@@ -116,7 +116,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q162_cm_join_size", "q159_prf_retrieval",
     // q187 crosses the broadcast 1-row corpus size N into the
     // (token, label) count frame — the q120 corpus-size shape
-    "q187_chi2_features")
+    "q187_chi2_features",
+    // q192 crosses the broadcast m-row global value distribution into
+    // the QI-group frame to build the dense group×value grid — the q81
+    // span-grid shape (linear in |groups|·m, never quadratic); N and m
+    // ride the global frame as window aggs, so no 1-row scalar crosses
+    "q192_t_closeness")
 
   private def planOf(name: String): String = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
