@@ -83,6 +83,46 @@ object TextAnalysis {
         col("tk.n_unk").as("n_unk"), col("tk.id_wsum").as("id_wsum"))
   }
 
+  /** BPE merge LEARNING statistics — the other half of the tokenizer
+    * story ([[subwordTokenStats]] APPLIES a fixed vocab; a vocab is
+    * learned from exactly these statistics): weighted adjacent
+    * char-pair counts over the corpus's word-frequency table, ranked
+    * into the deterministic merge order (count desc, pair asc — the
+    * Sennrich tie-break made total), capped at `m` merges. This is BPE's
+    * seed round computed EXACTLY at corpus scale; the iterative rounds
+    * (re-count after each merge) run downstream on the bounded
+    * word-frequency table this op already reduces the corpus to — the
+    * corpus-sized work is all here.
+    *
+    * Scale shape: exchange 1 = word counts (map-side combinable, the
+    * zipf head collapses early); the pair explosion then runs over the
+    * BOUNDED vocab frame (|distinct words|, not corpus rows — at 100 TB
+    * this is the difference between exploding 10¹¹ docs and 10⁷ vocab
+    * entries); exchange 2 = pair counts (≤ |charset|² groups, tiny);
+    * the top-m cut is a LIMIT under a total order, never a global sort
+    * of the corpus. Output: (rank, pair, lhs, rhs, cnt). */
+  def bpeMergeStats(docs: DataFrame, m: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, s"need at least one merge, got $m")
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pairs = vocab
+      .select(col("freq"), explode(when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.orderBy(col("cnt").desc, col("pair")).limit(m)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"),
+        substring(col("pair"), 1, 1).as("lhs"),
+        substring(col("pair"), 2, 1).as("rhs"), col("cnt"))
+  }
+
   /** Exact-phrase probe scan — the multi-pattern containment pass
     * exact-substring decontamination runs (benchmark answer strings,
     * canary GUIDs, blocked passages): one
@@ -590,6 +630,116 @@ object TextAnalysis {
     // (qid, id) aggregation's clustering AND the window's, so the
     // explicit repartition replaces two back-to-back shuffles of the
     // scored frame with one.
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col("id").asc)
+    contrib.repartition(col("qid")).groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(transform(array_sort(collect_list(struct(term, c))), " +
+          "x -> x.c), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("s"))
+      .withColumn("bm25", round(col("s"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("bm25"))
+  }
+
+  /** Durable SHINGLE posting index for the bulk more-like-this serve —
+    * the lexical twin of [[graft.ops.Similarity.writeIndex]]'s IVF side
+    * in the hybrid (q107) stack: [[bm25MoreLikeThis]] re-tokenizes the
+    * corpus on every run, which is right exactly once; a search service
+    * tokenizes at INGEST and serves every query from postings. Unlike
+    * [[writeBm25Index]] (external keyword queries → bucket-pruned scan),
+    * a BULK more-like-this probes every term, so pruning buys nothing —
+    * what matters is the posting⋈posting join, and the index is laid out
+    * to make it exchange-free: a Spark BUCKETED table on `term`
+    * (`bucketBy` + `sortBy`, one file per bucket via the pre-repartition
+    * on the same murmur hash), so query-side and candidate-side scans of
+    * the SAME table are co-partitioned and the term join plans with ZERO
+    * exchanges at any corpus scale; `dl` rides denormalized on every
+    * posting row (the impact-data convention) so no doclen join exists
+    * at serve. Corpus stats (N over ALL live docs — zero-shingle docs
+    * count — and Σdl) publish to the [[writeBm25Index]] meta.tsv sidecar
+    * (tmp+rename), read back as literals: zero Spark jobs, no 1-row
+    * scalar cross. */
+  def writeMltIndex(docs: DataFrame, path: String, tableName: String,
+      shingleWidth: Int = 3, nBuckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(nBuckets >= 1 && shingleWidth >= 1)
+    val spark = docs.sparkSession
+    graft.functions.CatalystExpressions.register(spark)
+    val live = docs.filter(col(textCol).isNotNull)
+    val ws = words(col(textCol))
+    val grams = when(size(ws) >= shingleWidth,
+      call_function("graft_word_windows", col(textCol), lit(shingleWidth),
+        lit(1))).otherwise(array().cast("array<string>"))
+    val posted = live
+      .select(col(idCol).as("doc_id"),
+        greatest(size(ws) - (shingleWidth - 1), lit(0)).cast("long").as("dl"),
+        explode(call_function("graft_word_counts", grams)).as("tc"))
+      .select(col("tc.term").as("term"), col("doc_id"),
+        col("tc.tf").as("tf"), col("dl"))
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    posted.repartition(nBuckets, col("term"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .option("path", s"$path/postings")
+      .saveAsTable(tableName)
+    val stats = live.agg(count(lit(1)).as("n"),
+      sum(greatest(size(ws) - (shingleWidth - 1), lit(0)).cast("long"))
+        .as("sdl")).head()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"${stats.getLong(0)}\t${stats.getLong(1)}\t$nBuckets\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish index meta at $dst")
+  }
+
+  /** Re-attach the bucketed postings table in a FRESH session whose
+    * in-memory catalog lost it: the files carry their bucket ids in the
+    * Spark bucketed-writer filenames, so an external CREATE TABLE with
+    * the same spec restores exchange-free reads without touching data. */
+  private def ensureMltTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, tableName: String, nBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(tableName))
+      spark.sql(s"CREATE TABLE $tableName " +
+        "(term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) USING PARQUET " +
+        s"CLUSTERED BY (term) SORTED BY (term) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$path/postings'")
+
+  /** Bulk BM25 more-like-this SERVED from the durable shingle index:
+    * [[bm25MoreLikeThis]]'s exact arithmetic and output, with the
+    * tokenize pass and every term-side exchange gone — query postings,
+    * candidate postings, and the df aggregate are all reads/aggregates
+    * of the SAME term-bucketed table, so the candidate join and the df
+    * join are co-partitioned (no shuffle) and the single exchange in the
+    * plan is the final hash(qid) placement the score fold + rank window
+    * share. `isQuery` must be a predicate over `doc_id` (the only doc
+    * attribute the index carries). */
+  def bm25MoreLikeThisFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, tableName: String, isQuery: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"invalid k=$k")
+    val (n, sdl, nBuckets) = readBm25Meta(spark, path)
+    ensureMltTable(spark, path, tableName, nBuckets)
+    val posted = spark.table(tableName)
+    val qt = posted.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("term"))
+    val dfq = posted.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = sdl.toDouble / n
+    val contrib = qt
+      .join(posted.select(col("term"), col("doc_id").as("id"),
+        col("tf"), col("dl")), "term")
+      .filter(col("id") =!= col("qid"))
+      .join(dfq, "term")
+      .withColumn("c",
+        ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl)))))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("bm25").desc, col("id").asc)
     contrib.repartition(col("qid")).groupBy(col("qid"), col("id"))

@@ -3855,7 +3855,35 @@ object AnalyticsQueries {
     "T-closeness audit: per-QI-group ordered EMD of the sensitive " +
       "distribution vs the table's, exact cross-multiplied ppm")
 
+  /** BPE merge learning ([[graft.ops.TextAnalysis.bpeMergeStats]] —
+    * q135 APPLIES a fixed subword vocab; this learns the merge list
+    * that builds one): weighted adjacent char-pair counts over the
+    * word-frequency table, deterministic merge order (count desc, pair
+    * asc), top-50 — BPE's corpus-scale seed round, exact. The oracle
+    * replays the word counts, the per-position pair explosion, and the
+    * ranked cut. */
+  private val q193 = Q(
+    (s, dir) => graft.ops.TextAnalysis.bpeMergeStats(
+        table(s, dir, "documents"), m = 50)
+      .orderBy("rank"),
+    Some("WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "v AS (SELECT w, count(*) AS freq FROM wd WHERE w <> '' GROUP BY w), " +
+      "pr AS (SELECT unnest([substr(w, CAST(i AS INT), 2) " +
+      "for i in range(1, length(w))]) AS pair, freq FROM v), " +
+      "pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt " +
+      "FROM pr GROUP BY pair), " +
+      "top AS (SELECT pair, cnt, row_number() OVER " +
+      "(ORDER BY cnt DESC, pair) AS rank FROM pc) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, pair, " +
+      "substr(pair, 1, 1) AS lhs, substr(pair, 2, 1) AS rhs, cnt " +
+      "FROM top WHERE rank <= 50 ORDER BY rank"),
+    "BPE merge learning: weighted char-pair counts over the word-" +
+      "frequency table, deterministic merge ranking, bounded vocab — " +
+      "the tokenizer-learning half of the q135 apply step")
+
   val all: Map[String, Q] = Map(
+    "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,
     "q191_kappa" -> q191,
     "q190_rec_eval" -> q190,

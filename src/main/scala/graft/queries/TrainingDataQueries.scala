@@ -1264,6 +1264,17 @@ object TrainingDataQueries {
         Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
         graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
       }
+      // r13: the LEXICAL side serves from a durable shingle posting
+      // index too (VERDICT r12 item 5) — same first-touch protocol,
+      // term-bucketed table so the serve's posting join is exchange-free
+      val mlt = s"$scratch-mlt"
+      val mltTbl = "graft_mlt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val dfp = graft.io.Lake.sourceFingerprint(s, s"$dir/documents.parquet")
+      if (!graft.io.Lake.exists(s, s"$mlt/postings") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$mlt/_source_fp", dfp)) {
+        TextAnalysis.writeMltIndex(table(s, dir, "documents"), mlt, mltTbl)
+        graft.io.Lake.writeFingerprint(s, s"$mlt/_source_fp", dfp)
+      }
       // pruneScan=false (r12, tools/RrfProbe A/B: 1.07 -> 0.58 s warm):
       // this is a BULK serve — queries are 10% of the corpus, so the
       // probed-cell union covers every cell and the pruning collect job
@@ -1275,7 +1286,7 @@ object TrainingDataQueries {
           col("vec_id") % 10 === 0, k = 10, nProbe = 2, pruneScan = false,
           sorted = false)
         .select(col("qid"), col("neighbor").as("id"), col("rnk"))
-      val lex = TextAnalysis.bm25MoreLikeThis(table(s, dir, "documents"),
+      val lex = TextAnalysis.bm25MoreLikeThisFromIndex(s, mlt, mltTbl,
           col("doc_id") % 10 === 0, k = 10)
         .select(col("qid"), col("id"), col("rnk"))
       graft.ops.Fusion.rrfFuse(Seq(sem, lex), topK = 10)

@@ -80,6 +80,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(buckets.forall(b => b >= 0 && b < 16)) // fold never negative
   }
 
+  test("bpeMergeStats: freq-weighted pair counts, deterministic order, bounded") {
+    // vocab: ab freq 3, cd freq 1, x freq 1 (len<2 -> no pairs)
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergeStats(docs, m = 10).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ab", "a", "b", 3L), (2L, "cd", "c", "d", 1L)))
+    // m caps the merge list; ties cut deterministically by pair asc
+    val capped = TextAnalysis.bpeMergeStats(docs, m = 1).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(capped == Seq((1L, "ab", "a", "b", 3L)))
+    // overlapping pairs: "aaa" (freq 1) yields aa at two positions -> cnt 2
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeMergeStats(tri, m = 5).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(g2 == Seq((1L, "aa", "a", "a", 2L)))
+  }
+
   test("multimodal decode stub checksum equals polyHash on ASCII payloads") {
     val docs = Seq((1L, "hello world graft")).toDF("doc_id", "text")
     val viaBytes = Multimodal.extractFeatures(spark, docs)
@@ -203,6 +220,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     // candidates = docs sharing >= 1 shingle with doc 0, never itself
     assert(out.map(_._3).toSet == Set(1L, 2L))
     assert(out == Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("bm25MoreLikeThisFromIndex == bm25MoreLikeThis; no term exchange in the serve") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      // rotate so neighbors share shingles; every 5th doc is short
+      val words =
+        if (i % 5 == 4) Seq("xy")
+        else (0 until 5).map(j => base(((i + j) % base.size).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val path = graft.queries.Queries.scratchRoot + "/mlt-spec"
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    TextAnalysis.writeMltIndex(docs, path, "graft_mlt_spec", nBuckets = 4)
+    val isq = col("doc_id") % 3 === 0
+    val direct = TextAnalysis.bm25MoreLikeThis(docs, isq, k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    val served = TextAnalysis.bm25MoreLikeThisFromIndex(
+        spark, path, "graft_mlt_spec", isq, k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(served == direct)
+    // the bucketed layout's point: query/candidate/df reads of the SAME
+    // term-bucketed table join with ZERO term exchanges — the only hash
+    // exchange in the serve is the final qid placement
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.bm25MoreLikeThisFromIndex(
+        spark, path, "graft_mlt_spec", isq, k = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(term"),
+        s"serve plan shuffles on term:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("redactPii counts and redacts emails/phones; clean text untouched") {
