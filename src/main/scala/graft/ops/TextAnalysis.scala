@@ -103,18 +103,44 @@ object TextAnalysis {
     * of the corpus. Output: (rank, pair, lhs, rhs, cnt). */
   def bpeMergeStats(docs: DataFrame, m: Int,
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(m >= 1, s"need at least one merge, got $m")
     val vocab = docs.filter(col(textCol).isNotNull)
       .select(explode(words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val pairs = vocab
-      .select(col("freq"), explode(when(length(col("w")) >= 2,
-          transform(sequence(lit(1), length(col("w")) - 1),
-            i => col("w").substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))).as("pair"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val partials = vocab
+      .select(col("freq").as("cnt"), explode(charPairs(col("w"))).as("pair"))
+    bpeMergesFromCounts(partials, m)
+  }
+
+  /** Adjacent char bigrams of a word, one per position (length < 2 →
+    * none) — the pair explosion [[bpeMergeStats]] runs over the vocab
+    * frame and [[bpePairCounts]] over raw occurrences. */
+  private def charPairs(w: Column): Column =
+    when(length(w) >= 2,
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-batch PARTIAL pair counts over word OCCURRENCES — the
+    * distributive core the streaming maintainer lands: counting each
+    * occurrence's pairs directly equals [[bpeMergeStats]]' freq-weighted
+    * vocab fold (the vocab agg is a volume optimization, not
+    * semantics), and partials merge by SUM, so per-batch landings
+    * recover the corpus statistics exactly under any batch split.
+    * Output ≤ |charset|² rows per batch regardless of batch size —
+    * the sketch-landing bound. */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(charPairs(col("w"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge (pair, cnt) partials and rank the top-`m` merges — shared by
+    * the batch path and the streaming read side. */
+  def bpeMergesFromCounts(counts: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, s"need at least one merge, got $m")
+    val pairs = counts.groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
     val w = Window.orderBy(col("cnt").desc, col("pair"))
     pairs.orderBy(col("cnt").desc, col("pair")).limit(m)
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -3882,7 +3882,33 @@ object AnalyticsQueries {
       "frequency table, deterministic merge ranking, bounded vocab — " +
       "the tokenizer-learning half of the q135 apply step")
 
+  /** STREAMING BPE pair maintenance (the NINETEENTH streaming query —
+    * q193's incremental twin): per-batch bounded (pair, cnt) partial
+    * landings (exactly-once via the [[graft.streaming.StreamSink
+    * .landBatch]] rename protocol), live merge list = sum + rank at
+    * read — hash-equal to the direct batch statistics and to q193's
+    * whole-corpus oracle by the distributivity of pair counts (the
+    * q124/q151 merge-invariance argument applied to tokenizer
+    * learning). */
+  private val q194 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q194-bpestream"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val stream = Queries.stagedTableStream(s, dir, "q194", "documents")
+      val q = graft.streaming.StreamSink.toBpePairs(stream,
+        s"$scratch/pairs", s"$scratch/ckpt")
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.readBpeMerges(s, s"$scratch/pairs", m = 50)
+        .orderBy("rank")
+    },
+    q193.oracle,
+    "Streaming BPE pair maintenance: bounded per-batch (pair, cnt) " +
+      "landings, exactly-once; live merge ranking hash-equal to the " +
+      "batch learner and its oracle")
+
   val all: Map[String, Q] = Map(
+    "q194_stream_bpe" -> q194,
     "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,
     "q191_kappa" -> q191,

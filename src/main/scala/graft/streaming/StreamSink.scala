@@ -204,6 +204,38 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous BPE pair-statistics maintenance
+    * ([[graft.ops.TextAnalysis.bpeMergeStats]]' incremental twin — the
+    * tokenizer-learning statistics kept live as the corpus streams in):
+    * each micro-batch is collapsed to its own (pair, cnt) partial —
+    * ≤ |charset|² rows regardless of batch size, the [[toCmSketch]]
+    * bound — landed in a `batch=<id>` partition via the idempotent
+    * [[landBatch]] rename, so replays overwrite their own landing
+    * (exactly-once on plain parquet). Pair counts are distributive
+    * sums, so the read-side merge equals the whole-corpus statistics
+    * under any batch split. */
+  def toBpePairs(stream: DataFrame, path: String, checkpoint: String,
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.TextAnalysis.bpePairCounts(batch, textCol),
+            path, batchId)
+      }
+      .start()
+
+  /** The live top-`m` merge list from a [[toBpePairs]] landing: sum the
+    * per-batch partials, rank — same rows as a direct batch
+    * [[graft.ops.TextAnalysis.bpeMergeStats]] over everything that
+    * streamed in. */
+  def readBpeMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.TextAnalysis.bpeMergesFromCounts(
+      spark.read.parquet(path).drop("batch"), m)
+
   /** The live per-key trend from a [[toTrendStats]] landing: moment
     * sums over the batch partitions, then the exact rational fit —
     * same row schema as a direct [[graft.ops.TimeSeries

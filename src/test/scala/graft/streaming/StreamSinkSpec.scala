@@ -190,6 +190,28 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(merged == direct && direct.nonEmpty)
   }
 
+  test("toBpePairs landings: multi-batch pair sums equal the batch learner; replay idempotent") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("bpestream").toString + "/pairs"
+    val all = (1L to 120L).map { i =>
+      (i, Seq("alpha", "beta", "gamma", "delta", "ee")((i % 5).toInt) + " " +
+        Seq("join", "scan", "sort")((i % 3).toInt))
+    }.toDF("doc_id", "text")
+    val parts = Seq(all.filter($"doc_id" % 3 === 0),
+      all.filter($"doc_id" % 3 === 1), all.filter($"doc_id" % 3 === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      StreamSink.landBatch(TextAnalysis.bpePairCounts(b), path, i.toLong)
+    }
+    // replay of batch 1 must overwrite its own landing, never double-count
+    StreamSink.landBatch(TextAnalysis.bpePairCounts(parts(1)), path, 1L)
+    val merged = StreamSink.readBpeMerges(spark, path, m = 100)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val direct = TextAnalysis.bpeMergeStats(all, m = 100)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == direct && direct.nonEmpty)
+  }
+
   test("toSampleSketch landings: re-take-bottom-k across batches equals the direct sketch; replay idempotent") {
     import graft.ops.Sketches
     import spark.implicits._
