@@ -507,7 +507,11 @@ object Bench {
       sf <- jsonField(line, "sf")
       nt <- jsonField(line, "n_timed")
     } yield archiveDir.resolve(
-      s"BEST_sf${sf.replace("\"", "").replace(".", "p")}_n$nt.json")
+      // sf is a PATH (e.g. /root/testdata/sf0.1) — mangle EVERY
+      // non-alphanumeric or the resolved best-file path grows bogus
+      // directories (r13 first runs: NoSuchFileException, promotion
+      // silently skipped)
+      s"BEST_sf${sf.replaceAll("[^A-Za-z0-9]", "_")}_n$nt.json")
     def strictlyBetter(prev: String, line: String): Boolean = {
       val pu = jsonField(prev, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
       val nu = jsonField(line, "unclean_n").map(_.toInt).getOrElse(Int.MaxValue)
