@@ -193,6 +193,34 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     assert(got == Seq((1L, 1L, true), (3L, 2L, true), (5L, 1L, false)))
   }
 
+  test("tCloseness: hand-computed ordered EMD, m=1 degenerate, NULL sensitive excluded") {
+    // groups A=[1,1,2], B=[2,2,2]; global (1->2, 2->4), N=6, m=2
+    // A: cum_g=[2,3] vs cum=[2,6], |2*6-2*3|=6, den=3*6*1=18 -> 333333
+    // B: cum_g=[0,3], |0*6-2*3|=6 -> same t; the NULL row must not count
+    val df = Seq(
+      ("A", Option(1L)), ("A", Option(1L)), ("A", Option(2L)),
+      ("B", Option(2L)), ("B", Option(2L)), ("B", Option(2L)),
+      ("B", Option.empty[Long])
+    ).toDF("g", "v")
+    val got = Quality.tCloseness(df, Seq("grp" -> col("g")), col("v"),
+        tX1e6 = 300000L)
+      .orderBy("grp").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("A", 3L, 333333L, true), ("B", 3L, 333333L, true)))
+    // identical distributions -> t = 0 exactly
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val g1 = Quality.tCloseness(same, Seq("grp" -> col("g")), col("v"),
+        tX1e6 = 0L)
+      .orderBy("grp").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(g1 == Seq(("A", 2L, 0L, false), ("B", 2L, 0L, false)))
+    // one distinct sensitive value overall (m = 1): trivially 0-close
+    // in the same pass (the full-prefix term is identically 0)
+    val mono = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val g2 = Quality.tCloseness(mono, Seq("grp" -> col("g")), col("v"),
+        tX1e6 = 0L)
+      .orderBy("grp").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(g2 == Seq(("A", 2L, 0L, false), ("B", 1L, 0L, false)))
+  }
+
   test("keySkew: uniform -> Gini 0, concentrated -> (n-1)/n, empty -> NULLs") {
     // uniform: 4 keys x 3 rows -> gini_num must be 0
     val uni = (1 to 4).flatMap(k => Seq.fill(3)(("k" + k, 1)))
