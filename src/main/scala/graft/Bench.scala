@@ -540,9 +540,13 @@ object Bench {
             jsonField(prev, "n_timed") == jsonField(line, "n_timed")
           if (!sameSurface) {
             // surface changed: keep the outgoing best as its per-surface
-            // file (pre-scheme artifacts have none) before displacing it
+            // file — also when that file exists but holds a WEAKER run
+            // (a pre-scheme BENCH_BEST can outrank a later same-surface
+            // candidate that seeded the per-surface file; ADVICE r13)
             surfaceBestPath(prev).foreach { p =>
-              if (!java.nio.file.Files.exists(p)) {
+              val keep = !java.nio.file.Files.exists(p) || strictlyBetter(
+                new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), prev)
+              if (keep) {
                 java.nio.file.Files.createDirectories(archiveDir)
                 java.nio.file.Files.write(p, prev.getBytes("UTF-8"))
               }

@@ -31,13 +31,27 @@ object Lake {
   def exists(spark: SparkSession, path: String): Boolean =
     Try(spark.read.parquet(path).schema).isSuccess
 
+  /** Bump whenever CODE that determines on-disk derived-artifact layout
+    * changes (hash folds, bucket assignment, file formats). The version
+    * salts every [[sourceFingerprint]], so an artifact built by older
+    * code reads as stale and rebuilds on first touch — without it, a
+    * layout-affecting fix (ADVICE r13: the polyHash ascii→UTF-16 fold,
+    * which moves non-ASCII terms to different buckets) leaves pre-fix
+    * indexes on disk whose buckets no longer match serve-time probes.
+    * v2 = the UTF-16 polyHash fold. */
+  val artifactFormatVersion: Int = 2
+
   /** Deterministic fingerprint of a source file/dir: sorted
-    * (name, length, mtime) of its files. First-touch derived artifacts
+    * (name, length, mtime) of its files, salted with
+    * [[artifactFormatVersion]]. First-touch derived artifacts
     * (indexes, codebooks) record this next to themselves and rebuild
     * when it changes — without it, regenerating the source dataset in
     * place silently serves a STALE cached artifact (ADVICE r11: q119,
     * where the cached copy IS the query's data, not just an index). */
-  def sourceFingerprint(spark: SparkSession, path: String): String = {
+  def sourceFingerprint(spark: SparkSession, path: String): String =
+    s"v$artifactFormatVersion\n" + sourceFingerprintUnsalted(spark, path)
+
+  private def sourceFingerprintUnsalted(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"

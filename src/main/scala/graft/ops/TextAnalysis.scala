@@ -690,6 +690,16 @@ object TextAnalysis {
       shingleWidth: Int = 3, nBuckets: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(nBuckets >= 1 && shingleWidth >= 1)
+    // ensureMltTable re-attaches the postings in fresh sessions with a
+    // FIXED (term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) schema —
+    // writing any other id type would read back corrupted (ADVICE r13).
+    // Require BIGINT here so the mismatch fails at build, not at serve.
+    docs.schema(docs.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"writeMltIndex requires a BIGINT id column ($idCol is $other): " +
+          "cast upstream, or the re-attached table schema will not match")
+    }
     val spark = docs.sparkSession
     graft.functions.CatalystExpressions.register(spark)
     val live = docs.filter(col(textCol).isNotNull)

@@ -232,9 +232,19 @@ object StreamSink {
     * [[graft.ops.TextAnalysis.bpeMergeStats]] over everything that
     * streamed in. */
   def readBpeMerges(spark: org.apache.spark.sql.SparkSession, path: String,
-      m: Int): org.apache.spark.sql.DataFrame =
-    graft.ops.TextAnalysis.bpeMergesFromCounts(
-      spark.read.parquet(path).drop("batch"), m)
+      m: Int): org.apache.spark.sql.DataFrame = {
+    // Zero landings (empty corpus / all-empty micro-batches never create
+    // the path — the !batch.isEmpty guard) read as an empty merge list,
+    // not a missing-path failure (ADVICE r13).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts =
+      if (!fs.exists(p)) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("pair", "cnt")
+      } else spark.read.parquet(path).drop("batch")
+    graft.ops.TextAnalysis.bpeMergesFromCounts(counts, m)
+  }
 
   /** The live per-key trend from a [[toTrendStats]] landing: moment
     * sums over the batch partitions, then the exact rational fit —
