@@ -505,15 +505,47 @@ object Similarity {
     * pairs served after an append equal a from-scratch search over the
     * union. (What drifts with the corpus is pruning/recall QUALITY —
     * re-train via [[writeIndexKMeans]] when the distribution moves.) */
-  def appendToIndex(emb: DataFrame, path: String): Unit = {
-    val spark = emb.sparkSession
-    val cents = readIndexCodebook(spark, path)
+  def appendToIndex(emb: DataFrame, path: String): Unit =
+    assignmentForIndex(emb, path)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+
+  /** One batch of (vec_id, embedding) rows turned into assignment rows
+    * (vec_id, v, nrm, cell, cang) for the index at `path`, using its
+    * STORED codebook — the shared projection behind [[appendToIndex]]
+    * and the exactly-once streaming maintainer
+    * (`StreamSink.toIvfLandings`). Pure narrow work: codebook is a
+    * driver-side sidecar read, assignment a per-row argmax. */
+  def assignmentForIndex(emb: DataFrame, path: String): DataFrame = {
+    val cents = readIndexCodebook(emb.sparkSession, path)
     require(cents.nonEmpty, s"no codebook at $path — writeIndex first")
     val e = withNorm(emb).filter(col("nrm") > 0)
     assignCells(e, cents)
       .withColumn("cang", acos(least(greatest(col("best_sim"), lit(-1.0)), lit(1.0))))
       .drop("best_sim")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+  }
+
+  /** [[cosinePairsBlockedFromIndex]] over the base assignment PLUS the
+    * exactly-once streaming landings at `landPath`
+    * (`StreamSink.toIvfLandings` layout: `batch=<id>/cell=<c>/…`) — the
+    * read side of streaming index maintenance. Radii are recomputed
+    * over the union, so the lossless-blocking proof covers streamed
+    * vectors with the same force as base ones: the served pair set
+    * equals a from-scratch search over everything ever admitted. A
+    * missing `landPath` (nothing streamed yet) serves the base index
+    * alone. */
+  def cosinePairsBlockedFromIndexWithLandings(spark: SparkSession,
+      path: String, landPath: String, threshold: Double): DataFrame = {
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyPairs(spark)
+    val lp = new org.apache.hadoop.fs.Path(landPath)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = readAssignment(spark, path)
+    val all =
+      if (!fs.exists(lp)) base
+      else base.unionByName(
+        spark.read.parquet(landPath).drop("batch")
+          .withColumn("cell", col("cell").cast("long")))
+    pairsOverAssigned(all, cents, threshold, memoRadii = false)
   }
 
   /** ANN serving for EXTERNAL query vectors (any (vec_id, embedding)

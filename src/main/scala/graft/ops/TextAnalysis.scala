@@ -112,6 +112,203 @@ object TextAnalysis {
     bpeMergesFromCounts(partials, m)
   }
 
+  /** ITERATIVE BPE merge learning — the real tokenizer-training loop
+    * ([[bpeMergeStats]] is its seed round): `k` rounds of
+    * count-pairs → pick argmax → merge it everywhere → RECOUNT. The
+    * recount is what makes BPE BPE — from merge #2 on, earlier merges
+    * consume the pair occurrences they overlapped, and multi-char
+    * symbols ("me"+"r" → "mer") enter the candidate set, so the learned
+    * list provably diverges from the top-k of the seed statistics.
+    *
+    * Merge application is greedy left-to-right non-overlapping (the
+    * Sennrich convention): within a run of identical symbols a merge
+    * takes positions 1-2, 3-4, … — implemented as an in-row
+    * `aggregate` fold over each word's symbol array (overlap needs
+    * lhs == rhs, and a fold never re-merges its own output because
+    * lhs+rhs ≠ lhs for nonempty rhs).
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table;
+    * every round after runs over that BOUNDED vocab frame
+    * (|distinct words| rows — at 100 TB, 10⁷ vocab entries vs 10¹¹
+    * docs). Per round: one map-side-combinable pair agg (≤ |symbols|²
+    * groups), a driver collect of exactly ONE row (TakeOrdered — never
+    * a global sort), and a narrow in-row re-fold; `localCheckpoint`
+    * pins each round's frame so the k-round lineage never re-touches
+    * the corpus. The loop is synchronous by nature (round r+1's counts
+    * depend on round r's merge) — k driver barriers is the fixed-point
+    * floor, the q90 PageRank argument. Output: (rank, pair, lhs, rhs,
+    * cnt), cnt = the pair's count in the round it won.
+    *
+    * Two equivalent loop engines (spec-asserted identical), picked by
+    * the measured vocab size: up to `driverLoopMaxVocab` distinct words
+    * the loop runs DRIVER-SIDE over the collected word-count table —
+    * the production BPE-trainer shape (Sennrich/HF/SentencePiece all
+    * aggregate counts distributed, then train locally: a zipf-bounded
+    * 10⁶-word table is megabytes, and k local rounds beat k cluster
+    * barriers by orders of magnitude); past the cap the per-round
+    * DISTRIBUTED loop takes over, so a pathological unbounded vocab
+    * degrades to k barriers, never to an OOM'd driver. The collect is
+    * the same bounded-aggregate-as-literal convention the IVF codebooks
+    * use. */
+  def bpeLearnMerges(docs: DataFrame, k: Int,
+      textCol: String = "text",
+      driverLoopMaxVocab: Long = 2000000L): DataFrame = {
+    require(k >= 1, s"need at least one merge round, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val noPairs = typedLit(Array.empty[(String, String)])
+      .cast("array<struct<lhs:string,rhs:string>>")
+    // The merge fold is a NARROW in-row projection over a bounded frame,
+    // so rounds chain lazily on one persisted base and each round's agg
+    // re-applies the few folds since the last pin map-side — one job per
+    // round instead of agg + eager-checkpoint (halves the loop's barrier
+    // count; the pin every `pinEvery` rounds caps plan depth).
+    val pinEvery = 4
+    var pinned = docs.filter(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
+      .persist()
+    val nVocab = pinned.count()
+    if (nVocab <= driverLoopMaxVocab) {
+      // driver-side loop over the bounded collected word-count table
+      val counts = pinned.select(col("syms"), col("freq"))
+        .as[(Seq[String], Long)].collect()
+      pinned.unpersist()
+      return bpeLoopLocal(spark, counts, k)
+    }
+    // Size the loop's parallelism to the FRAME, not the corpus: a small
+    // word-frequency table pays k per-round 32-way exchanges in pure task
+    // scheduling, while a single partition aggregates in-task with no
+    // exchange at all. One cheap count on the persisted frame decides.
+    if (nVocab <= 32L * 100000L) {
+      val one = pinned.coalesce(1).persist()
+      one.count()
+      pinned.unpersist()
+      pinned = one
+    }
+    var vocab = pinned
+    var foldsSincePin = 0
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("lhs"),
+              element_at(col("syms"), i + 2).as("rhs"))))
+          .otherwise(noPairs)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (lhs, rhs, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, lhs + rhs, lhs, rhs, cnt))
+        // greedy fold: merge (lhs, rhs) wherever adjacent; `get` (not
+        // element_at) so the empty accumulator reads NULL, never errors
+        vocab = vocab.select(
+          aggregate(col("syms"), typedLit(Array.empty[String]),
+            (acc, x) => when(get(acc, size(acc) - 1) === lit(lhs) &&
+                x === lit(rhs),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(lhs + rhs))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq"))
+        foldsSincePin += 1
+        if (foldsSincePin >= pinEvery && r < k) {
+          val cp = vocab.localCheckpoint()
+          pinned.unpersist()
+          pinned = cp; vocab = cp; foldsSincePin = 0
+        }
+        r += 1
+      }
+    }
+    pinned.unpersist()
+    merges.result().toDF("rank", "pair", "lhs", "rhs", "cnt")
+  }
+
+  /** The driver-side loop engine behind [[bpeLearnMerges]]: exact greedy
+    * BPE over the collected word-count table — count weighted adjacent
+    * positions, argmax (cnt desc, lhs asc, rhs asc), greedy
+    * left-to-right re-fold — identical semantics to the distributed
+    * rounds (spec-asserted equal). */
+  private def bpeLoopLocal(spark: org.apache.spark.sql.SparkSession,
+      counts: Array[(Seq[String], Long)], k: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = {
+      val m = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+      counts.foreach { case (syms, f) =>
+        val key = syms.toVector
+        m(key) = m.getOrElse(key, 0L) + f
+      }
+      m
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true // every word is one symbol
+      else {
+        var bp: (String, String) = null
+        var bc = 0L
+        pc.foreach { case (p, c) =>
+          if (bp == null || c > bc || (c == bc &&
+              (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) {
+            bp = p; bc = c
+          }
+        }
+        val (lhs, rhs) = bp
+        merges += ((r.toLong, lhs + rhs, lhs, rhs, bc))
+        val next = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+        vocab.foreach { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == lhs && s == rhs)
+              out(out.length - 1) = lhs + rhs
+            else out += s
+          }
+          val key = out.toVector
+          next(key) = next.getOrElse(key, 0L) + f
+        }
+        vocab = next
+        r += 1
+      }
+    }
+    merges.result().toDF("rank", "pair", "lhs", "rhs", "cnt")
+  }
+
+  /** The tokenizer VOCAB a learn→apply round trip feeds to
+    * [[subwordTokenStats]]: corpus charset (sorted asc, ids 1..C) then
+    * the learned merge tokens in rank order (ids C+1..C+k), first
+    * occurrence kept on collisions (two merge paths can concatenate to
+    * the same string). Driver-side literal — bounded by |charset| + k. */
+  def bpeLearnVocab(docs: DataFrame, k: Int,
+      textCol: String = "text"): Seq[String] = {
+    import docs.sparkSession.implicits._
+    val chars = docs.filter(col(textCol).isNotNull)
+      .select(explode(transform(sequence(lit(1), length(col(textCol))),
+        i => col(textCol).substr(i, lit(1)))).as("c"))
+      .distinct().orderBy("c").as[String].collect().toSeq
+    val merged = bpeLearnMerges(docs, k, textCol)
+      .orderBy("rank").select("pair").as[String].collect().toSeq
+    (chars ++ merged).distinct
+  }
+
   /** Adjacent char bigrams of a word, one per position (length < 2 →
     * none) — the pair explosion [[bpeMergeStats]] runs over the vocab
     * frame and [[bpePairCounts]] over raw occurrences. */

@@ -3882,6 +3882,132 @@ object AnalyticsQueries {
       "frequency table, deterministic merge ranking, bounded vocab — " +
       "the tokenizer-learning half of the q135 apply step")
 
+  /** Separator for the BPE oracle's symbol-string encoding: any char
+    * absent from the corpus charset (U+001F unit separator). Symbols are
+    * joined with a DOUBLED separator and the string is wrapped in one:
+    * `··a··b··`. The merge replace's pattern `·lhs··rhs·` then (a) can
+    * only match FULL symbols — a partial match would need a separator
+    * inside a symbol — and (b) consumes exactly one dot of each
+    * boundary, so two adjacent occurrences share the `··` between them
+    * one dot each and SQL's left-to-right non-overlapping `replace`
+    * reproduces greedy BPE application exactly (a run `a a a a` merges
+    * 1-2 and 3-4, like the engine's fold). */
+  private val bpeSep = "\u001f"
+
+  /** The unrolled learn rounds b1..bk (+ their vocab-state chain) —
+    * shared by the q195 and q196 oracles. MATERIALIZED is load-bearing:
+    * each round's state is referenced twice (pair counts + next state)
+    * and inlining re-evaluates the whole chain exponentially. */
+  private def bpeLearnCtes(k: Int): Seq[String] = {
+    val s = bpeSep
+    val head = Seq(
+      "wd AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents WHERE text IS NOT NULL)",
+      "vw AS MATERIALIZED (SELECT w, count(*) AS freq FROM wd " +
+        "WHERE w <> '' GROUP BY w)",
+      s"v1 AS MATERIALIZED (SELECT '$s$s' || array_to_string(" +
+        "[substr(w, CAST(i AS INT), 1) for i in range(1, length(w)+1)], " +
+        s"'$s$s') || '$s$s' AS symstr, freq FROM vw)")
+    head ++ (1 to k).flatMap { r => Seq(
+      s"s$r AS MATERIALIZED (SELECT list_filter(string_split(symstr, " +
+        s"'$s$s'), x -> x <> '') AS syms, freq FROM v$r)",
+      s"p$r AS MATERIALIZED (SELECT pr['l'] AS lhs, pr['r'] AS rhs, freq " +
+        "FROM (SELECT unnest([{'l': syms[CAST(i AS INT)], " +
+        "'r': syms[CAST(i AS INT)+1]} for i in range(1, len(syms))]) " +
+        s"AS pr, freq FROM s$r))",
+      s"b$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, " +
+        "cnt FROM (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt " +
+        s"FROM p$r GROUP BY 1, 2) ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+      s"v${r + 1} AS MATERIALIZED (SELECT replace(symstr, " +
+        s"'$s' || b.lhs || '$s$s' || b.rhs || '$s', " +
+        s"'$s' || b.lhs || b.rhs || '$s') AS symstr, freq " +
+        s"FROM v$r CROSS JOIN b$r b)")
+    }
+  }
+
+  private def bpeUnion(k: Int): String =
+    (1 to k).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+
+  /** ITERATIVE BPE ([[graft.ops.TextAnalysis.bpeLearnMerges]] — q193
+    * computes the SEED round's statistics; this runs the real training
+    * LOOP): k rounds of count → argmax → merge-everywhere → RECOUNT.
+    * The learned list diverges from q193's static top-k from the first
+    * round where an earlier merge consumed overlapping pair mass or a
+    * merged multi-char symbol wins (on this corpus: rank 6, "me"+"r" →
+    * "mer" — impossible under single-char seed ranking). The oracle
+    * unrolls every round as CTEs over a separator-encoded symbol
+    * string whose `replace` provably equals greedy merge application
+    * (see [[bpeSep]]). */
+  private val q195 = Q(
+    (s, dir) => graft.ops.TextAnalysis.bpeLearnMerges(
+        table(s, dir, "documents"), k = 12)
+      .orderBy("rank"),
+    Some("WITH " + bpeLearnCtes(12).mkString(", ") +
+      " SELECT rank, lhs || rhs AS pair, lhs, rhs, cnt FROM (" +
+      bpeUnion(12) + ") ORDER BY rank"),
+    "Iterative BPE merge learning: 12 count/argmax/merge/RECOUNT " +
+      "rounds over the bounded word-frequency frame; oracle unrolls " +
+      "every round, replaying greedy merge application exactly")
+
+  /** BPE learn→APPLY round trip (the judge's r13 task: feed the
+    * learned list into q135's compiled kernel): vocab = corpus charset
+    * + [[q195]]'s 12 learned merges ([[graft.ops.TextAnalysis
+    * .bpeLearnVocab]]), applied by the compiled greedy longest-match
+    * tokenizer ([[graft.ops.TextAnalysis.subwordTokenStats]], q135's
+    * kernel) to the doc_id%7 evaluation slice — learn on everything,
+    * validate the vocab on a held slice, the tokenizer-QA shape (and it
+    * keeps the oracle's per-position replay honestly sized instead of
+    * re-creating a second q135-scale recursive-CTE outlier). The oracle
+    * recomputes the vocab from its own unrolled learn rounds, then
+    * replays the greedy match as a precomputed longest-match-per-
+    * position table + a recursive pointer walk — correlated subqueries
+    * over a CTE-derived vocab inside recursion miscompute in DuckDB
+    * v1.0.0, the join+walk form does not. */
+  private val q196 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vocab = graft.ops.TextAnalysis.bpeLearnVocab(docs, k = 12)
+      graft.ops.TextAnalysis.subwordTokenStats(
+          docs.filter(col("doc_id") % 7 === 0), vocab)
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + (bpeLearnCtes(12) ++ Seq(
+      "mg AS MATERIALIZED (SELECT lhs || rhs AS tok, rank FROM (" +
+        bpeUnion(12) + "))",
+      "cs AS MATERIALIZED (SELECT DISTINCT unnest(string_split(text, ''))" +
+        " AS tok FROM documents WHERE text IS NOT NULL)",
+      "csn AS MATERIALIZED (SELECT tok, CAST(row_number() OVER " +
+        "(ORDER BY tok) AS BIGINT) AS ord FROM cs)",
+      "mgn AS MATERIALIZED (SELECT tok, (SELECT count(*) FROM cs) + rank " +
+        "AS ord FROM mg)",
+      "v0 AS MATERIALIZED (SELECT tok, min(ord) AS o FROM " +
+        "(SELECT * FROM csn UNION ALL SELECT * FROM mgn) GROUP BY tok)",
+      "vocab AS MATERIALIZED (SELECT tok, CAST(row_number() OVER " +
+        "(ORDER BY o) AS BIGINT) AS id FROM v0)",
+      "dcs AS MATERIALIZED (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 7 = 0)",
+      "best AS MATERIALIZED (SELECT doc_id, pos, max(length(tok)) AS l, " +
+        "max_by(id, length(tok)) AS id FROM " +
+        "(SELECT doc_id, CAST(i AS BIGINT) AS pos, text FROM dcs, " +
+        "unnest(range(1, length(text)+1)) AS t(i)) p " +
+        "JOIN vocab v ON substr(p.text, CAST(p.pos AS INT), " +
+        "length(v.tok)) = v.tok GROUP BY doc_id, pos)",
+      "step(doc_id, pos, id, n) AS (" +
+        "SELECT doc_id, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), " +
+        "CAST(0 AS BIGINT) FROM dcs " +
+        "UNION ALL SELECT s.doc_id, s.pos + COALESCE(b.l, 1), " +
+        "CAST(COALESCE(b.id, 0) AS BIGINT), s.n + 1 " +
+        "FROM step s JOIN dcs d USING (doc_id) " +
+        "LEFT JOIN best b ON b.doc_id = s.doc_id AND b.pos = s.pos " +
+        "WHERE s.pos <= length(d.text))")).mkString(", ") +
+      " SELECT doc_id, max(n) AS n_tokens, " +
+      "CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, " +
+      "CAST(sum(id * n) AS BIGINT) AS id_wsum " +
+      "FROM step WHERE n >= 1 GROUP BY doc_id ORDER BY doc_id"),
+    "BPE learn-then-apply round trip: charset + 12 learned merges as " +
+      "the vocab, applied by q135's compiled greedy tokenizer to the " +
+      "doc_id%7 slice; oracle re-learns the vocab and replays the match")
+
   /** STREAMING BPE pair maintenance (the NINETEENTH streaming query —
     * q193's incremental twin): per-batch bounded (pair, cnt) partial
     * landings (exactly-once via the [[graft.streaming.StreamSink
@@ -3908,6 +4034,8 @@ object AnalyticsQueries {
       "batch learner and its oracle")
 
   val all: Map[String, Q] = Map(
+    "q196_bpe_tokenize" -> q196,
+    "q195_bpe_iterative" -> q195,
     "q194_stream_bpe" -> q194,
     "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,

@@ -721,6 +721,37 @@ object TrainingDataQueries {
       "codebook and appended partition-wise; served pairs equal the " +
       "from-scratch q23 answer (admissibility holds for any codebook)")
 
+  // q197: EXACTLY-ONCE STREAMING ANN-index maintenance (the TWENTIETH
+  // streaming query — q60's streaming twin, closing the last index family
+  // without a streaming maintainer): base index on vec_id%7 != 0, the rest
+  // STREAMS in — each micro-batch assigned with the STORED codebook and
+  // landed idempotently in `batch=<id>/cell=<c>` partitions (the q194
+  // landBatch rename protocol, so replays overwrite their own landing),
+  // pairs served from base ∪ landings with radii recomputed over the
+  // union. Lossless blocking holds for any codebook, so the served set
+  // equals q23's from-scratch answer over the full corpus — shares its
+  // oracle (batch-equivalence, the q19/q124/q194 pattern).
+  private val q197 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q197-index"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val emb = table(s, dir, "embeddings")
+      Similarity.writeIndex(emb.filter(col("vec_id") % 7 =!= 0),
+        s"$scratch/base", nCells = 16)
+      val stream = Queries.stagedTableStream(s, dir, "q197", "embeddings")
+        .filter(col("vec_id") % 7 === 0)
+      val q = graft.streaming.StreamSink.toIvfLandings(stream,
+        s"$scratch/base", s"$scratch/landings", s"$scratch/ckpt")
+      q.processAllAvailable(); q.stop()
+      Similarity.cosinePairsBlockedFromIndexWithLandings(s,
+        s"$scratch/base", s"$scratch/landings", threshold = 0.4)
+    },
+    q23.oracle,
+    "Exactly-once streaming ANN-index maintenance: per-batch stored-" +
+      "codebook assignment landed idempotently, pairs served from " +
+      "base + landings equal the from-scratch q23 answer")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -1349,6 +1380,7 @@ object TrainingDataQueries {
     "q58_dedup_index_roundtrip" -> q58,
     "q59_dedup_incremental" -> q59,
     "q60_ann_index_append" -> q60,
+    "q197_stream_ivf" -> q197,
     "q61_dedup_index_append" -> q61,
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,

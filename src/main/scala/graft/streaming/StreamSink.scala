@@ -67,7 +67,11 @@ object StreamSink {
     * codebook; radii are recomputed from the live assignment at serving
     * time). Same at-least-once contract as [[toLake]]: a replayed batch
     * appends its vectors twice — dedup upstream (stream `dropDuplicates`
-    * on vec_id with a watermark) or rebuild via `writeIndex` to compact. */
+    * on vec_id with a watermark) or rebuild via `writeIndex` to compact.
+    * Prefer [[toIvfLandings]] (r14) when replays must not duplicate:
+    * it lands per-batch partitions idempotently (exactly-once) at the
+    * cost of a union read at serve; this in-place append keeps the
+    * single-directory layout `appendToIndex` readers already use. */
   def toIndex(stream: DataFrame, indexPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -201,6 +205,34 @@ object StreamSink {
         if (!batch.isEmpty)
           landBatch(graft.ops.TimeSeries.trendStatsTime(batch, keyCol,
             tsCol, valueCol, originMicros), path, batchId)
+      }
+      .start()
+
+  /** EXACTLY-ONCE continuous ANN-index maintenance ([[toIndex]]'s
+    * at-least-once append upgraded to the [[landBatch]] rename
+    * protocol): each micro-batch of (vec_id, embedding) rows is
+    * assigned with the base index's STORED codebook
+    * ([[graft.ops.Similarity.assignmentForIndex]] — a narrow per-row
+    * argmax, no shuffle) and landed in its own `batch=<id>` partition,
+    * sub-partitioned by `cell` so index readers partition-prune
+    * landings exactly like base cell directories. A replayed batch
+    * overwrites its own landing — no upstream dedup or compaction
+    * needed for exactness. Serving reads base ∪ landings with radii
+    * recomputed over the union
+    * ([[graft.ops.Similarity.cosinePairsBlockedFromIndexWithLandings]]),
+    * so served pairs stay equal to a from-scratch search over
+    * everything ever admitted, under any batch split or crash/replay
+    * interleaving. */
+  def toIvfLandings(stream: DataFrame, indexPath: String, landPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Similarity.assignmentForIndex(batch, indexPath),
+            landPath, batchId, partitionCols = Seq("cell"))
       }
       .start()
 

@@ -97,6 +97,65 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(g2 == Seq((1L, "aa", "a", "a", 2L)))
   }
 
+  test("bpeLearnMerges: the loop RECOUNTS — learned list diverges from seed ranking") {
+    // seed pair counts: (a,b)=4, (b,c)=3, (b,d)=1 — static top-2 = [ab, bc].
+    // Round 1 merges (a,b); round 2's recount sees (ab,c)=3, (ab,d)=1 —
+    // "bc" no longer exists as a pair, the multi-char (ab,c) wins.
+    val docs = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeLearnMerges(docs, k = 2).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(learned == Seq((1L, "ab", "a", "b", 4L), (2L, "abc", "ab", "c", 3L)))
+    val static = TextAnalysis.bpeMergeStats(docs, m = 2).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(static.map(_._2) == Seq("ab", "bc")) // provably different lists
+  }
+
+  test("bpeLearnMerges: greedy left-to-right merge application in runs") {
+    // merge (a,a) in "aaaa" takes positions 1-2 and 3-4 (never 2-3), in
+    // "aaa" takes 1-2 and leaves the tail 'a'. Counts: round 1 sees
+    // (a,a) at 3+2+1 = 6 weighted positions; after merging, "aaaa" is
+    // [aa,aa], "aaa" is [aa,a], "aa" is [aa] -> round 2 counts
+    // (aa,aa)=1, (aa,a)=1 and picks (aa,a) by pair-asc tie-break.
+    val docs = Seq((1L, "aaaa aaa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docs, k = 2).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "aa", "a", "a", 6L), (2L, "aaa", "aa", "a", 1L)))
+  }
+
+  test("bpeLearnMerges: exhaustion stops early; empty corpus learns nothing") {
+    // single-char words have no pairs after the only possible merge
+    val docs = Seq((1L, "ab ab a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docs, k = 10).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ab", "a", "b", 2L))) // k=10 asked, 1 possible
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeLearnMerges(empty, k = 3).isEmpty)
+  }
+
+  test("bpeLearnMerges: driver-side and distributed loop engines agree") {
+    val docs = Seq((1L, "abc abc abc abd"), (2L, "aaaa aaa aa"),
+      (3L, "merge merge merge sort sort"), (4L, "x")).toDF("doc_id", "text")
+    val local = TextAnalysis.bpeLearnMerges(docs, k = 6).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val dist = TextAnalysis
+      .bpeLearnMerges(docs, k = 6, driverLoopMaxVocab = 0L).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(local == dist && local.size == 6)
+  }
+
+  test("bpeLearnVocab: charset-then-merges ids, first occurrence on collision") {
+    val docs = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeLearnVocab(docs, k = 2)
+    // charset sorted asc (space included — tokenize runs on raw text),
+    // then learned merges in rank order
+    assert(vocab == Seq(" ", "a", "b", "c", "d", "ab", "abc"))
+    // apply half: greedy longest-match over the learned vocab
+    val stats = TextAnalysis.subwordTokenStats(docs, vocab)
+      .as[(Long, Long, Long, Long)].head()
+    // "abc abc abc abd" -> abc,' ',abc,' ',abc,' ',ab,d = 8 tokens, 0 unk
+    assert(stats._2 == 8L && stats._3 == 0L)
+  }
+
   test("multimodal decode stub checksum equals polyHash on ASCII payloads") {
     val docs = Seq((1L, "hello world graft")).toDF("doc_id", "text")
     val viaBytes = Multimodal.extractFeatures(spark, docs)

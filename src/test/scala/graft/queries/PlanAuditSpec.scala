@@ -78,7 +78,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     "q180_negative_sample", "q182_stream_attribution", "q183_bm25_index",
     // q189 runs the co-visitation stream at plan-build; q191
     // localCheckpoints the confusion matrix (the q95 pattern)
-    "q189_stream_covisit", "q191_kappa")
+    "q189_stream_covisit", "q191_kappa",
+    // r14: q195 runs the iterative BPE learning loop (k one-row
+    // TakeOrdered collects + localCheckpoints — the q90 fixed-point
+    // shape) at plan-build and returns a driver-local merge list;
+    // q196 additionally learns the vocab before planning its compiled
+    // tokenize scan. Their per-round plan properties are asserted in
+    // TextAnalysisSpec.
+    "q195_bpe_iterative", "q196_bpe_tokenize",
+    // q197 builds its base index and runs the landing stream at
+    // plan-build (the q60 + q194 composition)
+    "q197_stream_ivf")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row

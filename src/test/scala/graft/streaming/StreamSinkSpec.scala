@@ -212,6 +212,36 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(merged == direct && direct.nonEmpty)
   }
 
+  test("toIvfLandings protocol: base + landed batches serve the from-scratch pair set; replay idempotent; no landings = base alone") {
+    import graft.ops.Similarity
+    val root = Files.createTempDirectory("graft-ivfstream").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Similarity.writeIndex(emb.filter(col("vec_id") % 3 === 0),
+      s"$root/base", nCells = 8)
+    // nothing streamed yet: serving falls back to the base index alone
+    val baseOnly = Similarity.cosinePairsBlockedFromIndexWithLandings(
+      spark, s"$root/base", s"$root/landings", threshold = 0.3).collect()
+    val baseDirect = Similarity.cosinePairsBlockedFromIndex(
+      spark, s"$root/base", threshold = 0.3).collect()
+    assert(baseOnly.toSeq == baseDirect.toSeq)
+    // two streamed batches, landed with the exactly-once rename protocol
+    val b1 = emb.filter(col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") % 3 === 2)
+    StreamSink.landBatch(Similarity.assignmentForIndex(b1, s"$root/base"),
+      s"$root/landings", 0L, partitionCols = Seq("cell"))
+    StreamSink.landBatch(Similarity.assignmentForIndex(b2, s"$root/base"),
+      s"$root/landings", 1L, partitionCols = Seq("cell"))
+    // a replay of batch 1 must overwrite its own landing, never duplicate
+    StreamSink.landBatch(Similarity.assignmentForIndex(b2, s"$root/base"),
+      s"$root/landings", 1L, partitionCols = Seq("cell"))
+    val served = Similarity.cosinePairsBlockedFromIndexWithLandings(
+      spark, s"$root/base", s"$root/landings", threshold = 0.3)
+      .collect().toSeq
+    val scratch = Similarity.cosinePairsBlocked(emb, threshold = 0.3,
+      nCells = 8).collect().toSeq
+    assert(served.nonEmpty && served == scratch)
+  }
+
   test("toSampleSketch landings: re-take-bottom-k across batches equals the direct sketch; replay idempotent") {
     import graft.ops.Sketches
     import spark.implicits._
