@@ -191,10 +191,19 @@ object Graph {
     * side of every iteration is the placed bucketed scan — no dedup,
     * no degree aggregation, no node-set derivation, no exchange on the
     * edge side ever (PlanAudit-asserted: the only shuffle per
-    * iteration moves the |V|-row rank relation). */
+    * iteration moves the |V|-row rank relation).
+    *
+    * Checkpoint cadence (r14, Q105Probe-measured): unlike the in-memory
+    * broadcast path, the lake-served shuffle path re-executes NOTHING
+    * per iteration (SMJ against the placed scan — no broadcast builds
+    * replaying the chain), so a pin buys only bounded plan depth on
+    * LONG runs and costs a full materialization job round-trip. The
+    * default interval 8 lets the common short fixed point (5
+    * iterations) run as ONE fully-chained job — measured 1.5 s vs
+    * 1.9 s with a pin at 4 — while a 50-iteration run still pins. */
   def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
       tableName: String, iterations: Int, alphaNum: Long = 85L,
-      checkpointInterval: Int = 4): DataFrame = {
+      checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
