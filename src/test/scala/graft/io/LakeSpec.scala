@@ -94,6 +94,31 @@ class LakeSpec extends AnyFunSuite with SparkTest {
     assert(new java.io.File(dir).exists(), "vacuum must not touch live data")
   }
 
+  test("artifact fingerprints: version-salted, stale without the salt, rebuild on source change") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    val src = s"$root/src"
+    evMicros.limit(10).write.parquet(src)
+    val fp = Lake.sourceFingerprint(spark, src)
+    // the code-version salt leads the fingerprint: bumping
+    // artifactFormatVersion invalidates every recorded marker
+    assert(fp.startsWith(s"v${Lake.artifactFormatVersion}\n"))
+    val marker = s"$root/_source_fp"
+    Lake.writeFingerprint(spark, marker, fp)
+    assert(Lake.fingerprintCurrent(spark, marker, fp))
+    // a marker from the pre-salt era (raw file list, no version line)
+    // must read STALE -> first touch rebuilds (ADVICE r13: the polyHash
+    // fold change must invalidate old-layout indexes)
+    Lake.writeFingerprint(spark, marker, fp.split("\n", 2)(1))
+    assert(!Lake.fingerprintCurrent(spark, marker, fp))
+    // and regenerating the source data changes the fingerprint itself
+    evMicros.limit(20).write.mode("overwrite").parquet(src)
+    assert(Lake.sourceFingerprint(spark, src) != fp)
+    // absent source and absent marker are well-defined
+    assert(Lake.sourceFingerprint(spark, s"$root/nope")
+      == s"v${Lake.artifactFormatVersion}\nabsent")
+    assert(!Lake.fingerprintCurrent(spark, s"$root/nomarker", fp))
+  }
+
   test("delta format switches on the classpath probe, parquet fallback otherwise") {
     // the switch itself, both probe outcomes
     assert(Lake.resolveFormat("delta", deltaAvailable = true) == "delta")
