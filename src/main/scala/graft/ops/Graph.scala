@@ -49,20 +49,26 @@ object Graph {
     * interval trades scheduling round-trips against plan depth,
     * optimizer time, and recovery cost on long runs.
     *
-    * Rank-relation strategy: `broadcastRanks = None` (default) picks
-    * broadcast-vs-shuffle from |V| — broadcasting skips the per-iteration
-    * rank exchange + edge-side sort, but ships the WHOLE rank relation to
-    * every executor each iteration, so it is only right when |V| is
-    * genuinely small (a graph-scale dimension table). The cutover is
-    * `broadcastMaxNodes` (default 1M nodes ≈ 16 MB of (long, long) rows —
-    * the classic autoBroadcast scale); anything larger takes the
-    * scale-safe shuffle path, where only |V| rows move per iteration
-    * against the never-moving cached edges. `Some(b)` forces a side. */
+    * Rank-relation strategy: the default is the SHUFFLE path — the
+    * placed-and-sorted cached edges never move, each iteration pays one
+    * tiny in-cluster exchange of the |V|-row ranks, and the whole fixed
+    * point chains without driver round trips. The broadcast path looks
+    * cheaper on paper (no rank exchange, no edge-side sort) but each
+    * iteration's broadcast BUILD is a synchronous driver-side collect
+    * job — exactly the barrier a fixed-point loop must not stack
+    * (r14 PrAB, interleaved min-of-5 at |V| = 21k: shuffle 4.41 s vs
+    * broadcast 5.57 s — the side r13's one-off probe called backwards;
+    * at larger |V| the gap only widens, and above autoBroadcast scale
+    * broadcast is wrong outright). `broadcastRanks = Some(true)` keeps
+    * the broadcast path available for the genuine one-shot case:
+    * few iterations over an UNPLACED edge relation, where skipping the
+    * one-time placement shuffle outweighs the per-iteration builds.
+    * `broadcastMaxNodes` still bounds the auto rule if raised. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, alphaNum: Long = 85L,
       broadcastRanks: Option[Boolean] = None,
       checkpointInterval: Int = 4,
-      broadcastMaxNodes: Long = 1000000L): DataFrame = {
+      broadcastMaxNodes: Long = 0L): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
@@ -83,6 +89,11 @@ object Graph {
       case Some(b) =>
         useBroadcast = chooseRankStrategy(0L, broadcastMaxNodes, broadcastRanks)
         degE = (if (b) degERaw else placedBySrc(degERaw)).cache()
+      case None if broadcastMaxNodes <= 0L =>
+        // auto with a zero cutover can never pick broadcast — skip the
+        // |V| estimation job and build the placed layout directly
+        useBroadcast = false
+        degE = placedBySrc(degERaw).cache()
       case None =>
         val degE0 = degERaw.cache()
         val nV = degE0.filter(col("d") === Long.MaxValue).count()

@@ -56,6 +56,30 @@ object Q105Probe {
       t("table scan alone") {
         spark.table(tbl).count()
       }
+      // the in-memory q90 path: does the r14 no-pin chaining insight
+      // transfer to the shuffle-ranks variant (r13 measured 6.5 s with
+      // the default pin at i=4), and what does broadcast cost there?
+      val li = graft.queries.Queries.table(spark, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val rev = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionAll(rev)
+      t("q90 broadcast ckpt=4 (current)") {
+        graft.ops.Graph.pageRank(edges, "src", "dst", 5,
+          broadcastRanks = Some(true), checkpointInterval = 4)
+          .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+      }
+      t("q90 shuffle ckpt=99 (chained)") {
+        graft.ops.Graph.pageRank(edges, "src", "dst", 5,
+          broadcastRanks = Some(false), checkpointInterval = 99)
+          .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+      }
+      t("q90 shuffle ckpt=4") {
+        graft.ops.Graph.pageRank(edges, "src", "dst", 5,
+          broadcastRanks = Some(false), checkpointInterval = 4)
+          .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+      }
     }
     spark.stop()
   }
