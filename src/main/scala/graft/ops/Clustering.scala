@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus clustering for data curation — the unsupervised labels
+  * cluster-balanced sampling, topic capping, and diversity audits key on
+  * (q48/q67 consume per-group labels; this op produces them from raw
+  * embeddings). Exact FIXED-POINT Lloyd's k-means: embeddings quantize
+  * to 1e-6 integer units (the q161/q175 `toUnits` convention), distances
+  * and centroid updates stay in BIGINT arithmetic with truncating
+  * division, and ties break deterministically (lowest cluster id) — so a
+  * run is bit-reproducible on any cluster size AND fully SQL-replayable,
+  * unlike MLlib KMeans (q54's codebook has no SQL twin and runs
+  * rows-only; this op is the hash-checkable member of the family).
+  *
+  * Scale shape (the q195 fixed-point pattern at embedding scale): the
+  * quantized corpus is cached ONCE; each round is one narrow per-row
+  * argmin over k broadcast centroid literals (no join — the centroids
+  * ride the plan, the assignCells convention) plus ONE map-side-
+  * combinable keyed agg to (cluster, dim) sums — k·dim rows to the
+  * driver, never corpus rows. R rounds = R synchronous barriers, the
+  * irreducible fixed-point floor (q90/q195 argument). Empty clusters
+  * carry their previous centroid. Output: one row per non-empty final
+  * cluster — (cluster, n, wss, ccheck) with wss = Σ assigned squared
+  * distances and ccheck = Σ_d c_d·(d+1), the order-sensitive centroid
+  * checksum an oracle replays with one SUM. */
+object Clustering {
+
+  val SCALE: Long = 1000000L
+
+  def kmeansFixedPoint(emb: DataFrame, k: Int, rounds: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need at least one cluster, got $k")
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xs = emb.select(col(idCol).as("vec_id"),
+      transform(col(embCol),
+        e => floor(e.cast("double") * SCALE + lit(0.5)).cast("long")).as("v"))
+      .persist()
+    // seed centroids: the first k vectors in id order (deterministic and
+    // SQL-replayable — the q29 sample-codebook convention)
+    var cents: Array[Array[Long]] = xs.orderBy("vec_id").limit(k)
+      .select("v").as[Seq[Long]].collect().map(_.toArray)
+    if (cents.isEmpty) { // empty corpus: nothing to cluster
+      xs.unpersist()
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cluster", "n", "wss", "ccheck")
+    }
+
+    /** Adds (dist, cluster): argmin squared distance over the current
+      * centroid literals, first minimum = lowest cluster id on ties. */
+    def withAssign(df: DataFrame): DataFrame = {
+      val dists = array(cents.map { c =>
+        aggregate(
+          zip_with(col("v"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+      df.withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cluster",
+          (expr("array_position(dists, dist)") - 1).cast("long"))
+        .drop("dists")
+    }
+
+    for (_ <- 1 to rounds) {
+      // ONE keyed agg to (cluster, dim) sums — k·dim rows back, bounded
+      val sums = withAssign(xs)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep their centroid
+      sums.foreach { r =>
+        // Long / Long truncates toward zero — the `div` the oracle replays
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    val ccheck = cents.zipWithIndex.map { case (c, j) =>
+      j.toLong -> c.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum
+    }.toMap
+    val out = withAssign(xs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("wss"))
+      .withColumn("ccheck", element_at(typedLit(ccheck), col("cluster")))
+      .select(col("cluster"), col("n"), col("wss"), col("ccheck"))
+      .orderBy("cluster")
+      .localCheckpoint()
+    xs.unpersist()
+    out
+  }
+}

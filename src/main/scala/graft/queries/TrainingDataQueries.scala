@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Queries.{ddot, dround6, dsum, duckEmb, duckWordGrams, table, Q}
 
 /** Training-data pipeline operator pack: deduplication, similarity search,
@@ -752,6 +752,69 @@ object TrainingDataQueries {
       "codebook assignment landed idempotently, pairs served from " +
       "base + landings equal the from-scratch q23 answer")
 
+  /** q198 oracle: unrolled Lloyd's rounds in exact fixed-point integer
+    * arithmetic. Same conventions as the engine: 1e-6 quantization with
+    * an explicit DOUBLE cast (a raw float*1e6 runs in float32 and drifts
+    * — prototyped), truncating `//` division (matches Spark `div` on
+    * negatives), lowest-cluster tie-break via the rk window, empty
+    * clusters carried by the LEFT JOIN + COALESCE. MATERIALIZED is
+    * load-bearing (the q195 chain-inlining lesson). */
+  private def kmeansOracle(k: Int, rounds: Int, dim: Int): String = {
+    val s = Clustering.SCALE
+    def distExpr(x: String, c: String) =
+      s"list_sum([($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) * " +
+        s"($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) " +
+        s"for i in range(1, ${dim + 1})])"
+    val p = Seq.newBuilder[String]
+    p += s"xs AS MATERIALIZED (SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE) " +
+      s"* $s + 0.5) AS BIGINT) for e in embedding] AS v FROM embeddings)"
+    p += "c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id)" +
+      " - 1 AS BIGINT) AS cl, v AS c FROM (SELECT vec_id, v FROM xs " +
+      s"ORDER BY vec_id LIMIT $k))"
+    var prev = "c0"
+    (1 to rounds).foreach { r =>
+      p += s"a$r AS MATERIALIZED (SELECT vec_id, v, cl, dist FROM (" +
+        s"SELECT x.vec_id, x.v, c.cl, ${distExpr("x", "c")} AS dist, " +
+        s"row_number() OVER (PARTITION BY x.vec_id ORDER BY " +
+        s"${distExpr("x", "c")}, c.cl) AS rk " +
+        s"FROM xs x CROSS JOIN $prev c) WHERE rk = 1)"
+      p += s"n$r AS MATERIALIZED (SELECT cl, CAST(i AS BIGINT) AS d, " +
+        s"CAST(sum(v[CAST(i AS INT)]) AS BIGINT) // count(*) AS cd " +
+        s"FROM a$r, unnest(range(1, ${dim + 1})) t(i) GROUP BY cl, i)"
+      p += s"m$r AS MATERIALIZED (SELECT cl, list(cd ORDER BY d) AS c " +
+        s"FROM n$r GROUP BY cl)"
+      p += s"c$r AS MATERIALIZED (SELECT p.cl, COALESCE(m.c, p.c) AS c " +
+        s"FROM $prev p LEFT JOIN m$r m ON p.cl = m.cl)"
+      prev = s"c$r"
+    }
+    p += s"af AS MATERIALIZED (SELECT vec_id, cl, dist FROM (" +
+      s"SELECT x.vec_id, c.cl, ${distExpr("x", "c")} AS dist, " +
+      s"row_number() OVER (PARTITION BY x.vec_id ORDER BY " +
+      s"${distExpr("x", "c")}, c.cl) AS rk " +
+      s"FROM xs x CROSS JOIN $prev c) WHERE rk = 1)"
+    p += s"cch AS MATERIALIZED (SELECT cl, list_sum([c[CAST(i AS INT)] * i " +
+      s"for i in range(1, ${dim + 1})]) AS ccheck FROM $prev)"
+    "WITH " + p.result().mkString(", ") +
+      " SELECT a.cl AS cluster, count(*) AS n, " +
+      "CAST(sum(a.dist) AS BIGINT) AS wss, " +
+      "CAST(any_value(h.ccheck) AS BIGINT) AS ccheck " +
+      "FROM af a JOIN cch h ON a.cl = h.cl GROUP BY a.cl ORDER BY cluster"
+  }
+
+  // q198: exact fixed-point Lloyd's k-means over the embedding corpus —
+  // the hash-checkable member of the clustering family (q54's MLlib
+  // KMeans has no SQL twin and runs rows-only). 3 rounds, k=8, first-k
+  // seeds; per round one narrow argmin over broadcast centroid literals
+  // + one keyed agg to k·dim driver rows (the q195 fixed-point shape at
+  // embedding scale); the oracle unrolls every round.
+  private val q198 = Q(
+    (s, dir) => graft.ops.Clustering.kmeansFixedPoint(
+      table(s, dir, "embeddings"), k = 8, rounds = 3),
+    Some(kmeansOracle(k = 8, rounds = 3, dim = 64)),
+    "Exact fixed-point Lloyd's k-means (3 unrolled rounds, integer " +
+      "arithmetic, deterministic ties): cluster sizes, within-cluster " +
+      "squared error, centroid checksums — all SQL-replayed exactly")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -1381,6 +1444,7 @@ object TrainingDataQueries {
     "q59_dedup_incremental" -> q59,
     "q60_ann_index_append" -> q60,
     "q197_stream_ivf" -> q197,
+    "q198_kmeans" -> q198,
     "q61_dedup_index_append" -> q61,
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,

@@ -87,8 +87,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // TextAnalysisSpec.
     "q195_bpe_iterative", "q196_bpe_tokenize",
     // q197 builds its base index and runs the landing stream at
-    // plan-build (the q60 + q194 composition)
-    "q197_stream_ivf")
+    // plan-build (the q60 + q194 composition); q198 runs the Lloyd's
+    // fixed point (R collect rounds + a final localCheckpoint — the
+    // q195 shape) at plan-build
+    "q197_stream_ivf", "q198_kmeans")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
