@@ -660,29 +660,30 @@ object Bench {
     //  - the FILE gets the full-diagnostic line — per-query keys in
     //    full, nanosecond precision, every gate/probe field (written by
     //    writeFullArtifact above: once pre-sweep, finally here);
-    //  - STDOUT gets a COMPACT twin — qNN short keys (the driver
-    //    contract's own example spells "q1"), 3-decimal seconds, summary
-    //    diagnostics — because the driver records only the LAST 2000
-    //    CHARS of stdout and parses the JSON line out of that tail. The
-    //    r7/r8 artifacts both carried "parsed":null: the full line
-    //    (~4 KB: 77 spelled-out query names at ns precision plus a
-    //    41-name unclean list) could never fit, so the tail began
-    //    mid-line. The compact twin is ~1.2 KB at the current surface
+    //  - STDOUT gets a COMPACT summary — total, counts, and only the
+    //    ten slowest per-query times — because the driver records only
+    //    the LAST 2000 CHARS of stdout and parses the JSON line out of
+    //    that tail. r7/r8 and again r14 carried "parsed":null when the
+    //    stdout line tried to hold the whole per-query map (179 entries
+    //    ≈ 2.4 KB). The summary is ~0.5 KB regardless of surface size
     //    and printed LAST, after spark.stop(), so nothing can interleave
     //    before process exit.
     val results = currentResults
     val unclean = currentUnclean
     val total = results.map(_._2).filter(_ >= 0).sum
-    // 2-decimal seconds in the compact map: at 118 timed queries the
-    // line is ~1.6 KB of the 2000-char tail (the sbt "[success]" line
-    // eats ~70 more); 2 decimals buys ~120 B of headroom — ~25 further
-    // queries before this needs a real redesign (drop the map or split
-    // lines). The FILE artifact keeps full precision.
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else r2(v))
-    }.mkString("{", ",", "}")
+    // The full per-query map no longer fits the driver's 2000-char
+    // stdout tail at all (r14: 179 entries ≈ 2.4 KB → parsed:null,
+    // truncated mid-map). The stdout "queries" field now carries only
+    // the TEN slowest queries (the regression-reading signal); the
+    // complete map at full precision lives in the FILE artifact
+    // (BENCH_LOCAL.json / bench_runs archive) which "detail" points at.
+    val qsShort = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+      }.mkString("{", ",", "}")
     val compactLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qsShort,"sf":"$sfDir","probe_ok":${unclean.isEmpty},""" +
+      s""""queries":$qsShort,"sf":"$sfDir","n_timed":${results.size},""" +
+      s""""probe_ok":${unclean.isEmpty},""" +
       s""""unclean_n":${unclean.size},"base_reps":$baseReps,""" +
       s""""load_gated_ok":${!everContended},"detail":"BENCH_LOCAL.json"}"""
     writeFullArtifact()

@@ -586,6 +586,69 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) of an
+    * array<string> token sequence: hash every `k`-token gram (xxhash64
+    * chain over the token hashes — order-sensitive, content-only), keep
+    * the MINIMUM of each sliding window of `w` consecutive gram hashes
+    * (monotonic-deque, O(n)), return the distinct minima in first-seen
+    * order. Content-only selection is what gives the MOSS guarantee:
+    * two documents sharing any w+k−1-token span select at least one
+    * identical fingerprint VALUE (hash collisions can only add shared
+    * fingerprints, never lose one — the window's min value is the same
+    * number in both docs whichever gram produced it). One fused JVM
+    * loop per row replaces a nested interpreted higher-order-function
+    * tree that recomputed every gram hash w times (q199: the
+    * fingerprint scan was the dominant stage cost). */
+  case class GramWinnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ng = n - k + 1
+      if (ng < w) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val u8 = arr.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(
+          u8.getBaseObject, u8.getBaseOffset, u8.numBytes, 42L)
+        i += 1
+      }
+      val gh = new Array[Long](ng)
+      i = 0
+      while (i < ng) {
+        var h = 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < k) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+        gh(i) = h
+        i += 1
+      }
+      val nw = ng - w + 1
+      val mins = new Array[Long](nw)
+      val dq = new Array[Int](ng) // indices, gh increasing from head
+      var head = 0
+      var tail = 0
+      i = 0
+      while (i < ng) {
+        while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) mins(i - w + 1) = gh(dq(head))
+        i += 1
+      }
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = Array.newBuilder[Long]
+      var p = 0
+      while (p < nw) { if (seen.add(mins(p))) out += mins(p); p += 1 }
+      new GenericArrayData(out.result())
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Content-defined chunking of a single-space-separated word stream —
     * the SHIFT-ROBUST passage splitter (FastCDC/rsync family, word
     * granularity): a chunk boundary falls AFTER word w iff
@@ -1226,6 +1289,9 @@ object CatalystExpressions {
       es => WordChunks(es.head, es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_word_windows",
       es => WordWindows(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => GramWinnow(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_cdc_chunks",
       es => CdcChunks(es.head, es(1).eval().asInstanceOf[Int]), "built-in")

@@ -83,7 +83,14 @@ object Clustering {
     }.toMap
     val out = withAssign(xs)
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"), sum(col("dist")).as("wss"))
+      // dist is ~1e12–1e14 per row for 64-dim data in 1e-6 units, so a
+      // LongType sum wraps silently around 1e5–1e7 rows under non-ANSI
+      // Spark while the oracle's DuckDB sum runs in HUGEINT — widen to
+      // DECIMAL(38,0) before the final bigint cast so both engines
+      // compute the exact 128-bit sum (ADVICE r14)
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("wss"))
       .withColumn("ccheck", element_at(typedLit(ccheck), col("cluster")))
       .select(col("cluster"), col("n"), col("wss"), col("ccheck"))
       .orderBy("cluster")

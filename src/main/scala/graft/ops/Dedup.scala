@@ -886,4 +886,109 @@ object Dedup {
       .select(col("val_a"), col("val_b"), round(col("sim"), 6).as("sim"),
         col("n_a"), col("n_b"))
   }
+
+  // -- Exact substring dedup (the Lee et al. class) -----------------------
+
+  /** Exact substring dedup: every pair of documents sharing a VERBATIM
+    * span of at least `minSpanTokens` whitespace tokens, with the token
+    * length of the longest such span — the suffix-array/"Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., ACL 2022)
+    * dedup class that MinHash/SimHash/CDC cannot certify (they measure
+    * set overlap, not contiguous runs). Output: (ida, idb, span),
+    * ida < idb, span ≥ `minSpanTokens`.
+    *
+    * Two-stage shape, never all-pairs:
+    *
+    *  1. CANDIDATES by winnowing (Schleimer et al., SIGMOD 2003 — the
+    *     MOSS fingerprinting scheme): per document, hash every `k`-token
+    *     gram in-row, then keep the MINIMUM hash of each sliding window
+    *     of w = L−k+1 consecutive gram hashes (L = `minSpanTokens`).
+    *     Selection depends only on CONTENT, so any two documents sharing
+    *     a span of ≥ w+k−1 = L tokens select at least one identical
+    *     fingerprint (the winnowing guarantee) — stride/position
+    *     anchoring has no such cross-document alignment. Candidates are
+    *     the fingerprint equi-join (distinct (doc, fp) first, id-ordered)
+    *     — ~2/(w+1) of the gram count enters the shuffle, 8-byte keys,
+    *     a SUPERSET of the answer (a shared k-gram need not extend to L).
+    *  2. VERIFY on collisions only: candidate documents (and only they)
+    *     explode full L-token grams — joined on the GRAM STRING, so hash
+    *     collisions cannot fabricate a pair — restricted through the
+    *     candidate pair set; consecutive matches on a diagonal
+    *     (i−j constant) certify a shared span of run+L−1 tokens
+    *     (gaps-and-islands over i per (ida, idb, diag)); the per-pair
+    *     max is the exact longest-common-substring length in tokens.
+    *     This join's size is output-bound: every L-gram string match IS
+    *     part of a reported span.
+    *
+    * At 100 TB: stage 1 is one narrow in-row pass plus one equi-join on
+    * compact keys (the q20/q22 banding argument); a boilerplate
+    * fingerprint shows up as one oversized posting group that AQE
+    * skew-split handles. Stage 2 touches only candidate documents, and
+    * the diagonal-run window partitions by (pair, diag) — bounded
+    * groups. Token convention: `split(text, ' ')` — empty tokens from
+    * runs of spaces participate identically in engine and oracle. */
+  def exactSubstringPairs(docs: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val L = minSpanTokens
+    require(L >= 2, s"minSpanTokens must be >= 2, got $L")
+    require(k >= 1 && k < L, s"need 1 <= k < minSpanTokens, got k=$k")
+    val w = L - k + 1
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= L)
+    // stage 1: compiled winnowing kernel ([[graft.functions
+    // .CatalystExpressions.GramWinnow]] — one fused per-row loop:
+    // token hashes, chained k-gram hashes, monotonic-deque window
+    // minima, per-doc distinct; the equivalent nested higher-order
+    // functions run INTERPRETED and recompute every gram hash w times,
+    // which profiled as the dominant stage).
+    // Candidates are DOC IDS, not pairs: a fingerprint held by >= 2 docs
+    // marks every holder as a candidate — stage-1 output stays LINEAR in
+    // the corpus (the pairwise blowup is deferred to stage 2, where every
+    // generated match is true output by the winnowing guarantee below).
+    val fps = base.select(col("id"), explode(
+      call_function("graft_winnow", col("ws"), lit(k), lit(w))).as("fp"))
+    // shuffle_hash: the shared-count agg and the semi-join back both
+    // shuffle fps on fp — exchange reuse computes the fingerprints once
+    val shared = fps.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val candIds = fps.hint("shuffle_hash")
+      .join(shared.select(col("fp")), "fp")
+      .select(col("id")).distinct()
+    // stage 2: full L-grams for candidate documents only (the compiled
+    // WordWindows kernel at stride 1 — space-join is bijective on
+    // space-split tokens, so string equality == token-sequence
+    // equality), matched on the GRAM STRING. No pair-set restriction is
+    // needed: two candidate docs matching on an L-gram share an L-token
+    // span BY DEFINITION — every match is true output, and conversely
+    // any pair sharing a span >= L shares a window-min fingerprint
+    // (winnowing guarantee), so both its docs are candidates. One
+    // self-join, identical subtrees both sides.
+    val gramsRaw = base.join(candIds, "id")
+      .select(col("id"), posexplode(
+        call_function("graft_word_windows", col("txt"), lit(L), lit(1))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    // materialized once (the minhashNearDups convention): both sides of
+    // the verify self-join read the same candidate-gram table instead of
+    // re-running the whole stage-1 pipeline per side
+    val grams = Materialize.cachedSingleton("dedup-substring-grams", gramsRaw)
+    val m = grams.as("x").hint("shuffle_hash").join(grams.as("y"),
+        col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"),
+        col("x.pos").as("i"), col("y.pos").as("j"))
+    val runs = m
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("grp", col("i") - row_number().over(
+        Window.partitionBy(col("ida"), col("idb"), col("diag"))
+          .orderBy(col("i"))))
+      .groupBy(col("ida"), col("idb"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    runs.groupBy(col("ida"), col("idb"))
+      .agg((max(col("cnt")) + L - 1).as("span"))
+      .orderBy("ida", "idb")
+  }
 }

@@ -537,14 +537,17 @@ object Similarity {
       path: String, landPath: String, threshold: Double): DataFrame = {
     val cents = readIndexCodebook(spark, path)
     if (cents.isEmpty) return emptyPairs(spark)
-    val lp = new org.apache.hadoop.fs.Path(landPath)
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = readAssignment(spark, path)
-    val all =
-      if (!fs.exists(lp)) base
-      else base.unionByName(
-        spark.read.parquet(landPath).drop("batch")
-          .withColumn("cell", col("cell").cast("long")))
+    // readLandings guards on actual data files, not directory existence
+    // (a crash can leave only a .staging-* dir, an all-filtered
+    // micro-batch an empty batch=<id> partition — ADVICE r14), and
+    // resolves compaction generations, so this serve path keeps working
+    // across [[graft.io.Landings.compactLandings]] folds.
+    val all = graft.io.Landings.readLandings(spark, landPath) match {
+      case None => base
+      case Some(land) => base.unionByName(
+        land.drop("batch").withColumn("cell", col("cell").cast("long")))
+    }
     pairsOverAssigned(all, cents, threshold, memoRadii = false)
   }
 

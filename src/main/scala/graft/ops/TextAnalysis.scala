@@ -233,6 +233,26 @@ object TextAnalysis {
     merges.result().toDF("rank", "pair", "lhs", "rhs", "cnt")
   }
 
+  /** Unsigned UTF-8 byte order — the collation Spark and DuckDB both
+    * apply to string min/ORDER BY, and therefore the order the
+    * distributed BPE rounds and the DuckDB oracles break count ties
+    * with. JVM `String.<` is UTF-16 code-unit order, which DISAGREES
+    * on U+E000–U+FFFF vs supplementary-plane symbols (surrogates sort
+    * below 0xE000 code units but their code points are higher), so the
+    * local loop must not use it (ADVICE r14). */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The driver-side loop engine behind [[bpeLearnMerges]]: exact greedy
     * BPE over the collected word-count table — count weighted adjacent
     * positions, argmax (cnt desc, lhs asc, rhs asc), greedy
@@ -268,7 +288,8 @@ object TextAnalysis {
         var bc = 0L
         pc.foreach { case (p, c) =>
           if (bp == null || c > bc || (c == bc &&
-              (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) {
+              (utf8Less(p._1, bp._1) ||
+               (p._1 == bp._1 && utf8Less(p._2, bp._2))))) {
             bp = p; bc = c
           }
         }

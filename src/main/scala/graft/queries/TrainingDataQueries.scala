@@ -744,13 +744,19 @@ object TrainingDataQueries {
       val q = graft.streaming.StreamSink.toIvfLandings(stream,
         s"$scratch/base", s"$scratch/landings", s"$scratch/ckpt")
       q.processAllAvailable(); q.stop()
+      // landing OPTIMIZE on the serve path (VERDICT r14 #3): fold the
+      // per-batch landings into one compact=<g> generation before
+      // serving — the oracle compare below IS the served-result
+      // fold-invariance proof (same pair set as from-scratch q23)
+      graft.streaming.StreamSink.compactIvfLandings(s, s"$scratch/landings")
       Similarity.cosinePairsBlockedFromIndexWithLandings(s,
         s"$scratch/base", s"$scratch/landings", threshold = 0.4)
     },
     q23.oracle,
     "Exactly-once streaming ANN-index maintenance: per-batch stored-" +
-      "codebook assignment landed idempotently, pairs served from " +
-      "base + landings equal the from-scratch q23 answer")
+      "codebook assignment landed idempotently, folded by the landing " +
+      "OPTIMIZE, pairs served from base + landings equal the " +
+      "from-scratch q23 answer")
 
   /** q198 oracle: unrolled Lloyd's rounds in exact fixed-point integer
     * arithmetic. Same conventions as the engine: 1e-6 quantization with
@@ -814,6 +820,40 @@ object TrainingDataQueries {
     "Exact fixed-point Lloyd's k-means (3 unrolled rounds, integer " +
       "arithmetic, deterministic ties): cluster sizes, within-cluster " +
       "squared error, centroid checksums — all SQL-replayed exactly")
+
+  // q199: exact substring dedup (the Lee et al. class — VERDICT r14 #2):
+  // pairs sharing a verbatim span of >= 8 tokens with the longest-span
+  // length, via winnowed k-gram candidates + string-equal L-gram
+  // diagonal-run verify (Dedup.exactSubstringPairs). The oracle is the
+  // brute-force relational twin: ALL L-grams equi-joined (a shared
+  // >=L-token span exists iff a shared L-gram exists), max consecutive
+  // diagonal run + L - 1 = the exact longest shared span.
+  private val q199 = Q(
+    (s, dir) => Dedup.exactSubstringPairs(table(s, dir, "documents"),
+      "doc_id", "text", minSpanTokens = 8),
+    Some {
+      val L = 8
+      s"WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') " +
+        "AS ws FROM documents), " +
+        "g AS MATERIALIZED (SELECT doc_id, i, " +
+        s"array_to_string(ws[i:i+${L - 1}], chr(31)) AS gram " +
+        s"FROM w, unnest(range(1, len(ws) - $L + 2)) t(i) " +
+        s"WHERE len(ws) >= $L), " +
+        "m AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb, " +
+        "a.i AS i, b.i AS j FROM g a JOIN g b ON a.gram = b.gram " +
+        "AND a.doc_id < b.doc_id), " +
+        "runs AS (SELECT ida, idb, i - j AS diag, " +
+        "i - row_number() OVER (PARTITION BY ida, idb, i - j ORDER BY i) " +
+        "AS grp FROM m) " +
+        s"SELECT ida, idb, CAST(max(cnt) + $L - 1 AS BIGINT) AS span " +
+        "FROM (SELECT ida, idb, diag, grp, count(*) AS cnt FROM runs " +
+        "GROUP BY ida, idb, diag, grp) " +
+        "GROUP BY ida, idb ORDER BY ida, idb"
+    },
+    "Exact substring dedup: document pairs sharing a verbatim span of " +
+      ">= 8 tokens with the exact longest-span length — winnowing " +
+      "candidates (content-defined, the MOSS guarantee), L-gram " +
+      "diagonal-run verify on collisions only")
 
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
@@ -1445,6 +1485,7 @@ object TrainingDataQueries {
     "q60_ann_index_append" -> q60,
     "q197_stream_ivf" -> q197,
     "q198_kmeans" -> q198,
+    "q199_substring_dedup" -> q199,
     "q61_dedup_index_append" -> q61,
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,

@@ -265,17 +265,29 @@ object StreamSink {
     * streamed in. */
   def readBpeMerges(spark: org.apache.spark.sql.SparkSession, path: String,
       m: Int): org.apache.spark.sql.DataFrame = {
-    // Zero landings (empty corpus / all-empty micro-batches never create
-    // the path — the !batch.isEmpty guard) read as an empty merge list,
-    // not a missing-path failure (ADVICE r13).
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val counts =
-      if (!fs.exists(p)) {
+    // Zero servable landings (empty corpus / all-empty micro-batches
+    // never create the path — the !batch.isEmpty guard — and a crash
+    // can leave a data-file-less tree) read as an empty merge list,
+    // not a missing-path/schema-inference failure (ADVICE r13/r14).
+    val counts = graft.io.Landings.readLandings(spark, path) match {
+      case Some(df) => df.drop("batch")
+      case None =>
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("pair", "cnt")
-      } else spark.read.parquet(path).drop("batch")
+    }
     graft.ops.TextAnalysis.bpeMergesFromCounts(counts, m)
+  }
+
+  /** Landing `OPTIMIZE` for [[toBpePairs]] partials: fold every landed
+    * (pair, cnt) partial into ONE summed table —
+    * [[graft.io.Landings.compactLandings]] with the pair-count sum as
+    * the algebraic reduce. [[readBpeMerges]] is fold-invariant because
+    * pair counts are distributive sums. */
+  def compactBpePairs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.groupBy(col("pair")).agg(sum(col("cnt")).as("cnt")))
   }
 
   /** The live per-key trend from a [[toTrendStats]] landing: moment
@@ -285,7 +297,20 @@ object StreamSink {
   def readTrend(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String): org.apache.spark.sql.DataFrame =
     graft.ops.TimeSeries.trendFromStats(
-      spark.read.parquet(path).drop("batch"), keyCol)
+      graft.io.Landings.readLandings(spark, path)
+        .getOrElse(spark.read.parquet(path)).drop("batch"), keyCol)
+
+  /** Landing `OPTIMIZE` for [[toTrendStats]] moments: per-key moment
+    * sums are the algebraic reduce — [[readTrend]] is fold-invariant
+    * because integer moments merge by addition. */
+  def compactTrendStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.groupBy(col(keyCol)).agg(sum(col("n")).as("n"),
+        sum(col("sk")).as("sk"), sum(col("sy")).as("sy"),
+        sum(col("sky")).as("sky"), sum(col("skk")).as("skk")))
+  }
 
   /** Continuous HEAVY-HITTER maintenance
     * ([[graft.ops.Sketches.heavyHitters]] — the [[toCmSketch]] landing
@@ -322,12 +347,27 @@ object StreamSink {
   def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
       path: String, capacity: Int): DataFrame =
     graft.ops.Sketches.ssMerge(
-      spark.read.parquet(path).select(
+      graft.io.Landings.readLandings(spark, path)
+        .getOrElse(spark.read.parquet(path)).select(
         org.apache.spark.sql.functions.col("batch"),
         org.apache.spark.sql.functions.col("item"),
         org.apache.spark.sql.functions.col("cnt"),
         org.apache.spark.sql.functions.col("err")),
       "batch", capacity)
+
+  /** Landing `OPTIMIZE` for [[toHeavyHitters]] summaries: the reduce is
+    * the SpaceSaving relational merge itself (per-member identity comes
+    * from the `batch` column the fold input carries), so the landed
+    * generation is ONE ≤`capacity`-row summary and [[readHeavyHitters]]
+    * is fold-invariant by merge associativity (Agarwal et al.
+    * mergeable summaries). */
+  def compactHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+      path: String, capacity: Int): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      graft.ops.Sketches.ssMerge(df.select(col("batch"), col("item"),
+        col("cnt"), col("err")), "batch", capacity))
+  }
 
   /** Continuous QUANTILE-sketch maintenance
     * ([[graft.ops.Sketches.sampleSketch]] — the [[toCmSketch]] landing
@@ -365,11 +405,27 @@ object StreamSink {
       path: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    spark.read.parquet(path)
+    graft.io.Landings.readLandings(spark, path)
+      .getOrElse(spark.read.parquet(path))
       .select(col("grp"), col("h"), col("v"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
       .filter(col("r") <= k)
+  }
+
+  /** Landing `OPTIMIZE` for [[toSampleSketch]] partials: re-take the k
+    * smallest (h, v) per group as the reduce — sound because bottom-k
+    * merge is associative (bottom-k of a union equals bottom-k of the
+    * members' bottom-k's), so [[readSampleSketch]] is fold-invariant. */
+  def compactSampleSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.select(col("grp"), col("h"), col("v"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+        .filter(col("r") <= k).drop("r"))
   }
 
   /** Continuous GDPR/takedown processing (the 11th streaming query's
@@ -414,10 +470,33 @@ object StreamSink {
   def readCmSketch(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(path)
+    graft.io.Landings.readLandings(spark, path)
+      .getOrElse(spark.read.parquet(path))
       .groupBy(col("grp"), col("row"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Landing `OPTIMIZE` for [[toCmSketch]] cell tables: the cell-wise
+    * sum is the reduce — Count-Min merge is associative and
+    * commutative, so [[readCmSketch]] is fold-invariant. */
+  def compactCmSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.groupBy(col("grp"), col("row"), col("cell"))
+        .agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Landing `OPTIMIZE` for [[toIvfLandings]] assignments: a pure
+    * union fold keeping the `cell=` sub-partitioning, so index readers
+    * keep partition-pruning the generation exactly like base cell
+    * directories and
+    * [[graft.ops.Similarity.cosinePairsBlockedFromIndexWithLandings]]
+    * serves the identical pair set before and after. */
+  def compactIvfLandings(spark: org.apache.spark.sql.SparkSession,
+      landPath: String): Boolean =
+    graft.io.Landings.compactLandings(spark, landPath,
+      subPartitionCols = Seq("cell"))
 
   /** Continuous distribution-drift MONITORING
     * ([[graft.ops.Quality.driftAudit]] per micro-batch): every batch is

@@ -545,4 +545,69 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 1L, 1.0)))
   }
+
+  // driver-side exact twin for exactSubstringPairs: longest common token
+  // substring per pair, pairs kept when it reaches L
+  private def bruteSpans(corpus: Seq[(Long, String)],
+      L: Int): Seq[(Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }
+    for {
+      (ia, a) <- toks; (ib, b) <- toks
+      if ia < ib
+      best = (for (i <- a.indices; j <- b.indices if a(i) == b(j)) yield {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l))
+          l += 1
+        l
+      }).maxOption.getOrElse(0)
+      if best >= L
+    } yield (ia, ib, best.toLong)
+  }
+
+  test("exactSubstringPairs equals the brute-force LCS twin; sub-L overlaps rejected") {
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"   // 8 tokens
+    val span15 = (1 to 15).map(i => s"s$i").mkString(" ")
+    val span7 = "one two three four five six seven"               // 7 < L
+    val rnd = new scala.util.Random(0xDED0BEEFL)
+    val vocab = (0 until 25).map(i => s"w$i")
+    def noise(n: Int) =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> s"${noise(10)} $span8 ${noise(12)}",
+      2L -> s"${noise(7)} $span8 ${noise(5)}",      // exactly-8 span pair
+      3L -> s"$span15 ${noise(20)}",
+      4L -> s"${noise(3)} $span15",                 // 15-token span pair
+      5L -> s"${noise(15)} $span7 ${noise(15)}",    // shares k-grams with 6
+      6L -> s"$span7 ${noise(9)}",                  // but no >=8 span: no pair
+      7L -> "tiny doc",                             // shorter than L: excluded
+      8L -> s"${noise(30)}"                         // random filler
+    ) ++ (9L to 30L).map(i => i -> noise(20 + rnd.nextInt(40)))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = bruteSpans(corpus, 8).sortBy(p => (p._1, p._2))
+    assert(got == want)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 8L))
+    assert(got.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 15L))
+    assert(!got.exists(p => p._1 == 5L && p._2 == 6L),
+      "a 7-token overlap must be rejected by the verify stage")
+  }
+
+  test("exactSubstringPairs: empty tokens from double spaces follow the split convention; three-way spans pair all sides") {
+    // the shared span contains a DOUBLE space -> an empty token inside
+    // the span on both sides; split(' ') keeps it, so the span certifies
+    val shared = "a b c  d e f g h i" // 10 tokens incl. one empty
+    val corpus = Seq(
+      1L -> s"x1 x2 $shared y1",
+      2L -> s"z1 $shared",
+      3L -> s"$shared q1 q2")
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == bruteSpans(corpus, 8).sortBy(p => (p._1, p._2)))
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.forall(_._3 >= 10L))
+  }
 }

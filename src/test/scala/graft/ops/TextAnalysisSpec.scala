@@ -143,6 +143,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(local == dist && local.size == 6)
   }
 
+  test("bpeLearnMerges: engines agree on non-BMP count ties (UTF-8 order)") {
+    // (U+FFFD, z) and (U+1F600, z) tie at count 1. Binary UTF-8 order —
+    // what Spark's ORDER BY and DuckDB's min both apply — puts U+FFFD
+    // (EF BF BD) below U+1F600 (F0 9F 98 80); JVM String '<' disagrees
+    // (the high surrogate 0xD83D sorts below the 0xFFFD code unit), so
+    // a code-unit tie-break in the local loop would flip the winner.
+    val rep = "�"         // U+FFFD replacement char (BMP, high)
+    val emo = "😀"   // U+1F600 (supplementary plane)
+    val docs = Seq((1L, s"${rep}z ${emo}z")).toDF("doc_id", "text")
+    val local = TextAnalysis.bpeLearnMerges(docs, k = 1).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val dist = TextAnalysis
+      .bpeLearnMerges(docs, k = 1, driverLoopMaxVocab = 0L).orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local == Seq((1L, rep + "z", rep, "z", 1L)))
+  }
+
   test("bpeLearnVocab: charset-then-merges ids, first occurrence on collision") {
     val docs = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
     val vocab = TextAnalysis.bpeLearnVocab(docs, k = 2)
