@@ -234,6 +234,49 @@ object Graph {
     ranks.select(col("node"), col("u").as("rank_units"))
   }
 
+  /** PERSONALIZED PageRank served from a [[writeEdgeIndex]] table — the
+    * random walk restarts only at SEED nodes (Haveliwala's topic-
+    * sensitive PageRank; the "importance relative to these sources"
+    * signal: domain whitelists seeding quality propagation, a user's
+    * items seeding recommendations). A one-term generalization of
+    * [[pageRankFromIndex]] reusing the whole fixed-point harness: the
+    * teleport summand becomes `seed(node) ? (1−α)·SCALE : 0` and the
+    * initial vector `seed(node) ? SCALE : 0` — the edge side stays the
+    * placed bucketed scan with zero per-iteration exchanges, the rank
+    * relation stays the only moving part, and the arithmetic stays
+    * integer 1e-9 units (bit-reproducible, SQL-replayable).
+    *
+    * `seed` must be a deterministic predicate OF THE NODE ID (evaluated
+    * in-row on both the init and update sides — no seed-set join, no
+    * broadcast), which is exactly what keeps the oracle expressible:
+    * the replayer writes the same CASE over its node column. Non-seed
+    * nodes unreachable from any seed report rank 0 — kept, not
+    * filtered, so the output is the full fixed-point vector. */
+  def personalizedPageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, iterations: Int, seed: org.apache.spark.sql.Column
+        => org.apache.spark.sql.Column, alphaNum: Long = 85L,
+      checkpointInterval: Int = 8): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val degE = spark.table(tableName)
+    var ranks = degE.filter(col("d") === Long.MaxValue)
+      .select(col("src").as("node"))
+      .withColumn("u", when(seed(col("node")), lit(SCALE)).otherwise(lit(0L)))
+    for (i <- 1 to iterations) {
+      val ranksSrc = ranks.withColumnRenamed("node", "src")
+      val contribs = degE.join(ranksSrc, "src")
+        .select(col("dst").as("node"), expr("u div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = contribs.select(col("node"),
+        (when(seed(col("node")), lit(teleport)).otherwise(lit(0L)) +
+          expr(s"($alphaNum * c) div 100")).as("u"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("u").as("rank_units"))
+  }
+
   /** The broadcast-vs-shuffle decision, separated so the boundary is
     * unit-testable: broadcast iff |V| ≤ maxNodes, unless forced. */
   private[graft] def chooseRankStrategy(nV: Long, maxNodes: Long,
@@ -258,6 +301,31 @@ object Graph {
       "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), " +
       "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
       s"r0 AS (SELECT node, CAST($SCALE AS BIGINT) AS u FROM n), " +
+      iters +
+      s" SELECT node, u AS rank_units FROM r$iterations"
+  }
+
+  /** The unrolled replay of [[personalizedPageRankFromIndex]]: identical
+    * to [[pageRankOracleSql]] except the teleport summand and the
+    * initial vector carry the seed CASE. `seedSql` is a SQL boolean
+    * over the column `node` (e.g. `"node % 50 = 0"`). */
+  def personalizedPageRankOracleSql(edgesSql: String, iterations: Int,
+      seedSql: String, alphaNum: Long = 85L): String = {
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    def tele(of: String) =
+      s"CASE WHEN ${seedSql.replace("node", of)} THEN $teleport ELSE 0 END"
+    val iters = (1 to iterations).map { i =>
+      s"r$i AS (SELECT n.node, CAST(${tele("n.node")} + " +
+        s"($alphaNum * coalesce(s.c, 0)) // 100 AS BIGINT) AS u " +
+        s"FROM n LEFT JOIN (SELECT e.dst AS node, sum(r${i - 1}.u // deg.d) AS c " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src " +
+        "GROUP BY e.dst) s ON n.node = s.node)"
+    }.mkString(", ")
+    s"WITH e AS ($edgesSql), " +
+      "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), " +
+      "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      s"r0 AS (SELECT node, CAST(CASE WHEN $seedSql THEN $SCALE ELSE 0 END " +
+      "AS BIGINT) AS u FROM n), " +
       iters +
       s" SELECT node, u AS rank_units FROM r$iterations"
   }

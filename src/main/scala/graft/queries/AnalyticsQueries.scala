@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.{RangeJoin, Skew}
@@ -1267,18 +1268,26 @@ object AnalyticsQueries {
     * (regenerated source data ⇒ drop the table or start a fresh
     * session); the catalog entry dies with the JVM, so a new process
     * always rebuilds against current data. */
+  /** First-touch build of the shared supplier-part edge index (the
+    * q105 table, reused by q200's personalized walk — one durable
+    * placed relation, N fixed-point consumers). */
+  private def ensurePrEdgeIndex(s: SparkSession, dir: String): String = {
+    val tbl = "pr_edges_q105_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      val li = table(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val rev = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.writeEdgeIndex(fwd.unionAll(rev), "src", "dst",
+        tbl, buckets = 8)
+    }
+    tbl
+  }
+
   private val q105 = Q(
     (s, dir) => {
-      val tbl = "pr_edges_q105_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(tbl)) {
-        val li = table(s, dir, "lineitem")
-        val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
-          (col("l_partkey") * 2).as("dst"))
-        val rev = li.select((col("l_partkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        graft.ops.Graph.writeEdgeIndex(fwd.unionAll(rev), "src", "dst",
-          tbl, buckets = 8)
-      }
+      val tbl = ensurePrEdgeIndex(s, dir)
       graft.ops.Graph.pageRankFromIndex(s, tbl, iterations = 5)
         .orderBy(col("rank_units").desc, col("node")).limit(100)
     },
@@ -1286,6 +1295,28 @@ object AnalyticsQueries {
     "PageRank served from the durable bucketed edge index: build once " +
       "(dedup+degree+sentinels prepaid, src-bucketed), iterate with " +
       "zero edge-side shuffles — same ranks as q90")
+
+  // q200: PERSONALIZED PageRank (Haveliwala topic-sensitive restart) over
+  // the SAME durable edge index q105 serves from — the walk restarts only
+  // at seed nodes (node % 50 = 0: every 25th part), so ranks read as
+  // "importance relative to these sources"; one-term generalization of
+  // the fixed-point harness, teleport and init both carry the seed CASE.
+  private val q200 = Q(
+    (s, dir) => {
+      val tbl = ensurePrEdgeIndex(s, dir)
+      graft.ops.Graph.personalizedPageRankFromIndex(s, tbl, iterations = 5,
+        seed = n => n % 50 === 0)
+        .orderBy(col("rank_units").desc, col("node")).limit(100)
+    },
+    Some(graft.ops.Graph.personalizedPageRankOracleSql(
+      "SELECT DISTINCT src, dst FROM (" +
+        "SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem " +
+        "UNION ALL SELECT l_partkey*2, l_suppkey*2+1 FROM lineitem)",
+      iterations = 5, seedSql = "node % 50 = 0") +
+      " ORDER BY rank_units DESC, node LIMIT 100"),
+    "Personalized PageRank: restart mass only on seed nodes, served " +
+      "from the shared bucketed edge index with zero edge-side " +
+      "shuffles — integer 1e-9 units, SQL-replayed exactly")
 
   /** Versioned-lake time travel (the transactional triad the
     * reference's `format("delta")` relied on, supplied by
@@ -4107,6 +4138,7 @@ object AnalyticsQueries {
     "q109_kmv_setops" -> q109,
     "q108_time_travel" -> q108,
     "q105_pagerank_index" -> q105,
+    "q200_personalized_pagerank" -> q200,
     "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,
     "q102_kmv_distinct" -> q102,

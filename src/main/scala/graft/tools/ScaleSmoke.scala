@@ -70,7 +70,21 @@ object ScaleSmoke {
     graft.functions.CatalystExpressions.register(spark)
 
     // --- synthesize the ×factor corpus ---------------------------------
+    // Tables are emitted as SINGLE parquet FILES (write one part file,
+    // move it into place) to match the testdata layout: the streaming
+    // scaffold (Queries.stagedTableStream) stages tables with
+    // Files.copy, which copies a Spark-style parquet DIRECTORY as an
+    // empty dir — the first smoke run silently fed q194/q197 zero rows.
     val wdir = new java.io.File(work)
+    def publishSingleFile(dfDir: String, target: String): Unit = {
+      val d = new java.io.File(dfDir)
+      val part = d.listFiles().find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
     if (!new java.io.File(wdir, "_done").exists()) {
       replicated.foreach { case (t, ids) =>
         val df = spark.read.parquet(s"$base/$t.parquet")
@@ -78,12 +92,16 @@ object ScaleSmoke {
           df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))) {
           (d, c) => d.withColumn(c, col(c) + col("__r") * off)
         }.drop("__r")
-        rep.write.mode("overwrite").parquet(s"$work/$t.parquet")
-        println(s"[scale] $t x$factor -> ${rep.count()} rows")
+        rep.coalesce(1).write.mode("overwrite").parquet(s"$work/__tmp_$t")
+        publishSingleFile(s"$work/__tmp_$t", s"$work/$t.parquet")
+        println(s"[scale] $t x$factor -> " +
+          s"${spark.read.parquet(s"$work/$t.parquet").count()} rows")
       }
       copied.foreach { t =>
-        spark.read.parquet(s"$base/$t.parquet")
-          .write.mode("overwrite").parquet(s"$work/$t.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$base/$t.parquet"),
+          java.nio.file.Paths.get(s"$work/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       new java.io.FileOutputStream(new java.io.File(wdir, "_done")).close()
     }

@@ -65,6 +65,35 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS pr_edges_spec")
   }
 
+  test("personalizedPageRankFromIndex: hand-computed restart, uniform seed degenerates to pageRank") {
+    // chain 1 -> 2 -> 3, seed = {1}. teleport t = 0.15*SCALE lands only
+    // on 1; after enough iterations: u1 = t, u2 = t + 85*u1 div 100,
+    // u3 = t3 = 0 + 85*(u2 div 1) div 100 ... hand-walk 3 iterations.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    try {
+      Graph.writeEdgeIndex(edges, "src", "dst", "ppr_spec", buckets = 2)
+      val got = Graph.personalizedPageRankFromIndex(spark, "ppr_spec",
+        iterations = 3, seed = n => n === 1L)
+        .as[(Long, Long)].collect().toMap
+      val S = Graph.SCALE; val t = 15L * S / 100L
+      // r0 = (S, 0, 0)
+      // i1: u1 = t; u2 = 0 + 85*S div 100; u3 = 0
+      // i2: u1 = t; u2 = 85*t div 100;     u3 = 85*(85*S div 100) div 100
+      // i3: u1 = t; u2 = 85*t div 100;     u3 = 85*(85*t div 100) div 100
+      val u2 = 85L * t / 100L
+      assert(got(1L) == t, got.toString)
+      assert(got(2L) == u2, got.toString)
+      assert(got(3L) == 85L * u2 / 100L, got.toString)
+      // an always-true seed is exactly the classic walk
+      val uni = Graph.personalizedPageRankFromIndex(spark, "ppr_spec",
+        iterations = 3, seed = _ => lit(true))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val classic = Graph.pageRankFromIndex(spark, "ppr_spec", iterations = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(uni == classic)
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_spec")
+  }
+
   test("pageRankFromIndex iteration joins shuffle ONLY the rank side") {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
