@@ -757,6 +757,111 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Viterbi segmentation of a word under a unigram LM with INTEGER
+    * (1e-6-quantized log-prob) piece scores — the E-step kernel of
+    * SentencePiece-style tokenizer learning (Kudo 2018, hard-EM
+    * variant): maximize Σ score(pieceᵢ) over all decompositions into
+    * vocab pieces of length ≤ maxLen. Integer scores make the DP
+    * EXACTLY correct (float Viterbi is not prefix-monotone under
+    * reordering) and the whole fixed point SQL-replayable. Ties break
+    * by fewer pieces, then smallest predecessor at every DP cell —
+    * which equals, at the path level, lexicographically-ascending
+    * REVERSED start-position sequence (a DP candidate's breakpoint
+    * list ends at the cell, so comparing from the end resolves exactly
+    * the cells the DP resolves, and equal (score, n) forces equal list
+    * length) — the key a SQL oracle replays as ORDER BY score DESC,
+    * n ASC, list_reverse(brk) ASC. All indexing is by CODEPOINT (like
+    * Spark's substr and DuckDB's substr/length), not UTF-16 code unit,
+    * so supplementary-plane corpora segment identically in both
+    * engines. Returns the best segmentation as array<string>; null
+    * only if some character is outside the vocab (callers keep the
+    * charset in the vocab, so coverage is total). One JVM loop per
+    * row, O(len · maxLen) probes. */
+  case class UnigramViterbi(child: Expression, pieces: Seq[String],
+      scores: Seq[Long], maxLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(pieces.nonEmpty, "unigram vocab must be non-empty")
+    require(pieces.size == scores.size, "pieces and scores must align")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_unigram_viterbi"
+
+    @transient private lazy val byPiece: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      pieces.iterator.zip(scores.iterator).foreach { case (p, q) => m.put(p, q) }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val w = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val seg = viterbiSegment(w, byPiece, maxLen)
+      if (seg == null) return null
+      val out = new Array[Any](seg.length)
+      var t = 0
+      while (t < seg.length) {
+        out(t) = org.apache.spark.unsafe.types.UTF8String.fromString(seg(t))
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The DP behind [[UnigramViterbi]], shared with the driver-side EM
+    * loop engine ([[graft.ops.TextAnalysis.unigramLearn]]) so the two
+    * loop engines cannot drift: one implementation, two call sites.
+    * Returns the best segmentation, or null if some character is not
+    * in the piece map. */
+  private[graft] def viterbiSegment(w: String,
+      byPiece: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int): Array[String] = {
+    // codepoint boundaries: offs(k) = UTF-16 index of codepoint k
+    val nu = w.length
+    val offs = new Array[Int](nu + 1)
+    var n = 0
+    var u = 0
+    while (u < nu) { offs(n) = u; u += Character.charCount(w.codePointAt(u)); n += 1 }
+    offs(n) = nu
+    val NEG = Long.MinValue
+    val sc = new Array[Long](n + 1)
+    val nn = new Array[Int](n + 1)
+    val prev = new Array[Int](n + 1)
+    java.util.Arrays.fill(sc, NEG)
+    sc(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      val lmax = math.min(maxLen, i)
+      while (len <= lmax) {
+        val j = i - len
+        if (sc(j) != NEG) {
+          val q = byPiece.get(w.substring(offs(j), offs(i)))
+          if (q != null) {
+            val s = sc(j) + q.longValue()
+            val m = nn(j) + 1
+            if (sc(i) == NEG || s > sc(i) || (s == sc(i) &&
+                (m < nn(i) || (m == nn(i) && j < prev(i))))) {
+              sc(i) = s; nn(i) = m; prev(i) = j
+            }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    if (sc(n) == NEG) return null
+    val out = new Array[String](nn(n))
+    var p = n
+    var t = nn(n) - 1
+    while (p > 0) {
+      val j = prev(p)
+      out(t) = w.substring(offs(j), offs(p))
+      t -= 1; p = j
+    }
+    out
+  }
+
   /** Per-row term-frequency map of an array<string> token list:
     * array<struct<term, tf>> sorted by term, empty tokens skipped — the
     * in-row form of `explode → groupBy(doc, term) → count`. Term counts
@@ -1305,6 +1410,16 @@ object CatalystExpressions {
           org.apache.spark.sql.catalyst.util.ArrayData]
         (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
       }), "built-in")
+    reg.createOrReplaceTempFunction("graft_unigram_viterbi",
+      es => UnigramViterbi(es.head, {
+        val a = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }, {
+        val a = es(2).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(a.getLong)
+      }, es(3).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_word_pairs",
       es => WordPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_long_pairs",
@@ -1401,6 +1516,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           org.apache.spark.sql.catalyst.util.ArrayData]
         (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
       })))
+    e.injectFunction((FunctionIdentifier("graft_unigram_viterbi"),
+      info("graft_unigram_viterbi", "_FUNC_(word, pieces, scores, maxLen) - integer-score unigram-LM Viterbi segmentation (best decomposition into vocab pieces)"),
+      es => UnigramViterbi(es.head, {
+        val a = es(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }, {
+        val a = es(2).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(a.getLong)
+      }, es(3).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_word_pairs"),
       info("graft_word_pairs", "_FUNC_(tokens) - ordered pairs (ta < tb) of the distinct non-empty tokens"),
       es => WordPairs(es.head)))

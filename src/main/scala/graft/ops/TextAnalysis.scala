@@ -330,6 +330,210 @@ object TextAnalysis {
     (chars ++ merged).distinct
   }
 
+  /** Integer-quantized log-probability of a piece: floor(1e6 · ln(c/t)).
+    * The 1e-6 quantization (the q198 k-means convention) is what makes
+    * the unigram-LM fixed point hash-checkable: scores, Viterbi sums and
+    * tie-breaks are all BIGINT from here on, and the only float step —
+    * one IEEE division and one ln per (piece, round) — lands ≥7 orders
+    * of magnitude away from the floor boundary for any non-contrived
+    * count ratio (ln(1)=0 is exact in both engines). */
+  private def qlogp(c: Long, tot: Long): Long =
+    math.floor(1e6 * math.log(c.toDouble / tot.toDouble)).toLong
+
+  /** Codepoint count — "multi-char piece" must mean CODEPOINTS (what
+    * Spark's length()/substr and DuckDB's length()/substr count), not
+    * UTF-16 code units: a single supplementary-plane character has
+    * String.length 2 and must still be a protected single char. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** UNIGRAM-LM tokenizer learning (Kudo 2018 / SentencePiece, hard-EM
+    * variant) — the EM complement to [[bpeLearnMerges]]'s greedy merge
+    * loop: BPE grows a vocab bottom-up by local pair counts; unigram-LM
+    * starts from an overcomplete substring seed and alternates
+    * (E) Viterbi-segment every word under the current piece
+    * probabilities with (M) re-estimate piece probabilities from usage,
+    * pruning to the top-`keepMulti` multi-char pieces each round — the
+    * prune-and-re-estimate loop is what redistributes probability mass
+    * (on the bench corpus round 2 promotes "er"/"or" above the seed
+    * winners; a pure zero-prune fixed-points after round 1).
+    *
+    * Exactness: piece scores are 1e-6-quantized integer log-probs
+    * ([[qlogp]]), so the Viterbi DP over Σ score is EXACT integer
+    * optimization (float Viterbi is not prefix-monotone) with total
+    * deterministic tie-breaks — fewer pieces, then smallest
+    * predecessor per DP cell, replayable in SQL as ORDER BY score DESC,
+    * n ASC, list_reverse(breakpoints) ASC (see
+    * [[graft.functions.CatalystExpressions.UnigramViterbi]] for the
+    * equivalence argument). Single chars never leave the vocab
+    * (coverage guarantee) and carry a count floor of 1 when unused.
+    *
+    * Scale shape: ONE corpus pass reduces to the bounded
+    * word-frequency frame (the q195 argument — 10⁷ vocab entries vs
+    * 10¹¹ docs at 100 TB); the substring seed explodes the FRAME, never
+    * the corpus, and is cut to `seedSize` by a TakeOrdered (count desc,
+    * piece asc), not a global sort. Each round is one narrow in-row
+    * compiled Viterbi over the frame + one map-side-combinable usage
+    * agg, collecting ≤ |charset| + seedSize rows (the IVF-codebook
+    * bounded-literal convention); `rounds` synchronous barriers is the
+    * fixed-point floor. Two spec-identical loop engines picked by the
+    * measured vocab size (the [[bpeLearnMerges]] convention): up to
+    * `driverLoopMaxVocab` distinct words the EM runs DRIVER-SIDE over
+    * the collected word-count table — the production SentencePiece
+    * shape, sharing the exact Viterbi DP implementation with the
+    * compiled kernel so the engines cannot drift — and past the cap the
+    * per-round distributed loop takes over, so a pathological unbounded
+    * vocab degrades to barriers, never an OOM'd driver. Output:
+    * (rank, piece, cnt, qlogp) — the final vocab with integer
+    * log-probs, ordered by cnt desc, piece asc. */
+  def unigramLearn(docs: DataFrame, rounds: Int = 3, maxPieceLen: Int = 4,
+      seedSize: Int = 4000, keepMulti: Int = 24,
+      textCol: String = "text",
+      driverLoopMaxVocab: Long = 2000000L): DataFrame = {
+    require(rounds >= 1, s"need at least one EM round, got $rounds")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(seedSize >= 1 && keepMulti >= 1, "seedSize/keepMulti must be >= 1")
+    val spark = docs.sparkSession
+    graft.functions.CatalystExpressions.register(spark)
+    import spark.implicits._
+    val wf = docs.filter(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    val nVocab = wf.count()
+    if (nVocab <= driverLoopMaxVocab) {
+      // driver-side loop over the bounded collected word-count table —
+      // the production trainer shape (the q195 argument: SentencePiece
+      // aggregates counts distributed, then trains locally over the
+      // zipf-bounded word table; `rounds` local EM rounds beat `rounds`
+      // cluster barriers by orders of magnitude)
+      val counts = wf.as[(String, Long)].collect()
+      wf.unpersist()
+      return unigramLoopLocal(spark, counts, rounds, maxPieceLen,
+        seedSize, keepMulti)
+    }
+    // distributed loop: seed statistics and per-round usage aggs over
+    // the vocab FRAME, collecting only the bounded vocab each round
+    val sub = wf.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - i + lit(1))),
+            l => col("w").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .persist()
+    val chars: Map[String, Long] = sub.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    val seedMulti: Seq[(String, Long)] = sub
+      .filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).as[(String, Long)].collect().toSeq
+    sub.unpersist()
+    val charSet = chars.keys.toSeq
+    var vocab: Map[String, Long] = chars ++ seedMulti.toMap
+    var r = 1
+    while (r <= rounds) {
+      val tot = vocab.values.sum
+      val ps = vocab.toSeq
+      val seg = wf.select(
+        explode(call_function("graft_unigram_viterbi", col("w"),
+          typedLit(ps.map(_._1)), typedLit(ps.map(p => qlogp(p._2, tot))),
+          lit(maxPieceLen))).as("piece"),
+        col("freq"))
+      val usage: Map[String, Long] = seg.groupBy("piece")
+        .agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      vocab = pruneVocab(charSet, usage, keepMulti)
+      r += 1
+    }
+    wf.unpersist()
+    unigramVocabDf(spark, vocab)
+  }
+
+  /** Prune-and-re-estimate step shared by both unigram loop engines:
+    * keep the top `keepMulti` USED multi-char pieces (cnt desc, piece
+    * UTF-8 asc — [[utf8Less]], never JVM String.< per the r14 BPE
+    * lesson); single chars always survive with a count floor of 1
+    * (coverage guarantee). */
+  private def pruneVocab(charSet: Seq[String], usage: Map[String, Long],
+      keepMulti: Int): Map[String, Long] = {
+    val mult = usage.iterator
+      .filter { case (p, c) => cpLen(p) > 1 && c > 0 }.toSeq
+      .sortWith { (a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1)) }
+      .take(keepMulti)
+    charSet.map(c => c -> math.max(usage.getOrElse(c, 0L), 1L)).toMap ++ mult
+  }
+
+  /** Final (rank, piece, cnt, qlogp) frame shared by both engines. */
+  private def unigramVocabDf(spark: org.apache.spark.sql.SparkSession,
+      vocab: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val tot = vocab.values.sum
+    vocab.toSeq
+      .sortWith { (a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1)) }
+      .zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, c, qlogp(c, tot)) }
+      .toDF("rank", "piece", "cnt", "qlogp")
+  }
+
+  /** The driver-side loop engine behind [[unigramLearn]]: identical
+    * semantics to the distributed rounds (spec-asserted equal), with
+    * the Viterbi DP itself shared — ONE implementation in
+    * [[graft.functions.CatalystExpressions.viterbiSegment]] serves the
+    * compiled kernel and this loop, so the engines cannot drift on the
+    * tie-break. All substring work is by CODEPOINT. */
+  private def unigramLoopLocal(spark: org.apache.spark.sql.SparkSession,
+      counts: Array[(String, Long)], rounds: Int, maxPieceLen: Int,
+      seedSize: Int, keepMulti: Int): DataFrame = {
+    // seed: freq-weighted substring counts, lengths 1..maxPieceLen
+    val subCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      val n = cps.length
+      var i = 0
+      while (i < n) {
+        var l = 1
+        val lmax = math.min(maxPieceLen, n - i)
+        while (l <= lmax) {
+          val p = new String(cps, i, l)
+          subCnt.update(p, subCnt.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = subCnt.iterator.filter { case (p, _) => cpLen(p) == 1 }.toMap
+    val seedMulti = subCnt.iterator
+      .filter { case (p, _) => cpLen(p) > 1 }.toSeq
+      .sortWith { (a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1)) }
+      .take(seedSize)
+    val charSet = chars.keys.toSeq
+    var vocab: Map[String, Long] = chars ++ seedMulti
+    var r = 1
+    while (r <= rounds) {
+      val tot = vocab.values.sum
+      val byPiece = new java.util.HashMap[String, java.lang.Long]()
+      vocab.foreach { case (p, c) => byPiece.put(p, qlogp(c, tot)) }
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.foreach { case (w, f) =>
+        val seg = graft.functions.CatalystExpressions
+          .viterbiSegment(w, byPiece, maxPieceLen)
+        if (seg != null) {
+          var i = 0
+          while (i < seg.length) {
+            usage.update(seg(i), usage.getOrElse(seg(i), 0L) + f)
+            i += 1
+          }
+        }
+      }
+      vocab = pruneVocab(charSet, usage.toMap, keepMulti)
+      r += 1
+    }
+    unigramVocabDf(spark, vocab)
+  }
+
   /** Adjacent char bigrams of a word, one per position (length < 2 →
     * none) — the pair explosion [[bpeMergeStats]] runs over the vocab
     * frame and [[bpePairCounts]] over raw occurrences. */

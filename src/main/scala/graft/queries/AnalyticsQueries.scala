@@ -4039,6 +4039,94 @@ object AnalyticsQueries {
       "the vocab, applied by q135's compiled greedy tokenizer to the " +
       "doc_id%7 slice; oracle re-learns the vocab and replays the match")
 
+  /** The unrolled unigram-LM EM rounds — the [[bpeLearnCtes]] analogue
+    * for q201 ([[graft.ops.TextAnalysis.unigramLearn]]). Per round:
+    * integer scores q = floor(1e6·ln(cnt/tot)) from the current vocab,
+    * a RECURSIVE segmentation-path enumeration per word (the corpus
+    * reduces to the bounded word-frequency frame first, so the
+    * recursion fans out over |distinct words| · |decompositions ≤
+    * maxPieceLen|, never the corpus), argmax per word by (score DESC,
+    * n ASC, list_reverse(brk) ASC) — the exact path-level key the
+    * engine's DP tie-break (fewer pieces, then smallest predecessor
+    * per cell) resolves to, see [[graft.functions.CatalystExpressions
+    * .UnigramViterbi]] — then usage recount + top-`keep` multi-char
+    * prune with the char floor. MATERIALIZED per the q195 lesson. */
+  private def unigramCtes(rounds: Int, m: Int, seed: Int,
+      keep: Int): Seq[String] = {
+    val head = Seq(
+      "wd AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents WHERE text IS NOT NULL)",
+      "vw AS MATERIALIZED (SELECT w, count(*) AS freq FROM wd " +
+        "WHERE w <> '' GROUP BY w)",
+      "sub AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), " +
+        "CAST(L AS INT)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM vw, unnest(range(1, length(w)+1)) t(i), " +
+        s"unnest(range(1, $m+1)) u(L) " +
+        "WHERE CAST(i AS INT) + CAST(L AS INT) <= length(w) + 1 GROUP BY 1)",
+      "chs AS MATERIALIZED (SELECT piece, cnt FROM sub " +
+        "WHERE length(piece) = 1)",
+      "ml0 AS MATERIALIZED (SELECT piece, cnt FROM (SELECT piece, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub " +
+        s"WHERE length(piece) > 1) WHERE rk <= $seed)",
+      "v1 AS MATERIALIZED (SELECT * FROM chs UNION ALL SELECT * FROM ml0)")
+    head ++ (1 to rounds).flatMap { r => Seq(
+      s"t$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS tot " +
+        s"FROM v$r)",
+      s"q$r AS MATERIALIZED (SELECT piece, CAST(floor(1000000 * " +
+        "ln(CAST(cnt AS DOUBLE) / tot)) AS BIGINT) AS q " +
+        s"FROM v$r CROSS JOIN t$r)",
+      s"p$r(w, pos, score, n, brk, pcs) AS (" +
+        "SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]) " +
+        "FROM vw " +
+        "UNION ALL SELECT p.w, p.pos + length(s.piece), p.score + s.q, " +
+        "p.n + 1, list_append(p.brk, p.pos), list_append(p.pcs, s.piece) " +
+        s"FROM p$r p JOIN q$r s ON s.piece = substr(p.w, " +
+        "CAST(p.pos AS INT), length(s.piece)) WHERE p.pos <= length(p.w))",
+      s"b$r AS MATERIALIZED (SELECT w, pcs FROM (SELECT w, pcs, " +
+        "row_number() OVER (PARTITION BY w ORDER BY score DESC, n ASC, " +
+        s"list_reverse(brk) ASC) AS rk FROM p$r " +
+        "WHERE pos = length(w) + 1) WHERE rk = 1)",
+      s"u$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) " +
+        "AS cnt FROM (SELECT unnest(pcs) AS piece, freq " +
+        s"FROM b$r JOIN vw USING (w)) GROUP BY piece)",
+      s"v${r + 1} AS MATERIALIZED (SELECT c.piece, " +
+        "CAST(greatest(coalesce(u.cnt, 0), 1) AS BIGINT) AS cnt " +
+        s"FROM chs c LEFT JOIN u$r u ON c.piece = u.piece " +
+        "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, piece) AS rk " +
+        s"FROM u$r WHERE length(piece) > 1 AND cnt > 0) " +
+        s"WHERE rk <= $keep)")
+    }
+  }
+
+  /** UNIGRAM-LM tokenizer learning ([[graft.ops.TextAnalysis
+    * .unigramLearn]] — the EM complement to q195's BPE: BPE grows a
+    * vocab bottom-up by greedy pair merges; unigram-LM starts from an
+    * overcomplete substring seed and alternates Viterbi segmentation
+    * with usage re-estimation, pruning to the top-24 multi-char pieces
+    * each round). Integer-quantized log-prob scores make the whole
+    * 3-round fixed point hash-exact; the prune is what moves mass
+    * between rounds (round 2 promotes "er"/"or" over the seed
+    * winners on this corpus — a zero-prune EM fixed-points after one
+    * round, spec-asserted). The oracle unrolls every round with a
+    * recursive per-word segmentation-path enumeration over the bounded
+    * word-frequency frame. */
+  private val q201 = Q(
+    (s, dir) => graft.ops.TextAnalysis.unigramLearn(
+        table(s, dir, "documents"), rounds = 3, maxPieceLen = 4,
+        seedSize = 4000, keepMulti = 24)
+      .orderBy("rank"),
+    Some("WITH RECURSIVE " + unigramCtes(3, 4, 4000, 24).mkString(", ") +
+      ", tF AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v4) " +
+      "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) " +
+      "AS BIGINT) AS rank, piece, cnt, CAST(floor(1000000 * " +
+      "ln(CAST(cnt AS DOUBLE) / tot)) AS BIGINT) AS qlogp " +
+      "FROM v4 CROSS JOIN tF ORDER BY rank"),
+    "Unigram-LM tokenizer learning (SentencePiece hard-EM): substring " +
+      "seed, 3 Viterbi-segment/recount/prune rounds over the word-" +
+      "frequency frame, integer 1e-6 log-probs — SQL-replayed exactly")
+
   /** STREAMING BPE pair maintenance (the NINETEENTH streaming query —
     * q193's incremental twin): per-batch bounded (pair, cnt) partial
     * landings (exactly-once via the [[graft.streaming.StreamSink
@@ -4067,6 +4155,7 @@ object AnalyticsQueries {
   val all: Map[String, Q] = Map(
     "q196_bpe_tokenize" -> q196,
     "q195_bpe_iterative" -> q195,
+    "q201_unigram_lm" -> q201,
     "q194_stream_bpe" -> q194,
     "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,
