@@ -784,6 +784,9 @@ object CatalystExpressions {
     require(pieces.size == scores.size, "pieces and scores must align")
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // null for an unsegmentable word regardless of input nullability —
+    // without this the codegen'd projection NPEs on a non-null child
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_unigram_viterbi"
 
     @transient private lazy val byPiece: java.util.HashMap[String, java.lang.Long] = {

@@ -449,6 +449,57 @@ object TextAnalysis {
     unigramVocabDf(spark, vocab)
   }
 
+  /** Unigram-LM tokenizer APPLY — the [[subwordTokenStats]] analogue
+    * for a LEARNED unigram vocab ([[unigramLearn]]'s output collected
+    * as (piece, id, qlogp)): every word of every document is
+    * Viterbi-segmented under the final piece scores (the same compiled
+    * kernel the learner uses — apply IS the E-step frozen), pieces get
+    * their vocab ids, and each document reports exact
+    * (n_words, n_tokens, id_wsum) where id_wsum = Σ idᵢ·i over the
+    * document's FULL token stream (1-based absolute position across
+    * words) — the order-sensitive checksum convention of q135, so the
+    * whole segmentation is hash-checkable without materializing token
+    * arrays. Unsegmentable words (a char outside the vocab — impossible
+    * when the vocab was learned on the same corpus) contribute nothing,
+    * matching the oracle's inner join.
+    *
+    * Scale shape: one narrow in-row kernel over word rows, ONE
+    * exchange (the per-doc window + agg both partition by the id), and
+    * the vocab rides along as a bounded literal (the codebook
+    * convention) — no join against a vocab table, no shuffle of token
+    * rows beyond their own document. */
+  def unigramTokenStats(docs: DataFrame, vocab: Seq[(String, Long, Long)],
+      maxPieceLen: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val spark = docs.sparkSession
+    graft.functions.CatalystExpressions.register(spark)
+    val idMap = map(vocab.flatMap(v => Seq(lit(v._1), lit(v._2))): _*)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("widx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(words(col(textCol))).as(Seq("widx", "w")))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("widx"),
+        coalesce(call_function("graft_unigram_viterbi", col("w"),
+            typedLit(vocab.map(_._1)), typedLit(vocab.map(_._3)),
+            lit(maxPieceLen)),
+          typedLit(Array.empty[String])).as("pcs"))
+      .withColumn("start", coalesce(
+        sum(size(col("pcs")).cast("long")).over(byDoc), lit(0L)))
+      .select(col(idCol), col("widx"), col("start"),
+        posexplode(col("pcs")).as(Seq("j", "piece")))
+      .select(col(idCol), col("widx"),
+        (col("start") + col("j") + 1).as("pos"),
+        element_at(idMap, col("piece")).as("id"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("widx")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("id") * col("pos")).as("id_wsum"))
+  }
+
   /** Prune-and-re-estimate step shared by both unigram loop engines:
     * keep the top `keepMulti` USED multi-char pieces (cnt desc, piece
     * UTF-8 asc — [[utf8Less]], never JVM String.< per the r14 BPE

@@ -4127,6 +4127,73 @@ object AnalyticsQueries {
       "seed, 3 Viterbi-segment/recount/prune rounds over the word-" +
       "frequency frame, integer 1e-6 log-probs — SQL-replayed exactly")
 
+  /** Unigram-LM learn→APPLY round trip (q196's analogue for the q201
+    * family — the tokenizer story closed end-to-end a second way):
+    * q201's learned vocab (ids = final ranks, scores = final integer
+    * log-probs) applied by the SAME compiled Viterbi kernel to every
+    * word of the doc_id%7 evaluation slice; per-doc exact
+    * (n_words, n_tokens, id_wsum) with the id_wsum = Σ idᵢ·i
+    * order-sensitive checksum over the document's full token stream.
+    * The oracle re-learns the vocab from its own unrolled rounds, then
+    * runs ONE more segmentation enumeration over the slice's distinct
+    * words and rebuilds the absolute token positions with a windowed
+    * prefix sum — all integer arithmetic. */
+  private val q202 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val vocab = graft.ops.TextAnalysis.unigramLearn(docs, rounds = 3,
+          maxPieceLen = 4, seedSize = 4000, keepMulti = 24)
+        .select("piece", "rank", "qlogp")
+        .as[(String, Long, Long)].collect().toSeq
+      graft.ops.TextAnalysis.unigramTokenStats(
+          docs.filter(col("doc_id") % 7 === 0), vocab, maxPieceLen = 4)
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + (unigramCtes(3, 4, 4000, 24) ++ Seq(
+      "tF AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v4)",
+      "vF AS MATERIALIZED (SELECT piece, CAST(row_number() OVER " +
+        "(ORDER BY cnt DESC, piece) AS BIGINT) AS id, " +
+        "CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE) / tot)) AS BIGINT) " +
+        "AS q FROM v4 CROSS JOIN tF)",
+      "dcs AS MATERIALIZED (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 7 = 0)",
+      "dw AS MATERIALIZED (SELECT doc_id, t.u['i'] AS widx, " +
+        "t.u['w'] AS w FROM (SELECT doc_id, string_split(text, ' ') " +
+        "AS ps FROM dcs), unnest([{'w': ps[CAST(i AS INT)], 'i': i} " +
+        "for i in range(1, len(ps)+1)]) t(u) WHERE t.u['w'] <> '')",
+      "wws AS MATERIALIZED (SELECT DISTINCT w FROM dw)",
+      "pF(w, pos, score, n, brk, pcs) AS (" +
+        "SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]) " +
+        "FROM wws " +
+        "UNION ALL SELECT p.w, p.pos + length(s.piece), p.score + s.q, " +
+        "p.n + 1, list_append(p.brk, p.pos), list_append(p.pcs, s.piece) " +
+        "FROM pF p JOIN vF s ON s.piece = substr(p.w, " +
+        "CAST(p.pos AS INT), length(s.piece)) WHERE p.pos <= length(p.w))",
+      "bF AS MATERIALIZED (SELECT w, pcs FROM (SELECT w, pcs, " +
+        "row_number() OVER (PARTITION BY w ORDER BY score DESC, n ASC, " +
+        "list_reverse(brk) ASC) AS rk FROM pF " +
+        "WHERE pos = length(w) + 1) WHERE rk = 1)",
+      "dws AS MATERIALIZED (SELECT d.doc_id, d.widx, b.pcs, " +
+        "len(b.pcs) AS nw FROM dw d JOIN bF b USING (w))",
+      "dwo AS MATERIALIZED (SELECT doc_id, widx, pcs, " +
+        "coalesce(sum(nw) OVER (PARTITION BY doc_id ORDER BY widx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start " +
+        "FROM dws)",
+      "tok AS MATERIALIZED (SELECT doc_id, widx, start + t.u['j'] AS pos, " +
+        "t.u['p'] AS piece FROM dwo, " +
+        "unnest([{'p': pcs[CAST(j AS INT)], 'j': j} " +
+        "for j in range(1, len(pcs)+1)]) t(u))")).mkString(", ") +
+      " SELECT doc_id, CAST(count(DISTINCT widx) AS BIGINT) AS n_words, " +
+      "CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(v.id * tok.pos) AS BIGINT) AS id_wsum " +
+      "FROM tok JOIN vF v ON v.piece = tok.piece " +
+      "GROUP BY doc_id ORDER BY doc_id"),
+    "Unigram-LM learn-then-apply round trip: the learned vocab applied " +
+      "by the compiled Viterbi kernel to the doc_id%7 slice; per-doc " +
+      "exact token stats with the order-sensitive position checksum")
+
   /** STREAMING BPE pair maintenance (the NINETEENTH streaming query —
     * q193's incremental twin): per-batch bounded (pair, cnt) partial
     * landings (exactly-once via the [[graft.streaming.StreamSink
@@ -4156,6 +4223,7 @@ object AnalyticsQueries {
     "q196_bpe_tokenize" -> q196,
     "q195_bpe_iterative" -> q195,
     "q201_unigram_lm" -> q201,
+    "q202_unigram_tokenize" -> q202,
     "q194_stream_bpe" -> q194,
     "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,

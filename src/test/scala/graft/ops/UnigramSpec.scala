@@ -172,6 +172,23 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
         !(p.length == 1 && Character.isSurrogate(p.charAt(0))) })
   }
 
+  test("unigramTokenStats: absolute positions across words, hand checksum") {
+    // vocab ids/scores fixed by hand: ab->1(-1000), a->2(-2000), b->3(-2000)
+    val vocab = Seq(("ab", 1L, -1000L), ("a", 2L, -2000L), ("b", 3L, -2000L))
+    val docs = Seq(
+      (1L, "ab a b ab"), // tokens ab,a,b,ab @1..4: wsum 1+4+9+4 = 18
+      (2L, "aab b"),     // aab=[a,ab] (beats [a,a,b]): a@1,ab@2,b@3 -> 2+2+9
+      (3L, "ab xx b"))   // "xx" unsegmentable -> contributes nothing
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramTokenStats(docs, vocab, maxPieceLen = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 18L),
+      (2L, 2L, 3L, 13L),
+      (3L, 2L, 2L, 7L))) // ab@1 (1) + b@2 (6); xx skipped in count AND pos
+  }
+
   test("unigramLearn: charset always survives with a count floor of 1") {
     val docs = Seq((1L, "zzzz zzzz")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLearn(docs, rounds = 2, maxPieceLen = 4,
