@@ -500,6 +500,42 @@ object TextAnalysis {
         sum(col("id") * col("pos")).as("id_wsum"))
   }
 
+  /** Unigram-LM PERPLEXITY scoring — the CCNet/KenLM-style quality
+    * filter readout with the LEARNED subword LM ([[bigramLmScore]] is
+    * the word-bigram member of the family; this one scores under the
+    * tokenizer's own unigram distribution, so rare-piece-heavy docs
+    * surface): every word Viterbi-segmented under the final piece
+    * scores, per-doc negative log-likelihood nll = −Σ qlogp(pieceᵢ)
+    * (integer 1e-6 nats) and mean ppl_x1e6 = nll div n_tokens
+    * (truncating division, positive operands — identical in Spark and
+    * DuckDB), worst `k` docs by (ppl desc, id asc). All integer from
+    * the quantized scores on, so the whole filter is hash-checkable.
+    * Scale: one narrow in-row kernel pass + ONE keyed agg; the top-k
+    * is a LIMIT under a total order (TakeOrdered), never a global
+    * sort; vocab rides as a bounded literal. */
+  def unigramPerplexity(docs: DataFrame, vocab: Seq[(String, Long, Long)],
+      maxPieceLen: Int = 4, k: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    val qMap = map(vocab.flatMap(v => Seq(lit(v._1), lit(v._3))): _*)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol), explode(coalesce(
+        call_function("graft_unigram_viterbi", col("w"),
+          typedLit(vocab.map(_._1)), typedLit(vocab.map(_._3)),
+          lit(maxPieceLen)),
+        typedLit(Array.empty[String]))).as("piece"))
+      .select(col(idCol), element_at(qMap, col("piece")).as("q"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("q"))).as("nll_x1e6"))
+      .withColumn("ppl_x1e6", expr("nll_x1e6 div n_tokens"))
+      .orderBy(col("ppl_x1e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Prune-and-re-estimate step shared by both unigram loop engines:
     * keep the top `keepMulti` USED multi-char pieces (cnt desc, piece
     * UTF-8 asc — [[utf8Less]], never JVM String.< per the r14 BPE

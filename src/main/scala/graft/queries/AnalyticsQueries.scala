@@ -4194,6 +4194,64 @@ object AnalyticsQueries {
       "by the compiled Viterbi kernel to the doc_id%7 slice; per-doc " +
       "exact token stats with the order-sensitive position checksum")
 
+  /** Unigram-LM PERPLEXITY filter ([[graft.ops.TextAnalysis
+    * .unigramPerplexity]] — the CCNet-style quality readout under the
+    * LEARNED subword LM; q73 is the word-bigram member of the family):
+    * per-doc integer nll = −Σ qlogp over the Viterbi token stream and
+    * mean ppl_x1e6 = nll div n_tokens, worst 50 docs. Position-free,
+    * so ONE keyed agg and a top-k LIMIT — no window. The oracle
+    * re-learns the vocab, folds per-word piece scores once over the
+    * DISTINCT words, and replays the per-doc sums relationally. */
+  private val q203 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val vocab = graft.ops.TextAnalysis.unigramLearn(docs, rounds = 3,
+          maxPieceLen = 4, seedSize = 4000, keepMulti = 24)
+        .select("piece", "rank", "qlogp")
+        .as[(String, Long, Long)].collect().toSeq
+      graft.ops.TextAnalysis.unigramPerplexity(docs, vocab,
+        maxPieceLen = 4, k = 50)
+    },
+    Some("WITH RECURSIVE " + (unigramCtes(3, 4, 4000, 24) ++ Seq(
+      "tF AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v4)",
+      "vF AS MATERIALIZED (SELECT piece, CAST(floor(1000000 * " +
+        "ln(CAST(cnt AS DOUBLE) / tot)) AS BIGINT) AS q " +
+        "FROM v4 CROSS JOIN tF)",
+      "dcs AS MATERIALIZED (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL)",
+      "dw AS MATERIALIZED (SELECT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM dcs) WHERE w <> '')",
+      "wws AS MATERIALIZED (SELECT DISTINCT w FROM dw)",
+      "pF(w, pos, score, n, brk, pcs) AS (" +
+        "SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]) " +
+        "FROM wws " +
+        "UNION ALL SELECT p.w, p.pos + length(s.piece), p.score + s.q, " +
+        "p.n + 1, list_append(p.brk, p.pos), list_append(p.pcs, s.piece) " +
+        "FROM pF p JOIN vF s ON s.piece = substr(p.w, " +
+        "CAST(p.pos AS INT), length(s.piece)) WHERE p.pos <= length(p.w))",
+      "bF AS MATERIALIZED (SELECT w, pcs FROM (SELECT w, pcs, " +
+        "row_number() OVER (PARTITION BY w ORDER BY score DESC, n ASC, " +
+        "list_reverse(brk) ASC) AS rk FROM pF " +
+        "WHERE pos = length(w) + 1) WHERE rk = 1)",
+      // per-word fold ONCE over the distinct words, then replay per doc
+      "wsc AS MATERIALIZED (SELECT b.w, CAST(len(b.pcs) AS BIGINT) AS nw, " +
+        "CAST(sum(v.q) AS BIGINT) AS wq FROM (SELECT w, unnest(pcs) " +
+        "AS piece, pcs FROM bF) b JOIN vF v ON v.piece = b.piece " +
+        "GROUP BY b.w, b.pcs)",
+      "ds AS MATERIALIZED (SELECT d.doc_id, " +
+        "CAST(sum(s.nw) AS BIGINT) AS n_tokens, " +
+        "CAST(-sum(s.wq) AS BIGINT) AS nll_x1e6 " +
+        "FROM dw d JOIN wsc s USING (w) GROUP BY d.doc_id)")
+      ).mkString(", ") +
+      " SELECT doc_id, n_tokens, nll_x1e6, " +
+      "CAST(nll_x1e6 // n_tokens AS BIGINT) AS ppl_x1e6 FROM ds " +
+      "ORDER BY ppl_x1e6 DESC, doc_id LIMIT 50"),
+    "Unigram-LM perplexity filter: per-doc integer nll over the " +
+      "Viterbi token stream under the learned vocab, mean 1e-6-nats " +
+      "per token, worst-50 readout — the CCNet-style quality gate")
+
   /** STREAMING BPE pair maintenance (the NINETEENTH streaming query —
     * q193's incremental twin): per-batch bounded (pair, cnt) partial
     * landings (exactly-once via the [[graft.streaming.StreamSink
@@ -4224,6 +4282,7 @@ object AnalyticsQueries {
     "q195_bpe_iterative" -> q195,
     "q201_unigram_lm" -> q201,
     "q202_unigram_tokenize" -> q202,
+    "q203_unigram_ppl" -> q203,
     "q194_stream_bpe" -> q194,
     "q193_bpe_learn" -> q193,
     "q192_t_closeness" -> q192,

@@ -189,6 +189,21 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
       (3L, 2L, 2L, 7L))) // ab@1 (1) + b@2 (6); xx skipped in count AND pos
   }
 
+  test("unigramPerplexity: integer nll/ppl, worst-k order, hand-computed") {
+    val vocab = Seq(("ab", 1L, -1000L), ("a", 2L, -2000L), ("b", 3L, -2000L))
+    val docs = Seq(
+      (1L, "ab ab"), // nll 2000, n 2, ppl 1000
+      (2L, "a b"),   // nll 4000, n 2, ppl 2000
+      (3L, "aab"))   // [a,ab]: nll 3000, n 2, ppl 1500
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramPerplexity(docs, vocab,
+      maxPieceLen = 2, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 2L, 4000L, 2000L),
+      (3L, 2L, 3000L, 1500L)))
+  }
+
   test("unigramLearn: charset always survives with a count floor of 1") {
     val docs = Seq((1L, "zzzz zzzz")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLearn(docs, rounds = 2, maxPieceLen = 4,
