@@ -29,7 +29,8 @@ object ScaleSmoke {
     "q84_dedup_from_index", "q85_semantic_dedup",
     "q90_pagerank", "q105_pagerank_index", "q113_triangles",
     "q194_stream_bpe", "q195_bpe_iterative", "q196_bpe_tokenize",
-    "q197_stream_ivf", "q198_kmeans", "q199_substring_dedup")
+    "q197_stream_ivf", "q198_kmeans", "q199_substring_dedup",
+    "q201_unigram_lm", "q202_unigram_tokenize", "q203_unigram_ppl")
 
   /** (table, id columns to offset per replica) */
   private val replicated = Seq(
