@@ -154,6 +154,27 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(local.nonEmpty)
   }
 
+  test("unigramLearn: engines agree on randomized corpora (property)") {
+    val rnd = new scala.util.Random(1515)
+    for (trial <- 1 to 4) {
+      val alpha = "abc"
+      val nDocs = 2 + rnd.nextInt(3)
+      val docs = (1 to nDocs).map { i =>
+        val words = Seq.fill(3 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(3))).mkString)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val local = TextAnalysis.unigramLearn(docs, rounds = 2,
+        maxPieceLen = 3, seedSize = 12, keepMulti = 4)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      val dist = TextAnalysis.unigramLearn(docs, rounds = 2,
+        maxPieceLen = 3, seedSize = 12, keepMulti = 4,
+        driverLoopMaxVocab = 0L)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(local == dist, s"trial $trial: engines diverged")
+    }
+  }
+
   test("unigramLearn: engines agree on non-BMP corpora (codepoint seed)") {
     val a = new String(Character.toChars(0x1D552)) // supplementary plane
     val b = new String(Character.toChars(0x1D553))
