@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * and centroid updates stay in BIGINT arithmetic with truncating
   * division, and ties break deterministically (lowest cluster id) — so a
   * run is bit-reproducible on any cluster size AND fully SQL-replayable,
-  * unlike MLlib KMeans (q54's codebook has no SQL twin and runs
-  * rows-only; this op is the hash-checkable member of the family).
+  * unlike MLlib KMeans (whose codebook has no SQL twin — the MLlib path
+  * survives as Similarity.ivfRecallAtK, spec-covered; since r16 the
+  * declared ANN-recall query q54 trains its coarse quantizer HERE via
+  * [[lloydCentroidInts]], so the whole clustering family hash-checks).
   *
   * Scale shape (the q195 fixed-point pattern at embedding scale): the
   * quantized corpus is cached ONCE; each round is one narrow per-row
@@ -29,44 +31,52 @@ object Clustering {
 
   val SCALE: Long = 1000000L
 
-  def kmeansFixedPoint(emb: DataFrame, k: Int, rounds: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(k >= 1, s"need at least one cluster, got $k")
-    require(rounds >= 1, s"need at least one round, got $rounds")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val xs = emb.select(col(idCol).as("vec_id"),
+  /** The 1e-6 quantized frame every fixed-point consumer shares:
+    * (vec_id, v: array<bigint>) with v = floor(e·1e6 + 0.5) under an
+    * explicit DOUBLE cast (raw float32·1e6 drifts — prototyped). */
+  def quantized(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
       transform(col(embCol),
         e => floor(e.cast("double") * SCALE + lit(0.5)).cast("long")).as("v"))
-      .persist()
-    // seed centroids: the first k vectors in id order (deterministic and
-    // SQL-replayable — the q29 sample-codebook convention)
+
+  /** Adds (dist, cluster): argmin squared distance over the given
+    * centroid literals, first minimum = lowest cluster id on ties. */
+  private def withAssign(df: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dists = array(cents.map { c =>
+      aggregate(
+        zip_with(col("v"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }.toIndexedSeq: _*)
+    df.withColumn("dists", dists)
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cluster",
+        (expr("array_position(dists, dist)") - 1).cast("long"))
+      .drop("dists")
+  }
+
+  /** The Lloyd rounds over a [[quantized]] frame: seed = first k vectors
+    * in id order (deterministic and SQL-replayable — the q29
+    * sample-codebook convention), then `rounds` iterations of assign +
+    * integer centroid update (truncating division; empty clusters carry
+    * their previous centroid). Returns the final integer centroids,
+    * cluster-id-indexed. Shared by [[kmeansFixedPoint]] (q198) and
+    * Similarity.ivfRecallAtKLloyd's trained coarse quantizer (q54), so
+    * the two declared queries replay ONE training implementation.
+    * Per round: one narrow per-row argmin over k broadcast centroid
+    * literals plus one map-side-combinable keyed agg — k·dim rows to the
+    * driver, never corpus rows. Callers should persist `xs`. */
+  def lloydCentroidInts(xs: DataFrame, k: Int, rounds: Int): Array[Array[Long]] = {
+    require(k >= 1, s"need at least one cluster, got $k")
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val spark = xs.sparkSession
+    import spark.implicits._
     var cents: Array[Array[Long]] = xs.orderBy("vec_id").limit(k)
       .select("v").as[Seq[Long]].collect().map(_.toArray)
-    if (cents.isEmpty) { // empty corpus: nothing to cluster
-      xs.unpersist()
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("cluster", "n", "wss", "ccheck")
-    }
-
-    /** Adds (dist, cluster): argmin squared distance over the current
-      * centroid literals, first minimum = lowest cluster id on ties. */
-    def withAssign(df: DataFrame): DataFrame = {
-      val dists = array(cents.map { c =>
-        aggregate(
-          zip_with(col("v"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-      }.toIndexedSeq: _*)
-      df.withColumn("dists", dists)
-        .withColumn("dist", array_min(col("dists")))
-        .withColumn("cluster",
-          (expr("array_position(dists, dist)") - 1).cast("long"))
-        .drop("dists")
-    }
-
+    if (cents.isEmpty) return cents // empty corpus
     for (_ <- 1 to rounds) {
       // ONE keyed agg to (cluster, dim) sums — k·dim rows back, bounded
-      val sums = withAssign(xs)
+      val sums = withAssign(xs, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cluster"), col("d"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
@@ -78,10 +88,24 @@ object Clustering {
       }
       cents = next
     }
+    cents
+  }
+
+  def kmeansFixedPoint(emb: DataFrame, k: Int, rounds: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xs = quantized(emb, idCol, embCol).persist()
+    val cents = lloydCentroidInts(xs, k, rounds)
+    if (cents.isEmpty) { // empty corpus: nothing to cluster
+      xs.unpersist()
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cluster", "n", "wss", "ccheck")
+    }
     val ccheck = cents.zipWithIndex.map { case (c, j) =>
       j.toLong -> c.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum
     }.toMap
-    val out = withAssign(xs)
+    val out = withAssign(xs, cents)
       .groupBy(col("cluster"))
       // dist is ~1e12–1e14 per row for 64-dim data in 1e-6 units, so a
       // LongType sum wraps silently around 1e5–1e7 rows under non-ANSI

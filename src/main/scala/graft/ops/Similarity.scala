@@ -345,9 +345,10 @@ object Similarity {
     * brute-force neighbors — the quality metric every ANN deployment
     * tracks next to its latency. One row per query: hits/k. Fully
     * deterministic for a fixed corpus (seeded KMeans, deterministic
-    * tie-breaks on both paths), but the codebook is not SQL-replayable,
-    * so the declared query (q54) runs under the driver's rows-only
-    * check; the recall floor itself is asserted in SimilaritySpec. */
+    * tie-breaks on both paths), but the MLlib codebook is not
+    * SQL-replayable, so this variant is spec-covered only (recall floor
+    * + full-probe==1.0 in SimilaritySpec); the declared query q54 runs
+    * [[ivfRecallAtKLloyd]], whose training has a DuckDB twin. */
   def ivfRecallAtK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
       nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     // zero-norm vectors produce NaN cosines, and NaN sorts greatest —
@@ -357,6 +358,33 @@ object Similarity {
     recallAgainstBruteForce(e,
       ivfTopKWith(e, kmeansCentroids(e, resolveCells(e, nCells), seed),
         queryPred, k, nProbe),
+      queryPred, k)
+  }
+
+  /** Recall@k of the *trained*-codebook IVF path where the coarse
+    * quantizer is graft's exact fixed-point Lloyd's k-means
+    * (Clustering.lloydCentroidInts: integer arithmetic, deterministic
+    * ties, truncating centroid division) — unlike [[ivfRecallAtK]]'s
+    * MLlib codebook, the training itself is SQL-replayable, so the
+    * declared query (q54) is hash-checked end to end (VERDICT r15 #2).
+    * Training runs over the RAW quantized corpus (the q198 frame);
+    * serving converts the integer centroids back to double space
+    * (c/1e6 — exact in IEEE double on both engines) and assigns by
+    * cosine over the norm-filtered frame like every IVF path. */
+  def ivfRecallAtKLloyd(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int, nProbe: Int = 2, rounds: Int = 3): DataFrame = {
+    val xs = graft.ops.Clustering.quantized(emb).persist()
+    val ints = graft.ops.Clustering.lloydCentroidInts(xs, nCells, rounds)
+    xs.unpersist()
+    val cents = ints.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toDouble / 1e6)
+      var acc = 0.0
+      var j = 0
+      while (j < arr.length) { acc += arr(j) * arr(j); j += 1 }
+      Centroid(i.toLong, arr, math.sqrt(acc))
+    }.toSeq
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    recallAgainstBruteForce(e, ivfTopKWith(e, cents, queryPred, k, nProbe),
       queryPred, k)
   }
 

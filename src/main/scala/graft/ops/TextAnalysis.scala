@@ -472,6 +472,7 @@ object TextAnalysis {
       maxPieceLen: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(vocab.nonEmpty, "vocab must be non-empty")
+    requireVocabFits(vocab, maxPieceLen)
     val spark = docs.sparkSession
     graft.functions.CatalystExpressions.register(spark)
     val idMap = map(vocab.flatMap(v => Seq(lit(v._1), lit(v._2))): _*)
@@ -518,6 +519,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(vocab.nonEmpty, "vocab must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
+    requireVocabFits(vocab, maxPieceLen)
     graft.functions.CatalystExpressions.register(docs.sparkSession)
     val qMap = map(vocab.flatMap(v => Seq(lit(v._1), lit(v._3))): _*)
     docs.filter(col(textCol).isNotNull)
@@ -534,6 +536,23 @@ object TextAnalysis {
       .withColumn("ppl_x1e6", expr("nll_x1e6 div n_tokens"))
       .orderBy(col("ppl_x1e6").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Guard for the unigram APPLY entry points (ADVICE r15): the Viterbi
+    * kernel only probes pieces up to `maxPieceLen` codepoints, so a
+    * longer vocab piece would be silently unusable by the engine while
+    * the SQL oracle's unbounded `substr` join WOULD use it — a caller
+    * passing a vocab learned under a larger maxPieceLen must get an
+    * error, not a silent engine/oracle divergence. */
+  private def requireVocabFits(vocab: Seq[(String, Long, Long)],
+      maxPieceLen: Int): Unit = {
+    val over = vocab.collectFirst {
+      case (p, _, _) if p.codePointCount(0, p.length) > maxPieceLen => p
+    }
+    require(over.isEmpty,
+      s"vocab piece '${over.getOrElse("")}' exceeds maxPieceLen=" +
+        s"$maxPieceLen codepoints; pass the maxPieceLen the vocab was " +
+        "learned with")
   }
 
   /** Prune-and-re-estimate step shared by both unigram loop engines:

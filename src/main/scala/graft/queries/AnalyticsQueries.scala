@@ -4050,13 +4050,28 @@ object AnalyticsQueries {
     * engine's DP tie-break (fewer pieces, then smallest predecessor
     * per cell) resolves to, see [[graft.functions.CatalystExpressions
     * .UnigramViterbi]] — then usage recount + top-`keep` multi-char
-    * prune with the char floor. MATERIALIZED per the q195 lesson. */
+    * prune with the char floor. MATERIALIZED per the q195 lesson.
+    *
+    * COST BOUND (ADVICE r15): the path enumeration is exponential in
+    * word length — a word of L codepoints under a dense seed vocab has
+    * up to 2^(L−1) segmentations (every composition of L into parts ≤
+    * maxPieceLen), and DuckDB 1.0's recursive CTEs cannot aggregate the
+    * recursive table, so dominated partial paths can't be pruned
+    * in-oracle. The `vw` frame therefore REFUSES words longer than
+    * [[unigramOracleMaxWordLen]] codepoints via `error()` — a corpus
+    * outside the bound fails the oracle LOUDLY instead of spinning the
+    * gate; the engine's Viterbi DP is O(L·maxPieceLen) and unaffected. */
+  private[queries] val unigramOracleMaxWordLen = 24
   private def unigramCtes(rounds: Int, m: Int, seed: Int,
       keep: Int): Seq[String] = {
     val head = Seq(
       "wd AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w " +
         "FROM documents WHERE text IS NOT NULL)",
-      "vw AS MATERIALIZED (SELECT w, count(*) AS freq FROM wd " +
+      "vw AS MATERIALIZED (SELECT CASE WHEN length(w) > " +
+        s"$unigramOracleMaxWordLen THEN error('unigram oracle: word " +
+        "longer than the 2^(L-1) path-enumeration bound (" +
+        s"$unigramOracleMaxWordLen codepoints); engine unaffected') " +
+        "ELSE w END AS w, count(*) AS freq FROM wd " +
         "WHERE w <> '' GROUP BY w)",
       "sub AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), " +
         "CAST(L AS INT)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt " +

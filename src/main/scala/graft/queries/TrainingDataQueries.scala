@@ -188,19 +188,41 @@ object TrainingDataQueries {
   // the index round-trip reproduces the in-session answer exactly).
   // Cell-assignment + probe-selection fragment (cent/asg/probes), shared
   // by the exact-IVF pipeline below and the IVF-PQ composition (q74).
-  private val duckIvfAssign =
-    // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
-    // orderBy+limit, which stays correct for id spaces not starting at 0)
-    ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
+  // assignment + probe selection given ANY `cent(cid, cv, cnrm)` CTE —
+  // shared by the sample codebook (q29/q55/q56) and the Lloyd-trained
+  // codebook (q54), which differ only in where `cent` comes from.
+  private val duckIvfAssignTail =
     s"asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent), " +
     "asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM asg0) WHERE crn = 1), " +
     s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
     "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2)"
 
-  private val duckIvf = duckEmb + duckIvfAssign +
+  private val duckIvfAssign =
+    // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
+    // orderBy+limit, which stays correct for id spaces not starting at 0)
+    ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
+    duckIvfAssignTail
+
+  // probed-cell brute force ending in `r` = (qid, neighbor, sim, rnk);
+  // needs `probes` and `asg` in scope.
+  private val duckIvfRankTail =
     ", top0 AS (SELECT p.qid, p.qv, p.qnrm, a.vec_id, a.v, a.nrm FROM probes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid), " +
     s"top1 AS (SELECT qid, vec_id AS neighbor, ${ddot("qv", "v")}/(qnrm*nrm) AS sim FROM top0), " +
     "r AS (SELECT qid, neighbor, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1)"
+
+  private val duckIvf = duckEmb + duckIvfAssign + duckIvfRankTail
+
+  // recall@5 epilogue: IVF ranks from `r` vs exact brute force over `n`
+  // — shared by q55 (sample codebook) and q54 (Lloyd-trained codebook).
+  private val duckRecallTail =
+    ", ivf AS (SELECT qid, neighbor FROM r WHERE rnk <= 5), " +
+    s"bf0 AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor, ${ddot("q.v", "c.v")}/(q.nrm*c.nrm) AS sim " +
+    "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id), " +
+    "bf AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
+    "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM bf0) WHERE rnk <= 5) " +
+    "SELECT bf.qid, CAST(count(ivf.neighbor) AS DOUBLE)/5 AS recall " +
+    "FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.neighbor = ivf.neighbor " +
+    "GROUP BY bf.qid ORDER BY bf.qid"
 
   private val duckIvfTopK = duckIvf +
     " SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim " +
@@ -213,36 +235,43 @@ object TrainingDataQueries {
     "IVF-bucketed approximate nearest neighbors (coarse quantizer + " +
       "2-cell probe), the scale path for q17's brute force")
 
-  /** No DuckDB oracle: the MLlib KMeans codebook is not SQL-replayable
-    * (q29 stays oracle-checked via the deterministic sample codebook);
-    * the driver records a rows-only check — one row per query vector —
-    * and SimilaritySpec asserts the recall semantics (exactly 1.0 when
-    * every cell is probed, floor under partial probing). */
+  /** q54 oracle (VERDICT r15 #2 — the last rows-only row retired): the
+    * Lloyd chain (kmeansOracle's training replay, k=16 cells over the
+    * quantized corpus) feeds `cent` in double space (c/1e6 — exact in
+    * IEEE double on both engines; cnrm = the same left-fold
+    * sum-of-squares the engine computes), then the q55 assignment /
+    * probe / rank / recall construction verbatim. */
+  private def duckIvfTrainedRecall(rounds: Int): String = {
+    val (chain, fin) = lloydChain(k = 16, rounds = rounds, dim = 64)
+    duckEmb + ", " + chain.mkString(", ") +
+      s", cw AS (SELECT cl AS cid, list_transform(c, x -> CAST(x AS DOUBLE)/1000000) AS cv FROM $fin), " +
+      "cent AS (SELECT cid, cv, sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS cnrm FROM cw), " +
+      duckIvfAssignTail + duckIvfRankTail + duckRecallTail
+  }
+
+  // q54: ANN recall under a TRAINED coarse quantizer — graft's exact
+  // fixed-point Lloyd's k-means (the q198 training loop, shared via
+  // Clustering.lloydCentroidInts), so every step from training through
+  // recall is SQL-replayed and hash-checked. The MLlib-codebook variant
+  // (Similarity.ivfRecallAtK) stays spec-covered in SimilaritySpec; it
+  // had no SQL twin, which kept this row rows-only through r15.
   private val q54 = Q(
-    (s, dir) => Similarity.ivfRecallAtK(table(s, dir, "embeddings"),
-      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
-    None,
-    "Recall@5 of the KMeans-codebook IVF ANN path vs exact brute force, " +
-      "per query vector — the ANN quality metric, seeded + deterministic")
+    (s, dir) => Similarity.ivfRecallAtKLloyd(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2, rounds = 3),
+    Some(duckIvfTrainedRecall(rounds = 3)),
+    "Recall@5 of the trained-codebook IVF ANN path (exact fixed-point " +
+      "Lloyd's k-means coarse quantizer) vs exact brute force, per query " +
+      "vector — training AND serving SQL-replayed end to end")
 
   // q55: the same recall metric over the deterministic sample codebook —
-  // every step (codebook, assignment, probe, brute force) is SQL, so the
-  // whole recall computation is hash-checked, not just rows-only.
+  // the zero-training member of the recall family (q54 trains its cells).
   private val q55 = Q(
     (s, dir) => Similarity.ivfRecallAtKSample(table(s, dir, "embeddings"),
       col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2),
-    Some(duckIvf +
-      ", ivf AS (SELECT qid, neighbor FROM r WHERE rnk <= 5), " +
-      s"bf0 AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor, ${ddot("q.v", "c.v")}/(q.nrm*c.nrm) AS sim " +
-      "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id), " +
-      "bf AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
-      "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM bf0) WHERE rnk <= 5) " +
-      "SELECT bf.qid, CAST(count(ivf.neighbor) AS DOUBLE)/5 AS recall " +
-      "FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.neighbor = ivf.neighbor " +
-      "GROUP BY bf.qid ORDER BY bf.qid"),
+    Some(duckIvf + duckRecallTail),
     "Recall@5 of the sample-codebook IVF path vs exact brute force — the " +
-      "fully oracle-checked ANN quality metric (q54 keeps the KMeans " +
-      "diagnostic)")
+      "zero-training ANN quality metric (q54 is the trained-codebook " +
+      "member)")
 
   // q56/q57: the durable-index round trip (q05-style write+read). The
   // index is built to scratch each run — partitioned assignment + codebook
@@ -765,12 +794,18 @@ object TrainingDataQueries {
     * negatives), lowest-cluster tie-break via the rk window, empty
     * clusters carried by the LEFT JOIN + COALESCE. MATERIALIZED is
     * load-bearing (the q195 chain-inlining lesson). */
-  private def kmeansOracle(k: Int, rounds: Int, dim: Int): String = {
+  private def lloydDistExpr(x: String, c: String, dim: Int) =
+    s"list_sum([($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) * " +
+      s"($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) " +
+      s"for i in range(1, ${dim + 1})])"
+
+  /** The unrolled Lloyd chain as CTE fragments (xs, c0, then
+    * a_r/n_r/m_r/c_r per round) plus the final centroid CTE's name —
+    * shared by the q198 k-means oracle and the q54 trained-codebook
+    * recall oracle, so both replay Clustering.lloydCentroidInts. */
+  private def lloydChain(k: Int, rounds: Int, dim: Int): (Seq[String], String) = {
     val s = Clustering.SCALE
-    def distExpr(x: String, c: String) =
-      s"list_sum([($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) * " +
-        s"($x.v[CAST(i AS INT)] - $c.c[CAST(i AS INT)]) " +
-        s"for i in range(1, ${dim + 1})])"
+    def distExpr(x: String, c: String) = lloydDistExpr(x, c, dim)
     val p = Seq.newBuilder[String]
     p += s"xs AS MATERIALIZED (SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE) " +
       s"* $s + 0.5) AS BIGINT) for e in embedding] AS v FROM embeddings)"
@@ -793,6 +828,14 @@ object TrainingDataQueries {
         s"FROM $prev p LEFT JOIN m$r m ON p.cl = m.cl)"
       prev = s"c$r"
     }
+    (p.result(), prev)
+  }
+
+  private def kmeansOracle(k: Int, rounds: Int, dim: Int): String = {
+    def distExpr(x: String, c: String) = lloydDistExpr(x, c, dim)
+    val (chain, prev) = lloydChain(k, rounds, dim)
+    val p = Seq.newBuilder[String]
+    p ++= chain
     p += s"af AS MATERIALIZED (SELECT vec_id, cl, dist FROM (" +
       s"SELECT x.vec_id, c.cl, ${distExpr("x", "c")} AS dist, " +
       s"row_number() OVER (PARTITION BY x.vec_id ORDER BY " +

@@ -216,6 +216,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(p1 == p2, "seeded recall query must be deterministic")
   }
 
+  test("ivfRecallAtKLloyd: full probe equals brute force; deterministic; useful partial recall") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    // exhaustive probe searches every trained cell: recall exactly 1.0
+    val full = Similarity.ivfRecallAtKLloyd(corpus, pred, k = 5,
+      nCells = 8, nProbe = 8, rounds = 2)
+    assert(full.agg(min(col("recall"))).head.getDouble(0) == 1.0)
+    // fixed-point training is integer-exact => bit-identical call-to-call
+    def partial() = Similarity.ivfRecallAtKLloyd(corpus, pred, k = 5,
+      nCells = 8, nProbe = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p1 = partial()
+    assert(p1.size == corpus.filter(pred).count())
+    assert(p1.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    assert(p1 == partial(), "fixed-point trained recall must be deterministic")
+    // a trained codebook at 2/8 probes should beat a coin flip on this
+    // clustered corpus — the recall floor the quality metric exists for
+    val mean = p1.map(_._2).sum / p1.size
+    assert(mean >= 0.25, s"mean recall@5 = $mean")
+  }
+
   test("durable index round trip: served results equal the in-session paths") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/index-${System.nanoTime()}"

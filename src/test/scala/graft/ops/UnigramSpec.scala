@@ -225,6 +225,27 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
       (3L, 2L, 3000L, 1500L)))
   }
 
+  test("apply entry points refuse vocab pieces longer than maxPieceLen (ADVICE r15)") {
+    // the kernel only probes pieces up to maxPieceLen codepoints, so a
+    // longer piece would be silently unusable by the engine while the
+    // oracle's unbounded substr join would use it — must fail loudly.
+    // 'ab' is 2 codepoints; the non-BMP piece is 2 codepoints in 4 chars.
+    val vocab = Seq(("ab", 1L, -1000L), ("a", 2L, -2000L), ("b", 3L, -2000L))
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTokenStats(docs, vocab, maxPieceLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramPerplexity(docs, vocab, maxPieceLen = 1)
+    }
+    // codepoint length, not UTF-16 length: a 2-codepoint supplementary
+    // piece fits maxPieceLen=2 even though it is 4 UTF-16 chars
+    val nonBmp = new String(Character.toChars(0x1F600)) * 2
+    val vb = Seq((nonBmp, 1L, -1000L), (nonBmp.substring(0, 2), 2L, -2000L))
+    TextAnalysis.unigramTokenStats(Seq((1L, nonBmp)).toDF("doc_id", "text"),
+      vb, maxPieceLen = 2).collect()
+  }
+
   test("unigramLearn: charset always survives with a count floor of 1") {
     val docs = Seq((1L, "zzzz zzzz")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLearn(docs, rounds = 2, maxPieceLen = 4,
