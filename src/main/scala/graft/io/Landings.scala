@@ -133,6 +133,27 @@ object Landings {
     parts.result().reduceOption(_.unionByName(_))
   }
 
+  /** Operational readout of a landing directory (VERDICT r15 #5 — the
+    * q160 file-audit story extended to landings): one row of
+    * (newest_gen, covered_batches, live_batches, live_min/live_max
+    * batch id, servable). An unbounded `live_batches` under a
+    * long-running stream is the read-side scale smell
+    * [[compactLandings]] (or the sinks' `compactEvery` cadence)
+    * exists to cap; `newest_gen = -1` means never folded. */
+  def landingAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val st = landingState(spark, path)
+    val servable = st.gen.exists { case (_, p) =>
+      hasParquetData(spark, p.toString) } ||
+      st.live.exists { case (_, p) => hasParquetData(spark, p.toString) }
+    Seq((st.gen.map(_._1).getOrElse(-1L), st.covered.size.toLong,
+      st.live.size.toLong,
+      st.live.headOption.map(_._1).getOrElse(-1L),
+      st.live.lastOption.map(_._1).getOrElse(-1L), servable))
+      .toDF("newest_gen", "covered_batches", "live_batches",
+        "live_min", "live_max", "servable")
+  }
+
   /** Fold the current serve set into one `compact=<g>` generation —
     * the landing `OPTIMIZE`. `reduce` is an optional ALGEBRAIC merge
     * applied to the union before landing (cell-wise CM sums, moment

@@ -2312,7 +2312,15 @@ object AnalyticsQueries {
     * provably the direct batch sketch over everything streamed), and
     * the same merge-rollup + probe estimates as q112 run on top — so
     * this hash-checks against q112's full SQL replay
-    * (batch-equivalence, the q19/q101/q114 pattern). */
+    * (batch-equivalence, the q19/q101/q114 pattern).
+    *
+    * Since r16 the run is a genuine THREE-batch stream (event_id%3
+    * slice files, one per trigger) with the landing-compaction CADENCE
+    * on (`compactEvery = 2` — VERDICT r15 #5): the fold fires inside
+    * the foreachBatch after batch 1, so the read serves
+    * `compact=<g> ∪ batch=2` — the oracle hash-compare IS the
+    * mid-stream auto-fold invariance proof, on top of the crash-shape
+    * coverage in LandingsSpec. */
   private val q124 = Q(
     (s, dir) => {
       import graft.ops.Sketches
@@ -2320,10 +2328,15 @@ object AnalyticsQueries {
       val scratch = s"${Queries.scratchRoot}/q124-cmstream"
       val root = new org.apache.hadoop.fs.Path(scratch)
       root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-      val stream = Queries.stagedEventStream(s, dir, "q124")
+      val stream = Queries.stagedEventStreamSplit(s, dir, "q124", nFiles = 3)
       val q = graft.streaming.StreamSink.toCmSketch(stream, s"$scratch/cells",
-        s"$scratch/ckpt", "event_type", "user_id", d, w)
+        s"$scratch/ckpt", "event_type", "user_id", d, w, compactEvery = 2)
       q.processAllAvailable(); q.stop()
+      // the cadence must actually have fired mid-stream: a committed
+      // generation exists AND at least one batch is still live
+      val audit = graft.io.Landings.landingAudit(s, s"$scratch/cells").head()
+      require(audit.getLong(0) >= 0L && audit.getLong(2) >= 1L,
+        s"q124 expected a mid-stream fold (gen>=0, live>=1), got $audit")
       val perType = graft.streaming.StreamSink.readCmSketch(s, s"$scratch/cells")
         .localCheckpoint()
       val sk = perType.unionByName(Sketches.cmMerge(perType, "__all"))

@@ -86,6 +86,40 @@ object Queries {
     normalizeTs(s.readStream.schema(rawSchema).parquet(srcDir.toString))
   }
 
+  /** [[stagedEventStream]] staged as `nFiles` slice files read ONE per
+    * micro-batch (maxFilesPerTrigger=1, mtime-ordered like the sentinel
+    * scaffold) — for streaming queries that must observe a genuinely
+    * MULTI-batch run (q124 exercises the landing-compaction cadence
+    * mid-stream; batch-split invariance is exactly what its oracle
+    * compare then proves). Slices are deterministic `event_id % nFiles`
+    * cuts, so every row streams exactly once. */
+  def stagedEventStreamSplit(s: SparkSession, dir: String, name: String,
+      nFiles: Int): DataFrame = {
+    val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+    java.nio.file.Files.createDirectories(srcDir)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val base = System.currentTimeMillis() - 120000L
+    (0 until nFiles).foreach { i =>
+      val tmp = java.nio.file.Paths.get(s"$scratchRoot/$name-slice-$i")
+      raw.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.lit(nFiles.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .getOrElse(throw new IllegalStateException(s"no slice part file in $tmp"))
+      val dst = srcDir.resolve(f"$i%02d-events.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // file-source batch order follows (modTime, path): pin slice i
+      // strictly before slice i+1, all in the past
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    normalizeTs(s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+  }
+
   /** [[stagedEventStream]] plus two far-future sentinel rows staged as
     * SEPARATE files, read one file per micro-batch — the scaffolding an
     * OUTER stream-stream join needs to terminate deterministically:

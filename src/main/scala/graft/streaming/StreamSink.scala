@@ -132,6 +132,20 @@ object StreamSink {
     * any reader that keys off the checkpoint. On object stores without
     * atomic rename, point `path` at a rename-capable layer (HDFS,
     * cluster FS) or use a transactional table format instead. */
+  /** Compaction cadence hook (VERDICT r15 #5): when `every > 0`, fold
+    * the landing directory after batches every−1, 2·every−1, … —
+    * default OFF (0), preserving manual-OPTIMIZE behavior. Runs inside
+    * the foreachBatch callback, so a fold can never race its own
+    * stream's landings (single-maintainer discipline holds by
+    * construction); cadence applies on EVERY batch id, including
+    * all-filtered empty ones, so a quiet stream still folds. Any
+    * cadence value serves identical results — each family's read is
+    * fold-invariant (LandingsSpec + the q124 gate query exercise a
+    * mid-stream fold). */
+  private def maybeCompact(every: Int, batchId: Long)
+      (fold: => Boolean): Unit =
+    if (every > 0 && (batchId + 1) % every == 0) { fold; () }
+
   def landBatch(batch: DataFrame, path: String, batchId: Long,
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
@@ -169,7 +183,8 @@ object StreamSink {
     * .compact]] when batch count grows. */
   def toCmSketch(stream: DataFrame, path: String, checkpoint: String,
       grpCol: String, keyCol: String, depth: Int, width: Int,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -179,6 +194,8 @@ object StreamSink {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(keyCol), depth, width),
             path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactCmSketch(batch.sparkSession, path))
       }
       .start()
 
@@ -197,7 +214,8 @@ object StreamSink {
     * cadence. */
   def toTrendStats(stream: DataFrame, path: String, checkpoint: String,
       keyCol: String, tsCol: String, valueCol: String, originMicros: Long,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -205,6 +223,8 @@ object StreamSink {
         if (!batch.isEmpty)
           landBatch(graft.ops.TimeSeries.trendStatsTime(batch, keyCol,
             tsCol, valueCol, originMicros), path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactTrendStats(batch.sparkSession, path, keyCol))
       }
       .start()
 
@@ -225,7 +245,8 @@ object StreamSink {
     * interleaving. */
   def toIvfLandings(stream: DataFrame, indexPath: String, landPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -233,6 +254,8 @@ object StreamSink {
         if (!batch.isEmpty)
           landBatch(graft.ops.Similarity.assignmentForIndex(batch, indexPath),
             landPath, batchId, partitionCols = Seq("cell"))
+        maybeCompact(compactEvery, batchId)(
+          compactIvfLandings(batch.sparkSession, landPath))
       }
       .start()
 
@@ -248,7 +271,8 @@ object StreamSink {
     * under any batch split. */
   def toBpePairs(stream: DataFrame, path: String, checkpoint: String,
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -256,6 +280,8 @@ object StreamSink {
         if (!batch.isEmpty)
           landBatch(graft.ops.TextAnalysis.bpePairCounts(batch, textCol),
             path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactBpePairs(batch.sparkSession, path))
       }
       .start()
 
@@ -329,7 +355,8 @@ object StreamSink {
     * double-count it. */
   def toHeavyHitters(stream: DataFrame, path: String, checkpoint: String,
       itemCol: String, capacity: Int,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -337,6 +364,8 @@ object StreamSink {
         if (!batch.isEmpty)
           landBatch(graft.ops.Sketches.heavyHitters(batch, itemCol, capacity),
             path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactHeavyHitters(batch.sparkSession, path, capacity))
       }
       .start()
 
@@ -384,7 +413,8 @@ object StreamSink {
     * batch size. */
   def toSampleSketch(stream: DataFrame, path: String, checkpoint: String,
       grpCol: String, idCol: String, valueCol: String, k: Int,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -395,6 +425,8 @@ object StreamSink {
             org.apache.spark.sql.functions.col(idCol),
             org.apache.spark.sql.functions.col(valueCol), k),
             path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactSampleSketch(batch.sparkSession, path, k))
       }
       .start()
 

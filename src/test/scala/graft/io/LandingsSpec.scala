@@ -218,4 +218,50 @@ class LandingsSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(after == before && before.nonEmpty)
   }
+
+  test("compactEvery cadence: auto-folds fire mid-stream, serve invariant, audit readout") {
+    // VERDICT r15 #5: nothing used to TRIGGER folds on a schedule — a
+    // long-running stream accumulated batch dirs between manual calls.
+    // Four slice files read one per trigger, compactEvery=2: folds fire
+    // inside the foreachBatch after batches 1 and 3, and the served
+    // sketch must equal the direct batch build over everything.
+    val root = Files.createTempDirectory("graft-land-cad").toString
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    val df = (0 until 80).map(i => (i.toLong, s"u${i % 7}"))
+      .toDF("event_id", "user")
+    (0 until 4).foreach { i =>
+      val tmp = s"$root/slice-$i"
+      df.filter(pmod($"event_id", lit(4L)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .get
+      val dst = java.nio.file.Paths.get(s"$src/0$i-rows.parquet")
+      Files.copy(part.toPath, dst)
+      // file-source batch order follows (modTime, path): pin slice order
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000L + i * 1000L))
+    }
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val land = s"$root/cells"
+    val q = StreamSink.toCmSketch(stream, land, s"$root/ckpt",
+      "user", "event_id", 3, 16, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // audit: newest gen is 3 (second fold), all four batches covered,
+    // nothing live, still servable
+    val audit = Landings.landingAudit(spark, land).head()
+    assert(audit.getLong(0) == 3L, s"newest_gen: $audit")
+    assert(audit.getLong(1) == 4L, s"covered_batches: $audit")
+    assert(audit.getLong(2) == 0L, s"live_batches: $audit")
+    assert(audit.getBoolean(5), s"servable: $audit")
+    // fold-invariance across the cadence: served == direct batch sketch
+    val served = StreamSink.readCmSketch(spark, land)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = graft.ops.Sketches.cmSketch(df, $"user", $"event_id", 3, 16)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served == direct && served.nonEmpty)
+  }
 }
