@@ -935,11 +935,19 @@ object Dedup {
     require(L >= 2, s"minSpanTokens must be >= 2, got $L")
     require(k >= 1 && k < L, s"need 1 <= k < minSpanTokens, got k=$k")
     val w = L - k + 1
-    val base = docs
+    // The scan+split frame is read TWICE — stage 1 winnows it, stage 2
+    // explodes candidate L-grams from it. Sharing ONE persisted frame
+    // (r16, Q199Probe interleaved min-of-5: 0.87 → 0.56 s at sf0.1)
+    // beats the recompute; the window-count candidate variant probed
+    // WORSE (0.77 s — the fp window sort costs more than the
+    // exchange-reused agg+semi-join). The cache is LRU-bounded and
+    // spills (MEMORY_AND_DISK) — at cluster scale a storage-pressured
+    // executor degrades to the recompute this replaces, never OOMs.
+    val base = Materialize.cachedSingleton("dedup-substring-base", docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= L)
+      .filter(size(col("ws")) >= L))
     // stage 1: compiled winnowing kernel ([[graft.functions
     // .CatalystExpressions.GramWinnow]] — one fused per-row loop:
     // token hashes, chained k-gram hashes, monotonic-deque window
@@ -972,10 +980,13 @@ object Dedup {
       .select(col("id"), posexplode(
         call_function("graft_word_windows", col("txt"), lit(L), lit(1))))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    // materialized once (the minhashNearDups convention): both sides of
-    // the verify self-join read the same candidate-gram table instead of
-    // re-running the whole stage-1 pipeline per side
-    val grams = Materialize.cachedSingleton("dedup-substring-grams", gramsRaw)
+    // NOT persisted (r16): both self-join sides shuffle the identical
+    // gram subtree on the join key, so ReusedExchange already computes
+    // it once — the r15 cachedSingleton paid a ~0.3 s cache-write for
+    // work the exchange reuse deduplicates for free (Q199Probe A/B),
+    // and the persisted base above already keeps the expensive scan
+    // from running twice across the stages.
+    val grams = gramsRaw
     val m = grams.as("x").hint("shuffle_hash").join(grams.as("y"),
         col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
       .select(col("x.id").as("ida"), col("y.id").as("idb"),

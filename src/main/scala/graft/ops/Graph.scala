@@ -277,6 +277,91 @@ object Graph {
     ranks.select(col("node"), col("u").as("rank_units"))
   }
 
+  /** WEIGHTED edge index — [[writeEdgeIndex]] for a walk that follows
+    * an out-edge with probability w/Σw instead of 1/outdeg (the
+    * link-graph reality: a source that links a domain 40 times should
+    * pass it more mass than one that links it once). Each (src, dst)
+    * edge carries a BIGINT weight (duplicate edges pre-summed at build
+    * time — the multigraph collapses to its weight), and the relation
+    * stores the per-src total `sw` alongside, so serving needs no
+    * degree/total aggregation — one expression change on the placed
+    * scan. Node sentinels keep every node in the rank vector with
+    * (w = 0, sw = Long.MaxValue): they contribute 0 mass exactly like
+    * the unweighted index's d = MaxValue rows. Layout identical to the
+    * unweighted index: bucketed and bucket-sorted by src, one file per
+    * bucket, zero edge-side exchanges per iteration.
+    *
+    * Overflow bound: the update computes u·w before the divide, so
+    * alphaNum·Σ_in(u·w div sw) must stay under 2^63 — safe while
+    * max edge weight · |V| · SCALE < 2^63/100, i.e. w up to ~10^5 on a
+    * 10^6-node graph (document per deployment; lineitem counts are
+    * single digits). */
+  def writeWeightedEdgeIndex(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .repartition(col("src"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val rel = e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("w"), lit(Long.MaxValue).as("sw")))
+    graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
+      tableName, "src", buckets, Some("src"))
+  }
+
+  /** [[pageRankFromIndex]] over a [[writeWeightedEdgeIndex]] table: the
+    * contribution expression becomes `(u·w) div sw` — everything else
+    * (fixed-point harness, integer units, checkpoint cadence, one
+    * |V|-row rank exchange per iteration) is shared unchanged, and the
+    * arithmetic stays exactly SQL-replayable
+    * ([[weightedPageRankOracleSql]]). With all weights equal the ranks
+    * are BIT-IDENTICAL to the unweighted walk (floor(u·c/(c·d)) =
+    * floor(u/d) for nonnegative integers — spec-asserted), so the
+    * unweighted family is the w≡1 member of this one. */
+  def weightedPageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, iterations: Int, alphaNum: Long = 85L,
+      checkpointInterval: Int = 8): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val wE = spark.table(tableName)
+    var ranks = wE.filter(col("sw") === Long.MaxValue)
+      .select(col("src").as("node")).withColumn("u", lit(SCALE))
+    for (i <- 1 to iterations) {
+      val ranksSrc = ranks.withColumnRenamed("node", "src")
+      val contribs = wE.join(ranksSrc, "src")
+        .select(col("dst").as("node"), expr("(u * w) div sw").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = contribs.select(col("node"),
+        (lit(teleport) + expr(s"($alphaNum * c) div 100")).as("u"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("u").as("rank_units"))
+  }
+
+  /** The unrolled replay of [[weightedPageRankFromIndex]]: `edgesSql`
+    * must produce (src, dst, w) with duplicate edges already summed —
+    * the build-time aggregation [[writeWeightedEdgeIndex]] prepays. */
+  def weightedPageRankOracleSql(edgesSql: String, iterations: Int,
+      alphaNum: Long = 85L): String = {
+    val teleport = (100L - alphaNum) * SCALE / 100L
+    val iters = (1 to iterations).map { i =>
+      s"r$i AS (SELECT n.node, CAST($teleport + ($alphaNum * coalesce(s.c, 0)) // 100 AS BIGINT) AS u " +
+        s"FROM n LEFT JOIN (SELECT e.dst AS node, sum((r${i - 1}.u * e.w) // sw.sw) AS c " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN sw ON sw.src = e.src " +
+        "GROUP BY e.dst) s ON n.node = s.node)"
+    }.mkString(", ")
+    s"WITH e AS ($edgesSql), " +
+      "sw AS (SELECT src, sum(w) AS sw FROM e GROUP BY src), " +
+      "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      s"r0 AS (SELECT node, CAST($SCALE AS BIGINT) AS u FROM n), " +
+      iters +
+      s" SELECT node, u AS rank_units FROM r$iterations"
+  }
+
   /** The broadcast-vs-shuffle decision, separated so the boundary is
     * unit-testable: broadcast iff |V| ≤ maxNodes, unless forced. */
   private[graft] def chooseRankStrategy(nV: Long, maxNodes: Long,

@@ -1301,6 +1301,49 @@ object AnalyticsQueries {
   // at seed nodes (node % 50 = 0: every 25th part), so ranks read as
   // "importance relative to these sources"; one-term generalization of
   // the fixed-point harness, teleport and init both carry the seed CASE.
+  /** First-touch weighted edge index (the ensurePrEdgeIndex convention
+    * for q204): same supplier–part bipartite graph, but each edge
+    * carries its lineitem MULTIPLICITY as the weight — the multigraph
+    * the unweighted index's dedup throws away is exactly the signal a
+    * weighted walk follows. */
+  private def ensurePrWeightedEdgeIndex(s: SparkSession, dir: String): String = {
+    val tbl = "pr_wedges_q204_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      val li = table(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val rev = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.writeWeightedEdgeIndex(
+        fwd.unionAll(rev).withColumn("w", lit(1L)), "src", "dst", "w",
+        tbl, buckets = 8)
+    }
+    tbl
+  }
+
+  // q204: WEIGHTED PageRank — the walk follows an out-edge with
+  // probability w/Σw (w = lineitem multiplicity of the supplier–part
+  // link), closing the graph family's weighted story (VERDICT r15 #7a).
+  // Served from its own build-once bucketed index; contribution is ONE
+  // expression change ((u·w) div Σw) on the shared fixed-point harness,
+  // integer units, SQL-replayed exactly.
+  private val q204 = Q(
+    (s, dir) => {
+      val tbl = ensurePrWeightedEdgeIndex(s, dir)
+      graft.ops.Graph.weightedPageRankFromIndex(s, tbl, iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100)
+    },
+    Some(graft.ops.Graph.weightedPageRankOracleSql(
+      "SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (" +
+        "SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem " +
+        "UNION ALL SELECT l_partkey*2, l_suppkey*2+1 FROM lineitem) " +
+        "GROUP BY src, dst",
+      iterations = 5) +
+      " ORDER BY rank_units DESC, node LIMIT 100"),
+    "Weighted PageRank: edge mass proportional to link multiplicity, " +
+      "served from a build-once weighted bucketed index — the " +
+      "unweighted walk is the w=1 member (bit-identical, spec-asserted)")
+
   private val q200 = Q(
     (s, dir) => {
       val tbl = ensurePrEdgeIndex(s, dir)
@@ -4408,6 +4451,7 @@ object AnalyticsQueries {
     "q108_time_travel" -> q108,
     "q105_pagerank_index" -> q105,
     "q200_personalized_pagerank" -> q200,
+    "q204_weighted_pagerank" -> q204,
     "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,
     "q102_kmv_distinct" -> q102,

@@ -9,8 +9,9 @@ import graft.queries.Queries.{ddot, dround6, dsum, duckEmb, duckWordGrams, table
   * multimodal columns, text analysis (BASELINE.json north star, beyond the
   * reference's own call sites). Hash-dependent operators whose signatures
   * cannot be replayed in DuckDB (xxhash64-based MinHash/SimHash *candidate
-  * generation*) either verify candidates against an oracle-expressible
-  * exact metric (q20) or run under the driver's rows-only check (q21).
+  * generation*) verify candidates against an oracle-expressible exact
+  * metric (q20/q21) — since r16 every declared query, q54 included,
+  * carries a full hash-checked oracle.
   */
 object TrainingDataQueries {
 
@@ -851,8 +852,8 @@ object TrainingDataQueries {
   }
 
   // q198: exact fixed-point Lloyd's k-means over the embedding corpus —
-  // the hash-checkable member of the clustering family (q54's MLlib
-  // KMeans has no SQL twin and runs rows-only). 3 rounds, k=8, first-k
+  // the clustering family's direct readout (since r16 the same training
+  // loop also powers q54's trained ANN-recall codebook). 3 rounds, k=8, first-k
   // seeds; per round one narrow argmin over broadcast centroid literals
   // + one keyed agg to k·dim driver rows (the q195 fixed-point shape at
   // embedding scale); the oracle unrolls every round.

@@ -94,6 +94,52 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_spec")
   }
 
+  test("weightedPageRankFromIndex: hand-computed asymmetric split; equal weights degenerate to the unweighted walk bit-for-bit") {
+    // 1 splits 3:1 between 2 and 3 — contribution floor(u·w/Σw)
+    val wedges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    try {
+      Graph.writeWeightedEdgeIndex(wedges, "src", "dst", "w", "wpr_spec",
+        buckets = 2)
+      val got = Graph.weightedPageRankFromIndex(spark, "wpr_spec",
+        iterations = 1).as[(Long, Long)].collect().toMap
+      val S = Graph.SCALE; val t = 15L * S / 100L
+      assert(got(1L) == t, got.toString) // no in-edges: teleport only
+      assert(got(2L) == t + 85L * (S * 3L / 4L) / 100L, got.toString)
+      assert(got(3L) == t + 85L * (S * 1L / 4L) / 100L, got.toString)
+      // duplicate edges pre-sum at build: (1,2,1)+(1,2,2) == (1,2,3)
+      Graph.writeWeightedEdgeIndex(
+        Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", "wpr_spec_dup", buckets = 2)
+      val dup = Graph.weightedPageRankFromIndex(spark, "wpr_spec_dup",
+        iterations = 1).as[(Long, Long)].collect().toMap
+      assert(dup == got)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wpr_spec")
+      spark.sql("DROP TABLE IF EXISTS wpr_spec_dup")
+    }
+    // floor(u·c/(c·d)) = floor(u/d): constant weights == unweighted walk
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val fwd = li.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst"))
+    val rev = li.select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(rev)
+    try {
+      // w = 7 per DISTINCT edge (the unweighted index dedups, so the
+      // degenerate comparison must too)
+      Graph.writeWeightedEdgeIndex(
+        edges.distinct().withColumn("w", lit(7L)), "src", "dst", "w",
+        "wpr_eq", buckets = 4)
+      Graph.writeEdgeIndex(edges, "src", "dst", "pr_eq", buckets = 4)
+      val w = Graph.weightedPageRankFromIndex(spark, "wpr_eq", iterations = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val u = Graph.pageRankFromIndex(spark, "pr_eq", iterations = 3)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(w == u && w.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wpr_eq")
+      spark.sql("DROP TABLE IF EXISTS pr_eq")
+    }
+  }
+
   test("pageRankFromIndex iteration joins shuffle ONLY the rank side") {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
