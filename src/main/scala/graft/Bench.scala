@@ -106,7 +106,7 @@ object Bench {
       "q128_stream_drift", "q130_stream_pit", "q131_stream_takedown",
       "q134_stream_quantile", "q138_stream_topk", "q151_stream_trend",
       "q157_stream_throttle", "q167_stream_cusum", "q182_stream_attribution",
-      "q189_stream_covisit")
+      "q189_stream_covisit", "q205_stream_cdc")
     // Unclean-requery knob (VERDICT r15 #6): SPARK_GRAFT_ONLY=q1,q2,...
     // restricts the timed set so a later QUIET window can re-measure just
     // the queries a contended run left unclean; tools/bench_merge.py

@@ -4373,7 +4373,88 @@ object AnalyticsQueries {
       "landings, exactly-once; live merge ranking hash-equal to the " +
       "batch learner and its oracle")
 
+  /** STREAMING CDC PIPELINE (the TWENTY-FIRST streaming query — the
+    * change-data-feed consumer loop, VERDICT r15 #7): change rows
+    * (insert/update/delete with after-images) stream in; each
+    * micro-batch MERGEs into the versioned lake as one atomic
+    * copy-on-write commit, the row-level feed since the durable
+    * version cursor is drained and landed exactly-once
+    * ([[graft.streaming.StreamSink.toCdcPipeline]]), and the final
+    * readout is the downstream MIRROR rebuilt from the feed alone
+    * ([[graft.streaming.StreamSink.cdcMirror]]) — so the oracle's
+    * direct relational replay of the change rules hash-checks feed
+    * COMPLETENESS (every insert/update/delete observable, versions
+    * ordered), not just the lake's end state. Three deterministic
+    * slices exercise the full op set: inserts (%3 residues), updates
+    * (%9==0 price+1, %9==6 price+2 — keys inserted by an EARLIER
+    * batch), deletes (%9==3). */
+  private val q205 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q205-cdc"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // genesis: an empty snapshot so the first micro-batch merges like
+      // every later one (applyChanges needs a base version)
+      graft.io.Versioned.commit(orders.filter(lit(false)), s"$scratch/lake")
+      val srcDir = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q205-src")
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+      java.nio.file.Files.createDirectories(srcDir)
+      val k = col("o_orderkey")
+      // within-slice keys disjoint by residue (applyChanges rejects
+      // order-ambiguous duplicate keys per batch)
+      val slices = Seq(
+        orders.filter(k % 3 === 0).withColumn("change", lit("insert")),
+        orders.filter(k % 3 === 1).withColumn("change", lit("insert"))
+          .unionByName(orders.filter(k % 9 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("change", lit("update")))
+          .unionByName(orders.filter(k % 9 === 3)
+            .withColumn("change", lit("delete"))),
+        orders.filter(k % 3 === 2).withColumn("change", lit("insert"))
+          .unionByName(orders.filter(k % 9 === 6)
+            .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+            .withColumn("change", lit("update"))))
+      val base = System.currentTimeMillis() - 120000L
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Paths.get(s"${Queries.scratchRoot}/q205-slice-$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(throw new IllegalStateException(s"no slice part in $tmp"))
+        val dst = srcDir.resolve(f"$i%02d-changes.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        // file-source batch order follows (modTime, path)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+      val schema = s.read.parquet(srcDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = graft.streaming.StreamSink.toCdcPipeline(stream,
+        s"$scratch/lake", s"$scratch/feed", s"$scratch/ckpt",
+        keyCols = Seq("o_orderkey"),
+        valueCols = Seq("o_custkey", "o_totalprice"))
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.cdcMirror(s, s"$scratch/feed",
+        Seq("o_orderkey"), Seq("o_custkey", "o_totalprice"))
+        .filter(col("o_orderkey") % 7 === 0)
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, o_custkey, " +
+      "CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1.0 " +
+      "WHEN o_orderkey % 9 = 6 THEN o_totalprice + 2.0 " +
+      "ELSE o_totalprice END AS o_totalprice " +
+      "FROM orders WHERE o_orderkey % 9 <> 3 AND o_orderkey % 7 = 0 " +
+      "ORDER BY o_orderkey"),
+    "Streaming CDC pipeline: per-batch atomic merges into the " +
+      "versioned lake, change feed drained by a durable version cursor " +
+      "and landed exactly-once; the mirror rebuilt from the feed alone " +
+      "equals the final snapshot")
+
   val all: Map[String, Q] = Map(
+    "q205_stream_cdc" -> q205,
     "q196_bpe_tokenize" -> q196,
     "q195_bpe_iterative" -> q195,
     "q201_unigram_lm" -> q201,

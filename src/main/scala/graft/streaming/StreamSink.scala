@@ -496,6 +496,66 @@ object StreamSink {
       }
       .start()
 
+  /** Continuous CDC PIPELINE (the 21st streaming query's sink — the
+    * change-data-feed consumer loop, VERDICT r15 #7): each micro-batch
+    * of change rows (keys + after-image values + an insert/update/
+    * delete op column) MERGEs into the versioned lake as ONE atomic
+    * copy-on-write commit ([[graft.io.Versioned.applyChanges]]), and
+    * the row-level change feed since the consumer's durable cursor is
+    * drained ([[graft.io.Versioned.changesSince]]) and landed under
+    * `batch=<maxVersion>` via the idempotent [[landBatch]] rename.
+    *
+    * Exactly-once with NO markers, from two compositional facts:
+    *  - applyChanges is CONTENT-idempotent (delete-then-upsert of the
+    *    same changeset reproduces the snapshot bit-for-bit), so a
+    *    crash-replayed batch re-commits a version whose DIFF IS EMPTY;
+    *  - the feed cursor is derived from the LANDED state itself
+    *    (max covered/live landing id = max consumed version — landing
+    *    ids ARE version numbers), so a replayed consumer re-derives
+    *    the same feed rows and overwrites its own landing.
+    * Every crash point therefore leaves the feed equal to what a
+    * single clean run produces — the landing read rule, carried over
+    * versioned commits. */
+  def toCdcPipeline(changes: DataFrame, lakePath: String, feedPath: String,
+      checkpoint: String, keyCols: Seq[String], valueCols: Seq[String],
+      opCol: String = "change",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty)
+          graft.io.Versioned.applyChanges(spark, lakePath, batch,
+            keyCols, opCol)
+        val st = graft.io.Landings.landingState(spark, feedPath)
+        val cursor = (st.covered ++ st.live.map(_._1) + 0L).max
+        graft.io.Versioned.changesSince(spark, lakePath, cursor,
+          keyCols, valueCols).foreach { case (feed, newCursor) =>
+          landBatch(feed, feedPath, newCursor)
+        }
+      }
+      .start()
+
+  /** Reconstruct the LATEST table state from a [[toCdcPipeline]] feed
+    * alone — the downstream-mirror consumer (and the feed-completeness
+    * proof: the result must equal the lake's latest snapshot, which is
+    * exactly what q205's oracle hash-checks): per key, the change with
+    * the highest `_commit_version` wins; keys whose last op is delete
+    * are gone. */
+  def cdcMirror(spark: org.apache.spark.sql.SparkSession, feedPath: String,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val feed = graft.io.Landings.readLandings(spark, feedPath)
+      .getOrElse(spark.read.parquet(feedPath))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc)
+    feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("change") =!= "delete")
+      .select((keyCols ++ valueCols).map(col): _*)
+  }
+
   /** The live merged Count-Min sketch from a [[toCmSketch]] landing:
     * cell-wise sum across batch partitions — same cell schema as a
     * direct [[graft.ops.Sketches.cmSketch]] build. */

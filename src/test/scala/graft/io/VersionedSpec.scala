@@ -262,4 +262,59 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     bad(Seq((2L, "x", "upsert")), "unknown ops")
     bad(Seq((2L, "x", "insert"), (2L, "y", "delete")), "duplicate keys")
   }
+
+  test("changesSince: full op set with after-images, NULL deletes, durable cursor") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p) // v1
+    Versioned.applyChanges(spark, p, Seq(
+      (2L, "B", "update"), (3L, "c", "insert")).toDF("k", "v", "change"),
+      Seq("k")) // v2
+    Versioned.applyChanges(spark, p, Seq(
+      (1L, "a", "delete")).toDF("k", "v", "change"), Seq("k")) // v3
+    // from genesis: v1 arrives as pure inserts against an empty before
+    val (feed, cur) = Versioned.changesSince(spark, p, 0L, Seq("k"), Seq("v")).get
+    assert(cur == 3L)
+    val got = feed.select($"k", $"change", $"v", $"_commit_version")
+      .as[(Long, String, Option[String], Long)].collect().toSet
+    assert(got == Set(
+      (1L, "insert", Some("a"), 1L), (2L, "insert", Some("b"), 1L),
+      (2L, "update", Some("B"), 2L), (3L, "insert", Some("c"), 2L),
+      (1L, "delete", None, 3L))) // deletes carry NULL after-images
+    // cursor semantics: only versions past it; nothing new => None
+    val (tail2, _) = Versioned.changesSince(spark, p, 2L, Seq("k"), Seq("v")).get
+    assert(tail2.select($"_commit_version").as[Long].collect().toSet == Set(3L))
+    assert(Versioned.changesSince(spark, p, 3L, Seq("k"), Seq("v")).isEmpty)
+  }
+
+  test("applyChanges is content-idempotent: a replayed changeset diffs EMPTY (the q205 exactly-once fact)") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), p)
+    val changes = Seq((2L, "B", "update"), (4L, "d", "insert"),
+      (3L, "c", "delete")).toDF("k", "v", "change")
+    val v2 = Versioned.applyChanges(spark, p, changes, Seq("k"))
+    val v3 = Versioned.applyChanges(spark, p, changes, Seq("k")) // crash replay
+    assert(v3 == v2 + 1)
+    // same snapshot content => the feed shows the replay as an empty diff
+    val (feed, _) = Versioned.changesSince(spark, p, v2, Seq("k"), Seq("v")).get
+    assert(feed.count() == 0L)
+  }
+
+  test("cdcMirror rebuilt from the feed alone equals the latest snapshot") {
+    val p = freshPath()
+    val feedDir = freshPath() + "-feed"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p)
+    Versioned.applyChanges(spark, p, Seq(
+      (1L, "A", "update"), (3L, "c", "insert")).toDF("k", "v", "change"),
+      Seq("k"))
+    Versioned.applyChanges(spark, p, Seq(
+      (2L, "b", "delete"), (3L, "C", "update")).toDF("k", "v", "change"),
+      Seq("k"))
+    val (feed, cur) = Versioned.changesSince(spark, p, 0L, Seq("k"), Seq("v")).get
+    graft.streaming.StreamSink.landBatch(feed, feedDir, cur)
+    val mirror = graft.streaming.StreamSink.cdcMirror(spark, feedDir,
+      Seq("k"), Seq("v")).as[(Long, String)].collect().toSet
+    val snap = Versioned.readAsOf(spark, p, None)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(mirror == snap && mirror == Set((1L, "A"), (3L, "C")))
+  }
 }
