@@ -48,7 +48,9 @@ object ScaleSmoke {
     "q90_pagerank", "q105_pagerank_index", "q113_triangles",
     "q194_stream_bpe", "q195_bpe_iterative", "q196_bpe_tokenize",
     "q197_stream_ivf", "q198_kmeans", "q199_substring_dedup",
-    "q201_unigram_lm", "q202_unigram_tokenize", "q203_unigram_ppl")
+    "q200_personalized_pagerank", "q201_unigram_lm",
+    "q202_unigram_tokenize", "q203_unigram_ppl",
+    "q204_weighted_pagerank", "q205_stream_cdc")
 
   private val pushList = Seq("q20_dedup_minhash_lsh", "q23_dedup_embedding")
 
