@@ -388,6 +388,88 @@ object Similarity {
       queryPred, k)
   }
 
+  /** BEAM-SEARCH ANN with a recall readout — the graph-refined serving
+    * path (the HNSW idea in its one-layer, SET-ORIENTED form: a
+    * navigable neighbor graph lets the search escape the IVF probe's
+    * cell boundary, and the beam width is the recall/latency knob ANN
+    * serving actually ships with — VERDICT r15 #7c):
+    *
+    *  1. BUILD (once): a top-`m` neighbor graph — every vector's m
+    *     nearest among its `nProbe` probed cells (the bulk-kNN shape of
+    *     [[ivfTopKWith]], probe side NOT broadcast: the query set IS
+    *     the corpus).
+    *  2. ENTER: each query's IVF top-`beam` candidates (the plain probe
+    *     join) form frontier b₀.
+    *  3. REFINE (`hops` times): expand the ENTIRE query set's frontier
+    *     through the edge table in ONE equi-join, union the previous
+    *     frontier, rescore, keep the best `beam` per query (sim DESC,
+    *     node ASC) — relational beam search, all queries advance
+    *     simultaneously, no per-query loop. Since each candidate set
+    *     contains its predecessor frontier, the per-query best-so-far
+    *     is monotone.
+    *  4. READ OUT: top-`k` over everything VISITED (∪ of all
+    *     frontiers), as recall against exact brute force — the
+    *     q54/q55 contract, so raising `beam`/`hops` shows recall
+    *     climbing toward 1.0 while touched-vector counts stay bounded
+    *     by beam·(m+1)·|queries| per hop.
+    *
+    * Fully deterministic and SQL-replayable end to end (membership
+    * decided on unrounded doubles both engines; every window ordered
+    * (sim DESC, id ASC)) — q206 hash-checks build, entry, every hop,
+    * and the recall epilogue.
+    *
+    * Scale shape: the graph build is the one corpus-quadratic-bounded
+    * stage (probed-cell join, the q29 argument) and is a durable-index
+    * candidate like every build; each hop moves only |queries|·beam
+    * frontier rows against the edge table (equi-join on node — at
+    * 100 TB the edge table is bucketed by src exactly like the q105
+    * PageRank relation and never moves). */
+  def beamSearchRecallAtK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int, nProbe: Int = 2, m: Int = 6, beam: Int = 8,
+      hops: Int = 2): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
+    require(m >= 1 && hops >= 0, s"need m >= 1, hops >= 0")
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    val edges = Materialize.cachedSingleton("beam-edges",
+      ivfTopKWith(e, cents, lit(true), m, nProbe, probeBroadcast = false)
+        .select(col("qid").as("src"), col("neighbor").as("dst")))
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val nodes = e.select(col("vec_id").as("node"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("node"))
+    var frontier = ivfTopKWith(e, cents, queryPred, beam, nProbe,
+      probeBroadcast = true)
+      .select(col("qid"), col("neighbor").as("node"))
+    val frontiers = Seq.newBuilder[DataFrame]
+    frontiers += frontier
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionAll(frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("qid"), col("dst").as("node")))
+        .filter(col("node") =!= col("qid"))
+        .dropDuplicates("qid", "node")
+      frontier = cand
+        .join(qs, "qid").join(nodes, "node")
+        .withColumn("sim", cosine(col("qv"), col("qnrm"), col("nv"), col("nnrm")))
+        .withColumn("__rk", row_number().over(wBeam))
+        .filter(col("__rk") <= beam)
+        .select(col("qid"), col("node"))
+      frontiers += frontier
+    }
+    val visited = frontiers.result().reduce(_.unionAll(_))
+      .dropDuplicates("qid", "node")
+    val topk = visited
+      .join(qs, "qid").join(nodes, "node")
+      .withColumn("sim", cosine(col("qv"), col("qnrm"), col("nv"), col("nnrm")))
+      .withColumn("__rk", row_number().over(wBeam))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col("node").as("neighbor"))
+    recallAgainstBruteForce(e, topk, queryPred, k)
+  }
+
   /** Recall@k of the *sample-codebook* IVF path (first-nCells centroids —
     * [[collectCentroids]]) vs exact brute force. Unlike [[ivfRecallAtK]]'s
     * KMeans codebook, every step here is SQL-replayable, so the declared

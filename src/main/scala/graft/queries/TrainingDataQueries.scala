@@ -264,6 +264,67 @@ object TrainingDataQueries {
       "Lloyd's k-means coarse quantizer) vs exact brute force, per query " +
       "vector — training AND serving SQL-replayed end to end")
 
+  /** q206 oracle: the full beam-search construction replayed — sample
+    * codebook, EVERY node's probed-cell top-m neighbor graph, the
+    * query set's IVF entry frontier (the shared `r` CTE, rnk ≤ beam),
+    * `hops` unrolled expand/rescore/re-beam rounds, top-k over the
+    * visited union, and the brute-force recall epilogue. Membership is
+    * decided on unrounded doubles at every window, matching the
+    * engine's (sim DESC, id ASC) contract. */
+  private def duckBeamRecall(nProbe: Int, m: Int, beam: Int, hops: Int,
+      k: Int): String = {
+    val p = Seq.newBuilder[String]
+    // neighbor graph over every node's probed cells
+    p += s"gp0 AS MATERIALIZED (SELECT n.vec_id AS src, n.v AS sv, n.nrm AS snrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent)"
+    p += s"gprobes AS (SELECT src, sv, snrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY csim DESC, cid) AS prn FROM gp0) WHERE prn <= $nProbe)"
+    p += "ge0 AS (SELECT p.src, p.sv, p.snrm, a.vec_id AS dst, a.v, a.nrm FROM gprobes p JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.src)"
+    p += s"ge1 AS (SELECT src, dst, ${ddot("sv", "v")}/(snrm*nrm) AS sim FROM ge0)"
+    p += s"edges AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk FROM ge1) WHERE rk <= $m)"
+    // entry frontier: the query set's IVF candidates (shared r CTE)
+    p += s"b0 AS MATERIALIZED (SELECT qid, neighbor AS node FROM r WHERE rnk <= $beam)"
+    var prev = "b0"
+    (1 to hops).foreach { i =>
+      p += s"c$i AS (SELECT DISTINCT qid, node FROM (SELECT qid, node FROM $prev " +
+        s"UNION ALL SELECT b.qid, ed.dst AS node FROM $prev b JOIN edges ed ON b.node = ed.src) t " +
+        "WHERE node <> qid)"
+      p += s"s$i AS (SELECT c.qid, c.node, ${ddot("q.v", "x.v")}/(q.nrm*x.nrm) AS sim " +
+        s"FROM c$i c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.node)"
+      p += s"b$i AS MATERIALIZED (SELECT qid, node FROM (SELECT qid, node, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rk FROM s$i) WHERE rk <= $beam)"
+      prev = s"b$i"
+    }
+    val visUnion = (0 to hops).map(i => s"SELECT qid, node FROM b$i")
+      .mkString(" UNION ALL ")
+    p += s"vis AS (SELECT DISTINCT qid, node FROM ($visUnion) u)"
+    p += s"vsc AS (SELECT v.qid, v.node, ${ddot("q.v", "x.v")}/(q.nrm*x.nrm) AS sim " +
+      "FROM vis v JOIN n q ON q.vec_id = v.qid JOIN n x ON x.vec_id = v.node)"
+    p += s"vtop AS (SELECT qid, node FROM (SELECT qid, node, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rk FROM vsc) WHERE rk <= $k)"
+    p += s"bf0 AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor, ${ddot("q.v", "c.v")}/(q.nrm*c.nrm) AS sim " +
+      "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)"
+    p += "bf AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM bf0) WHERE rnk <= $k)"
+    duckIvf + ", " + p.result().mkString(", ") +
+      s" SELECT bf.qid, CAST(count(vt.node) AS DOUBLE)/$k AS recall " +
+      "FROM bf LEFT JOIN vtop vt ON bf.qid = vt.qid AND bf.neighbor = vt.node " +
+      "GROUP BY bf.qid ORDER BY bf.qid"
+  }
+
+  // q206: beam-search ANN over a navigable neighbor graph — the
+  // recall/latency knob (HNSW's idea in one-layer set-oriented form;
+  // VERDICT r15 #7c, the third #7 option): IVF entry, `hops` rounds of
+  // expand-through-edges / rescore / keep-beam for ALL queries
+  // simultaneously, recall@5 of the visited set vs brute force.
+  private val q206 = Q(
+    (s, dir) => Similarity.beamSearchRecallAtK(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2, m = 6,
+      beam = 8, hops = 2),
+    Some(duckBeamRecall(nProbe = 2, m = 6, beam = 8, hops = 2, k = 5)),
+    "Beam-search ANN: top-m neighbor graph + IVF entry + 2 relational " +
+      "expand/rescore/re-beam hops, recall@5 of the visited set vs " +
+      "exact brute force — the graph-refined serving path whose beam " +
+      "width is the recall/latency knob")
+
   // q55: the same recall metric over the deterministic sample codebook —
   // the zero-training member of the recall family (q54 trains its cells).
   private val q55 = Q(
@@ -1522,6 +1583,7 @@ object TrainingDataQueries {
     "q29_ann_ivf" -> q29,
     "q54_ann_recall" -> q54,
     "q55_ann_recall_sample" -> q55,
+    "q206_beam_search" -> q206,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

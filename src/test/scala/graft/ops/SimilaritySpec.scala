@@ -237,6 +237,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(mean >= 0.25, s"mean recall@5 = $mean")
   }
 
+  test("beamSearchRecallAtK: hops=0+beam=k degenerates to plain IVF recall; graph hops only improve; deterministic") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head.getDouble(0)
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // zero hops with beam = k visits exactly the IVF top-k candidates:
+    // the readout IS the plain sample-codebook recall, bit for bit
+    val degenerate = Similarity.beamSearchRecallAtK(corpus, pred, k = 5,
+      nCells = 8, nProbe = 2, m = 4, beam = 5, hops = 0)
+    val plain = Similarity.ivfRecallAtKSample(corpus, pred, k = 5,
+      nCells = 8, nProbe = 2)
+    assert(byQ(degenerate) == byQ(plain))
+    // a visited SUPERSET can only improve agreement with the true
+    // top-k (a displacing node has higher exact sim, so it is itself a
+    // true top-k member): recall climbs with beam/hops — the knob
+    val refined = Similarity.beamSearchRecallAtK(corpus, pred, k = 5,
+      nCells = 8, nProbe = 2, m = 4, beam = 8, hops = 2)
+    assert(mean(refined) >= mean(plain))
+    // deterministic call-to-call
+    assert(byQ(refined) == byQ(Similarity.beamSearchRecallAtK(corpus, pred,
+      k = 5, nCells = 8, nProbe = 2, m = 4, beam = 8, hops = 2)))
+  }
+
   test("durable index round trip: served results equal the in-session paths") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/index-${System.nanoTime()}"
