@@ -101,6 +101,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     * costs m lookups, not a d-dot; the cell-pruned composition is IVF-PQ). */
   private val intendedNestedLoop = Set("q17_knn_cosine", "q04_watermark",
     "q55_ann_recall_sample", "q71_pq_topk",
+    // q206's SEARCH path is all equi-joins (graph build probe join,
+    // per-hop frontier×edges, rescore joins); the one intended NLJ is
+    // the same q17 brute-force cross join q55 embeds — the recall
+    // GROUND TRUTH the readout is measured against, not the serving
+    // path
+    "q206_beam_search",
     // q80 joins a broadcast 1-row aggregate (the corpus size N) — the
     // q04 watermark shape: linear, not quadratic; q81's grid likewise
     // cross-joins the broadcast 1-row min/max span; q95 crosses the
@@ -150,6 +156,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name degraded to a nested-loop join")
     }
+  }
+
+  test("q206: the beam-search serving path is all equi-joins — exactly ONE NLJ, the brute-force ground truth") {
+    val plan = planOf("q206_beam_search")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"q206 expected exactly the one intended brute-force " +
+      s"NLJ, found $nlj")
   }
 
   test("q107: no mid-plan range exchange (the serving sort stays out of the fusion)") {
