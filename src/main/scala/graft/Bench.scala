@@ -115,6 +115,14 @@ object Bench {
     // per-surface best mechanism keeps it out of full-surface promotion.
     val onlySet: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo'd name would otherwise be silently filtered out — the
+    // intended requery never runs and the merge quietly keeps the
+    // contended number; unknown names must abort the partial run
+    onlySet.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlySet.forall(_(n)) }
 

@@ -50,6 +50,11 @@ object Versioned {
 
   private val ManifestName = """v(\d{7})\.manifest""".r
 
+  private def changesDir(path: String) = new Path(s"$path/_changes")
+
+  private def changeLogPath(path: String, v: Long) =
+    new Path(changesDir(path), f"v$v%07d")
+
   /** All committed versions, ascending; empty for a fresh path. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
@@ -231,6 +236,28 @@ object Versioned {
     val survivors = cur.join(changedKeys, keyCols, "left_anti")
     val upserts = chg.filter(col(opCol).isin("insert", "update"))
       .select(cur.columns.map(col).toSeq: _*)
+    // WRITE-SIDE CHANGE LOG (the CDF materialization real lakehouse
+    // formats do at commit time): the TRUE row-level diff of this merge
+    // — op relabeled against the pinned base (an "insert" on a present
+    // key is an update; an "update" on an absent key is an insert; a
+    // no-op upsert or a delete of an absent key emits NOTHING), with
+    // changed_cols from the before-image — restricted to the touched
+    // keys, so it costs one changes-sized join at write time and makes
+    // [[changesSince]] O(changes) per version instead of two snapshot
+    // scans. Landed under `_changes/v<N>` by atomic directory rename
+    // AFTER the manifest publish wins: a crash between publish and
+    // rename leaves a committed version without a log, which
+    // changesSince covers by falling back to the snapshot diff.
+    val valueCols = cur.columns.filterNot(keyCols.contains).toSeq
+    val f = fs(spark, path)
+    val tmpLog = new Path(changesDir(path), s".tmp-${java.util.UUID.randomUUID}")
+    if (valueCols.nonEmpty) {
+      val touchedBefore = cur.join(changedKeys, keyCols, "left_semi")
+      val logRows = graft.ops.Cdc
+        .snapshotDiff(touchedBefore, upserts, keyCols, valueCols)
+        .join(upserts, keyCols, "left") // deletes carry NULL after-images
+      logRows.write.mode("overwrite").parquet(tmpLog.toString)
+    }
     // coalesceTo: copy-on-write targets dimension-SIZED tables (see
     // docstring), where the anti-join's full shuffle-partition fan-out
     // writes mostly-tiny files every merge; callers that know the
@@ -240,8 +267,12 @@ object Versioned {
     // snapshot, so it must publish as vBase+1 or abort — a plain
     // optimistic retry here would silently discard any commit that
     // landed between the read and the publish (lost update)
-    commit(coalesceTo.map(next.coalesce).getOrElse(next), path, "overwrite",
-      expectedPrev = Some(vBase))
+    val v =
+      try commit(coalesceTo.map(next.coalesce).getOrElse(next), path,
+        "overwrite", expectedPrev = Some(vBase))
+      catch { case e: Throwable => f.delete(tmpLog, true); throw e }
+    if (valueCols.nonEmpty) f.rename(tmpLog, changeLogPath(path, v))
+    v
   }
 
   /** GDPR / takedown delete propagation — the right-to-be-forgotten
@@ -371,30 +402,91 @@ object Versioned {
     * Returns None when nothing is newer than the cursor; otherwise the
     * feed plus the new cursor (the max version consumed).
     *
-    * Cost: two manifest-pruned snapshot reads + one keyed join PER
-    * CONSUMED VERSION — a consumer that keeps up pays per commit,
-    * never per lake. A replayed upstream merge that changed nothing
-    * ([[applyChanges]] is content-idempotent: delete-then-upsert of
-    * the same changeset reproduces the snapshot bit-for-bit) shows up
-    * here as an EMPTY diff — which is what makes a crash-replaying
-    * streaming producer exactly-once at the feed level with no
-    * markers (q205). */
+    * Cost: versions committed by [[applyChanges]] read their
+    * write-side `_changes/v<N>` log — ONE changes-sized parquet scan
+    * per consumed version, O(changes) no matter how big the lake is
+    * (the fact-scale asymptote real CDF gives). Versions without a log
+    * (plain [[commit]]s, pre-log history, a crash between publish and
+    * log rename) fall back to the legacy derivation: two
+    * manifest-pruned snapshot reads + one keyed join for that version.
+    * Log and diff are provably equal (VersionedSpec's equality
+    * property) because the log is the true relabeled diff, not the raw
+    * submitted changeset. A replayed upstream merge that changed
+    * nothing ([[applyChanges]] is content-idempotent:
+    * delete-then-upsert of the same changeset reproduces the snapshot
+    * bit-for-bit) shows up here as an EMPTY feed slice — which is what
+    * makes a crash-replaying streaming producer exactly-once at the
+    * feed level with no markers (q205).
+    *
+    * Cursor safety (fail-loud, never silently re-emit): a cursor ABOVE
+    * the latest version means the caller's feed state belongs to some
+    * other lake (e.g. a polluted landing dir) — thrown; a NON-ZERO
+    * cursor that is no longer committed means [[vacuum]] outran the
+    * consumer and the feed between cursor and the retention horizon is
+    * unrecoverable — thrown (the silent alternative would diff against
+    * an empty before-image and re-emit the whole table as inserts,
+    * double-counting every additive consumer). The empty genesis
+    * before-image is reserved for `sinceV = 0`, the fresh-consumer
+    * bootstrap. */
   def changesSince(spark: SparkSession, path: String, sinceV: Long,
       keyCols: Seq[String], valueCols: Seq[String]): Option[(DataFrame, Long)] = {
     import org.apache.spark.sql.functions._
-    val vs = versions(spark, path).filter(_ > sinceV).sorted
+    val all = versions(spark, path) // listed ONCE (ascending)
+    if (all.isEmpty) return None
+    if (sinceV > all.last) throw new IllegalStateException(
+      s"changesSince at $path: cursor v$sinceV exceeds latest committed " +
+        s"v${all.last} — the cursor was derived from a different lake " +
+        "(polluted feed landing?); refusing to drain")
+    val vs = all.filter(_ > sinceV)
     if (vs.isEmpty) return None
-    val committed = versions(spark, path).toSet
+    val committed = all.toSet
+    if (sinceV > 0 && !committed(sinceV)) throw new IllegalStateException(
+      s"changesSince at $path: cursor v$sinceV predates retention " +
+        s"(earliest retained is v${all.head}) — the feed between them was " +
+        "vacuumed and is unrecoverable; re-seed the consumer from a " +
+        "snapshot instead of silently re-emitting the table as inserts")
     def snap(v: Long): DataFrame =
-      if (committed(v)) readAsOf(spark, path, Some(v))
+      if (v > 0) readAsOf(spark, path, Some(v))
       else readAsOf(spark, path, Some(vs.head)).filter(lit(false)) // genesis
     val feed = (sinceV +: vs.init).zip(vs).map { case (a, b) =>
-      val after = snap(b).select((keyCols ++ valueCols).map(col): _*)
-      graft.ops.Cdc.snapshotDiff(snap(a), snap(b), keyCols, valueCols)
-        .join(after, keyCols, "left") // deletes carry NULL after-images
-        .withColumn("_commit_version", lit(b))
+      val slice = (if (a == b - 1) readChangeLog(spark, path, b, keyCols,
+        valueCols)
+      else None).getOrElse {
+        // legacy / genesis-gap derivation — bind snap(b) ONCE for both
+        // the diff and the after-image projection
+        val sb = snap(b)
+        graft.ops.Cdc.snapshotDiff(snap(a), sb, keyCols, valueCols)
+          .join(sb.select((keyCols ++ valueCols).map(col): _*),
+            keyCols, "left") // deletes carry NULL after-images
+      }
+      slice.withColumn("_commit_version", lit(b))
     }.reduce(_.unionByName(_))
     Some((feed, vs.max))
+  }
+
+  /** The write-side change log for version `v`, projected to the
+    * requested value columns, or None when no usable log exists. The
+    * stored log diffs ALL data columns; a caller asking for a SUBSET
+    * must see exactly what a subset diff would produce, so updates are
+    * re-scoped: changed_cols intersects down to the requested columns
+    * and updates whose every changed column falls outside the subset
+    * vanish (inserts/deletes always survive — they exist regardless of
+    * which columns you compare). */
+  private def readChangeLog(spark: SparkSession, path: String, v: Long,
+      keyCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val dir = changeLogPath(path, v)
+    if (!fs(spark, path).exists(dir)) return None
+    val log = spark.read.parquet(dir.toString)
+    val have = log.columns.toSet
+    val need = keyCols ++ valueCols ++ Seq("change", "changed_cols")
+    if (!need.forall(have)) return None // schema drift → legacy fallback
+    Some(log
+      .withColumn("changed_cols",
+        array_intersect(col("changed_cols"), typedLit(valueCols)))
+      .filter(col("change") =!= "update" || size(col("changed_cols")) > 0)
+      .select((keyCols.map(col) ++ Seq(col("change"), col("changed_cols")) ++
+        valueCols.map(col)): _*))
   }
 
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
@@ -441,6 +533,9 @@ object Versioned {
         if (!left) f.delete(commitDir.getPath, true)
       }
     }
-    dropped.foreach(v => f.delete(manifestPath(path, v), false))
+    dropped.foreach { v =>
+      f.delete(manifestPath(path, v), false)
+      f.delete(changeLogPath(path, v), true) // its change log goes with it
+    }
   }
 }

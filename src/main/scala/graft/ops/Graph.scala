@@ -291,11 +291,18 @@ object Graph {
     * unweighted index: bucketed and bucket-sorted by src, one file per
     * bucket, zero edge-side exchanges per iteration.
     *
-    * Overflow bound: the update computes u·w before the divide, so
-    * alphaNum·Σ_in(u·w div sw) must stay under 2^63 — safe while
-    * max edge weight · |V| · SCALE < 2^63/100, i.e. w up to ~10^5 on a
-    * 10^6-node graph (document per deployment; lineitem counts are
-    * single digits). */
+    * Overflow bound — ENFORCED AT BUILD, not documented away: the
+    * serve-time update computes u·w before the divide and then
+    * alphaNum·Σ_in(u·w div sw); with mass conservation u never exceeds
+    * total mass |V|·SCALE, so every intermediate is bounded by
+    * max(w_max, 100) · |V| · SCALE. The build aggregates max(w) and
+    * |V| (one metadata-sized pass over the relation it is writing
+    * anyway) and REFUSES to write an index whose bound can wrap 2^63 —
+    * silent wraparound would hash-diverge only on data big enough that
+    * no oracle catches it (e.g. w up to ~10^5 is safe on a 10^6-node
+    * graph; lineitem counts are single digits). Negative weights are
+    * rejected outright (they break both the probability semantics and
+    * the bound analysis). */
   def writeWeightedEdgeIndex(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -307,6 +314,19 @@ object Graph {
     val rel = e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("w"), lit(Long.MaxValue).as("sw")))
+      .localCheckpoint() // stats pass + bucketed write share one compute
+    val st = rel.agg(max(col("w")).as("maxW"), min(col("w")).as("minW"),
+      countDistinct(col("src")).as("nv")).head()
+    if (!st.isNullAt(0)) { // empty edge set has nothing to overflow
+      val (maxW, minW, nv) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      require(minW >= 0L,
+        s"writeWeightedEdgeIndex: negative edge weight $minW — weights are walk probabilities")
+      val bound = BigInt(maxW).max(BigInt(100)) * BigInt(nv) * BigInt(SCALE)
+      require(bound < BigInt(2).pow(63),
+        s"writeWeightedEdgeIndex: max(w)=$maxW on a $nv-node graph can " +
+          s"overflow the 64-bit fixed-point update (bound $bound >= 2^63); " +
+          "rescale the weights (only w/sw ratios matter to the walk)")
+    }
     graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
       tableName, "src", buckets, Some("src"))
   }

@@ -515,7 +515,16 @@ object StreamSink {
     *    the same feed rows and overwrites its own landing.
     * Every crash point therefore leaves the feed equal to what a
     * single clean run produces — the landing read rule, carried over
-    * versioned commits. */
+    * versioned commits.
+    *
+    * OWNERSHIP CONTRACT: `feedPath` must be EXCLUSIVELY owned by this
+    * pipeline — its landing ids ARE `lakePath` version numbers, so a
+    * feed dir that already holds unrelated landings (or is folded by a
+    * [[graft.io.Landings]] caller with different id semantics) would
+    * skip or freeze the feed. The failure is loud, not silent:
+    * [[graft.io.Versioned.changesSince]] throws when the derived
+    * cursor exceeds the lake's latest committed version (foreign ids)
+    * or predates retention (vacuum outran the consumer). */
   def toCdcPipeline(changes: DataFrame, lakePath: String, feedPath: String,
       checkpoint: String, keyCols: Seq[String], valueCols: Seq[String],
       opCol: String = "change",

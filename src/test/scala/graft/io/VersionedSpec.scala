@@ -299,6 +299,91 @@ class VersionedSpec extends AnyFunSuite with SparkTest {
     assert(feed.count() == 0L)
   }
 
+  test("write-side change log ≡ legacy snapshot diff (ops relabeled, no-ops suppressed)") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "w"), p) // v1 — plain commit, NO log
+    // a changeset exercising every relabel/suppress rule: insert on a
+    // present key (→update), update on an absent key (→insert), no-op
+    // upsert (→nothing), delete of an absent key (→nothing), real delete
+    val chg = Seq(
+      (1L, "A", 10L, "insert"), (5L, "e", 50L, "update"),
+      (2L, "b", 20L, "update"), (9L, "x", 0L, "delete"),
+      (3L, "c", 30L, "delete")).toDF("k", "v", "w", "change")
+    val v2 = Versioned.applyChanges(spark, p, chg, Seq("k"))
+    // the log dir exists for the merge commit
+    val logDir = java.nio.file.Paths.get(p, "_changes", f"v$v2%07d")
+    assert(java.nio.file.Files.exists(logDir))
+    def feedRows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k", $"change", $"changed_cols", $"v", $"w", $"_commit_version")
+        .as[(Long, String, Seq[String], Option[String], Option[Long], Long)]
+        .collect().toSet
+    val (logFeed, _) = Versioned.changesSince(spark, p, 1L, Seq("k"), Seq("v", "w")).get
+    // force the legacy path by hiding the log, then compare exactly
+    val hidden = java.nio.file.Paths.get(p, "_changes", "hidden")
+    java.nio.file.Files.move(logDir, hidden)
+    val (diffFeed, _) = Versioned.changesSince(spark, p, 1L, Seq("k"), Seq("v", "w")).get
+    java.nio.file.Files.move(hidden, logDir)
+    assert(feedRows(logFeed) == feedRows(diffFeed))
+    assert(feedRows(logFeed) == Set(
+      (1L, "update", Seq("v"), Some("A"), Some(10L), v2),
+      (5L, "insert", Seq(), Some("e"), Some(50L), v2),
+      (3L, "delete", Seq(), None, None, v2)))
+  }
+
+  test("change log projected to a SUBSET of value columns matches the subset diff") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w"), p)
+    // row 1 changes only w (outside the subset), row 2 changes v
+    Versioned.applyChanges(spark, p, Seq(
+      (1L, "a", 11L, "update"), (2L, "B", 20L, "update"))
+      .toDF("k", "v", "w", "change"), Seq("k"))
+    val (feed, _) = Versioned.changesSince(spark, p, 1L, Seq("k"), Seq("v")).get
+    val got = feed.select($"k", $"change", $"changed_cols", $"v")
+      .as[(Long, String, Seq[String], String)].collect().toSet
+    // the w-only update vanishes — exactly what diffing on v alone yields
+    assert(got == Set((2L, "update", Seq("v"), "B")))
+  }
+
+  test("changesSince consumer reads the log, never the snapshot (O(changes) proof)") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p)
+    Versioned.applyChanges(spark, p,
+      Seq((1L, "A", "update")).toDF("k", "v", "change"), Seq("k"))
+    val (feed, _) = Versioned.changesSince(spark, p, 1L, Seq("k"), Seq("v")).get
+    val scanned = feed.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scanned.exists(_.contains("_changes")),
+      s"expected a _changes scan, got:\n${scanned.mkString("\n")}")
+    assert(!scanned.exists(_.contains("/data/")),
+      s"consumer plan scans snapshot data files:\n${scanned.mkString("\n")}")
+  }
+
+  test("changesSince fails loudly on a vacuumed cursor and on a foreign cursor") {
+    val p = freshPath()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), p) // v1
+    Versioned.applyChanges(spark, p,
+      Seq((2L, "b", "insert")).toDF("k", "v", "change"), Seq("k")) // v2
+    Versioned.applyChanges(spark, p,
+      Seq((3L, "c", "insert")).toDF("k", "v", "change"), Seq("k")) // v3
+    Versioned.vacuum(spark, p, retainVersions = 1) // only v3 survives
+    // cursor v1 predates retention → loud failure, never genesis re-emit
+    val e1 = intercept[IllegalStateException] {
+      Versioned.changesSince(spark, p, 1L, Seq("k"), Seq("v"))
+    }
+    assert(e1.getMessage.contains("predates retention"))
+    // cursor above latest → wrong lake / polluted feed
+    val e2 = intercept[IllegalStateException] {
+      Versioned.changesSince(spark, p, 99L, Seq("k"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("exceeds latest"))
+    // fresh consumer (cursor 0) still bootstraps from genesis
+    val (feed, cur) = Versioned.changesSince(spark, p, 0L, Seq("k"), Seq("v")).get
+    assert(cur == 3L && feed.filter($"change" =!= "insert").count() == 0L)
+    // vacuum reclaimed the dropped versions' change logs with them
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_changes", f"v${2L}%07d")))
+  }
+
   test("cdcMirror rebuilt from the feed alone equals the latest snapshot") {
     val p = freshPath()
     val feedDir = freshPath() + "-feed"

@@ -140,6 +140,25 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("writeWeightedEdgeIndex refuses weights that can wrap the 64-bit fixed-point update") {
+    // bound = max(w,100) · |V| · SCALE ≥ 2^63 must trip at build time:
+    // two nodes, one edge with w ≈ 2^33 → 2^33 · 2 · 10^9 > 2^63
+    val huge = Seq((1L, 2L, 1L << 33)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.writeWeightedEdgeIndex(huge, "src", "dst", "w", "wpr_overflow",
+        buckets = 2)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    assert(!spark.catalog.tableExists("wpr_overflow")) // nothing written
+    // negative weights rejected outright
+    val neg = Seq((1L, 2L, -3L)).toDF("src", "dst", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.writeWeightedEdgeIndex(neg, "src", "dst", "w", "wpr_neg",
+        buckets = 2)
+    }
+    assert(e2.getMessage.contains("negative"), e2.getMessage)
+  }
+
   test("pageRankFromIndex iteration joins shuffle ONLY the rank side") {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
