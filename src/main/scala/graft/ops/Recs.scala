@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Co-occurrence recommendation mining ("frequently bought together") —
@@ -82,6 +82,59 @@ object Recs {
       maxBasket: Int = 10000): DataFrame =
     coVisitationPairs(items, basketCol, itemCol, maxBasket)
       .select(col("part"), col("rec"))
+
+  /** DURABLE co-visitation index — the mine-once / serve-many form of
+    * [[coVisitation]] (the q105/q183 build-at-ingest convention): the
+    * symmetric (part, rec, cooc) count matrix lands as a part-bucketed,
+    * bucket-sorted catalog table, so every later serve
+    * ([[serveCoVisitTopK]]) is a placed scan + the bounded TopKPerGroup
+    * operator with ZERO exchanges — the r16 A/B proved the in-session
+    * mine's three exchanges are volume-minimal, which makes prepaying
+    * them the only remaining lever (VERDICT r16 #2). At 100 TB the
+    * index is ingest-maintained state like the shingle/IVF indexes;
+    * recommendation queries never touch the basket log. */
+  def writeCoVisitIndex(items: DataFrame, basketCol: String, itemCol: String,
+      tableName: String, buckets: Int, maxBasket: Int = 10000): Unit = {
+    require(maxBasket <= 20000,
+      s"maxBasket $maxBasket exceeds the pair kernel's 20000-item bound")
+    val sym = coVisitationPairs(items, basketCol, itemCol, maxBasket)
+    graft.io.Lake.writeBucketed(sym.repartition(buckets, col("part")),
+      tableName, "part", buckets, Some("part"))
+  }
+
+  /** Top-`k` neighbors per item from a [[writeCoVisitIndex]] table:
+    * the scan arrives hash-placed on `part` (bucketed), which satisfies
+    * TopKPerGroup's required distribution outright — no exchange, no
+    * window sort, output bounded by items·k (spec-asserted plan
+    * shape). Same result set as [[coVisitation]] over the mined data
+    * (shares q184's oracle as q207). */
+  def serveCoVisitTopK(spark: SparkSession, tableName: String,
+      k: Int): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(spark.table(tableName),
+      Seq("part"), Seq(col("cooc").desc, col("rec").asc), k)
+
+  /** Incremental maintenance: merge the pair counts of NEW COMPLETE
+    * baskets into the index (count matrices are additive — the same
+    * fact [[graft.streaming.CoVisitStream]]'s state machine exploits,
+    * so its per-batch pair emissions can drain here). The merge is
+    * read-modify-write like [[graft.io.Versioned.applyChanges]]:
+    * current counts + delta counts re-aggregate and swap-publish as
+    * the new bucketed table; the merged frame materializes
+    * (localCheckpoint) BEFORE the rewrite drops the table it reads.
+    * Contract: a basket id must not span calls (a re-sent basket would
+    * double-count its pairs — CoVisitStream's state handles mid-basket
+    * growth upstream and emits each pair exactly once). */
+  def appendToCoVisitIndex(items: DataFrame, tableName: String,
+      basketCol: String, itemCol: String, buckets: Int,
+      maxBasket: Int = 10000): Unit = {
+    val spark = items.sparkSession
+    val delta = coVisitationPairs(items, basketCol, itemCol, maxBasket)
+    val merged = spark.table(tableName).unionByName(delta)
+      .groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc"))
+      .localCheckpoint()
+    graft.io.Lake.writeBucketed(merged.repartition(buckets, col("part")),
+      tableName, "part", buckets, Some("part"))
+  }
 
   private def coVisitationPairs(items: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {

@@ -470,6 +470,113 @@ object Similarity {
     recallAgainstBruteForce(e, topk, queryPred, k)
   }
 
+  /** DURABLE navigable-neighbor-graph index — [[beamSearchRecallAtK]]'s
+    * build-once state (VERDICT r16 #3, the q56/q75 convention): the r16
+    * in-session path rebuilt the top-m graph per session
+    * (Materialize.cachedSingleton); production builds it ONCE at ingest.
+    * Writes two placed relations:
+    *  - the IVF index at `path` ([[writeIndex]]'s layout: assignment
+    *    partitioned by cell + codebook sidecar) — the ENTRY structure;
+    *  - the top-m neighbor graph as a src-bucketed, bucket-sorted
+    *    catalog table — the HOP structure, exactly the q105 PageRank
+    *    edge-relation shape, so each hop's frontier×edges equi-join
+    *    leaves the graph side unshuffled (spec-asserted).
+    * Same deterministic sample codebook and the same graph rows as the
+    * in-session build (bit-identical serve, SimilaritySpec). */
+  def writeBeamGraphIndex(emb: DataFrame, path: String, graphTable: String,
+      nCells: Int = 0, nProbe: Int = 2, m: Int = 6, buckets: Int = 8): Unit = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    writeIndexWith(e, cents, path)
+    val assigned = assignCells(e, cents).drop("best_sim")
+    val allQ = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val edges = ivfProbeJoin(assigned, allQ, cents, m, nProbe,
+      probeBroadcast = false, pruneScan = false, sorted = false)
+      .select(col("qid").as("src"), col("neighbor").as("dst"))
+    graft.io.Lake.writeBucketed(edges.repartition(buckets, col("src")),
+      graphTable, "src", buckets, Some("src"))
+  }
+
+  /** Beam-search ANN for EXTERNAL query vectors served from the durable
+    * graph ([[writeBeamGraphIndex]]) — the [[ivfTopKFromIndexFor]] shape
+    * upgraded with graph hops: IVF entry off the stored codebook
+    * (partition-pruned to the probed cell directories), then `hops`
+    * relational expand/rescore/re-beam rounds where the whole query
+    * set's frontier advances through the PLACED edge table in one
+    * equi-join per hop. Returns (qid, rnk, neighbor, sim) top-k per
+    * query. Corpus rows whose vec_id equals a query id are excluded
+    * (the "neighbors of this document" contract). */
+  def beamTopKFromIndexFor(spark: SparkSession, path: String,
+      graphTable: String, queries: DataFrame, k: Int, nProbe: Int = 2,
+      beam: Int = 8, hops: Int = 2): DataFrame = {
+    val q = withNorm(queries).filter(col("nrm") > 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    beamFromIndexCore(spark, path, graphTable, q, k, nProbe, beam, hops)
+  }
+
+  /** [[beamSearchRecallAtK]] replayed from the durable graph index: same
+    * query set (index members matching `queryPred`), same entry, same
+    * hops, same brute-force ground truth — the recall row matches the
+    * in-session number bit-for-bit (SimilaritySpec), proving the lake
+    * graph serves exactly what the session build served. */
+  def beamSearchRecallAtKFromIndex(spark: SparkSession, path: String,
+      graphTable: String, queryPred: Column, k: Int, nProbe: Int = 2,
+      beam: Int = 8, hops: Int = 2): DataFrame = {
+    val assigned = readAssignment(spark, path)
+    val e = assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val topk = beamFromIndexCore(spark, path, graphTable, q, k, nProbe,
+      beam, hops).select(col("qid"), col("neighbor"))
+    recallAgainstBruteForce(e, topk, queryPred, k)
+  }
+
+  /** Shared serve core over a prepared (qid, qv, qnrm) query frame. */
+  private def beamFromIndexCore(spark: SparkSession, path: String,
+      graphTable: String, q: DataFrame, k: Int, nProbe: Int, beam: Int,
+      hops: Int): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
+    require(hops >= 0, s"need hops >= 0, got $hops")
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyTopK(spark)
+    val assigned = readAssignment(spark, path)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val nodes = assigned.select(col("vec_id").as("node"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    val edges = spark.table(graphTable)
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("node"))
+    var frontier = ivfProbeJoin(assigned, q, cents, beam, nProbe,
+      probeBroadcast = true, pruneScan = true, sorted = false)
+      .select(col("qid"), col("neighbor").as("node"))
+    val frontiers = Seq.newBuilder[DataFrame]
+    frontiers += frontier
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionAll(frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("qid"), col("dst").as("node")))
+        .filter(col("node") =!= col("qid"))
+        .dropDuplicates("qid", "node")
+      frontier = cand
+        .join(q, "qid").join(nodes, "node")
+        .withColumn("sim", cosine(col("qv"), col("qnrm"), col("nv"), col("nnrm")))
+        .withColumn("__rk", row_number().over(wBeam))
+        .filter(col("__rk") <= beam)
+        .select(col("qid"), col("node"))
+      frontiers += frontier
+    }
+    val visited = frontiers.result().reduce(_.unionAll(_))
+      .dropDuplicates("qid", "node")
+    visited
+      .join(q, "qid").join(nodes, "node")
+      .withColumn("sim", cosine(col("qv"), col("qnrm"), col("nv"), col("nnrm")))
+      .withColumn("__rk", row_number().over(wBeam))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col("__rk").cast("long").as("rnk"),
+        col("node").as("neighbor"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Recall@k of the *sample-codebook* IVF path (first-nCells centroids —
     * [[collectCentroids]]) vs exact brute force. Unlike [[ivfRecallAtK]]'s
     * KMeans codebook, every step here is SQL-replayable, so the declared

@@ -61,6 +61,13 @@ object TopKPerGroup {
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil
       else ClusteredDistribution(group) :: Nil
+    // the operator filters rows within partitions, never moves them —
+    // propagating the child's partitioning lets EnsureRequirements see
+    // a bucketed scan THROUGH the partial phase, so serving top-k off a
+    // group-bucketed table is exchange-free (the q207 serve path)
+    override def outputPartitioning:
+        org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      child.outputPartitioning
 
     override protected def doExecute(): RDD[InternalRow] = {
       val groupExprs = group

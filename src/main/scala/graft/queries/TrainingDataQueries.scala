@@ -325,6 +325,36 @@ object TrainingDataQueries {
       "exact brute force — the graph-refined serving path whose beam " +
       "width is the recall/latency knob")
 
+  // q208: q206's recall SERVED from the durable beam-graph index
+  // (VERDICT r16 #3): the top-m neighbor graph — r16's per-session
+  // cachedSingleton — becomes build-once lake state (src-bucketed
+  // catalog table + the IVF entry index at a scratch path), the
+  // q56/q75 convention applied to the hop structure. First-touch
+  // build keyed by sf dir with a source fingerprint (q84 pattern);
+  // the serve replays entry + hops + readout off the placed relations
+  // and its recall rows equal q206's bit-for-bit (shared oracle).
+  private val q208 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q208-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = "beam_graph_q208_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/embeddings.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp) ||
+          !s.catalog.tableExists(tbl)) {
+        Similarity.writeBeamGraphIndex(table(s, dir, "embeddings"), scratch,
+          tbl, nCells = 16, nProbe = 2, m = 6)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
+      Similarity.beamSearchRecallAtKFromIndex(s, scratch, tbl,
+        col("vec_id") % 10 === 0, k = 5, nProbe = 2, beam = 8, hops = 2)
+    },
+    q206.oracle,
+    "Beam-search ANN served from the durable graph index: IVF entry " +
+      "off the stored codebook (partition-pruned), hops over the " +
+      "src-bucketed lake graph — same recall rows as q206's in-session " +
+      "build, with the graph build prepaid at ingest")
+
   // q55: the same recall metric over the deterministic sample codebook —
   // the zero-training member of the recall family (q54 trains its cells).
   private val q55 = Q(
@@ -1584,6 +1614,7 @@ object TrainingDataQueries {
     "q54_ann_recall" -> q54,
     "q55_ann_recall_sample" -> q55,
     "q206_beam_search" -> q206,
+    "q208_beam_serve" -> q208,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

@@ -262,6 +262,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       k = 5, nCells = 8, nProbe = 2, m = 4, beam = 8, hops = 2)))
   }
 
+  test("durable beam-graph index: served recall equals the in-session build bit-for-bit; graph side placed") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val dir = s"/tmp/graft-test-sim/beam-${System.nanoTime()}"
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      Similarity.writeBeamGraphIndex(corpus, dir, "beam_graph_spec",
+        nCells = 8, nProbe = 2, m = 4, buckets = 4)
+      val served = Similarity.beamSearchRecallAtKFromIndex(spark, dir,
+        "beam_graph_spec", pred, k = 5, nProbe = 2, beam = 8, hops = 2)
+      val inSession = Similarity.beamSearchRecallAtK(corpus, pred, k = 5,
+        nCells = 8, nProbe = 2, m = 4, beam = 8, hops = 2)
+      assert(byQ(served) == byQ(inSession) && byQ(served).nonEmpty)
+      // EXTERNAL query vectors (the ivfTopKFromIndexFor contract): raw
+      // (vec_id, embedding) rows serve identically to index members
+      val ext = Similarity.beamTopKFromIndexFor(spark, dir,
+        "beam_graph_spec", corpus.filter(pred), k = 5, nProbe = 2,
+        beam = 8, hops = 2)
+      val extRows = ext.collect().map(_.toSeq).toSeq
+      assert(extRows.nonEmpty &&
+        extRows == ext.collect().map(_.toSeq).toSeq) // deterministic
+      assert(ext.groupBy(col("qid")).count()
+        .agg(max(col("count"))).head.getLong(0) <= 5L)
+      // hop-join shape: the placed edge table never moves — only the
+      // frontier side exchanges (the q105 PageRank-relation argument)
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val edges = spark.table("beam_graph_spec")
+        val frontier = corpus.filter(pred).select(col("vec_id").as("node"))
+        val j = frontier.join(edges, frontier("node") === edges("src"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"hop join must read the placed bucketed graph; plan was:\n$plan")
+        assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+          s"only the frontier side may exchange; plan was:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    } finally spark.sql("DROP TABLE IF EXISTS beam_graph_spec")
+  }
+
   test("durable index round trip: served results equal the in-session paths") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/index-${System.nanoTime()}"

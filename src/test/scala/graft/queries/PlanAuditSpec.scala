@@ -90,7 +90,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // plan-build (the q60 + q194 composition); q198 runs the Lloyd's
     // fixed point (R collect rounds + a final localCheckpoint — the
     // q195 shape) at plan-build
-    "q197_stream_ivf", "q198_kmeans")
+    "q197_stream_ivf", "q198_kmeans",
+    // r17: q207/q190 first-touch-build their bucketed co-visitation
+    // count tables (catalog writes — the q105 shape; serve-plan
+    // properties asserted in RecsSpec); q208 first-touch-builds the
+    // durable beam-graph index (catalog + path writes) and has its own
+    // dedicated NLJ test below
+    "q207_covisit_serve", "q190_rec_eval", "q208_beam_serve")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -163,6 +169,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(nlj == 1, s"q206 expected exactly the one intended brute-force " +
       s"NLJ, found $nlj")
+  }
+
+  test("q208: beam serve from the lake graph — exactly ONE NLJ (the recall ground truth), bucketed graph scan") {
+    // the first call builds the index (eager); the audited plan is the
+    // steady-state serve
+    Queries.all("q208_beam_serve").fn(spark, sf0001).count()
+    val plan = planOf("q208_beam_serve")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"q208 expected exactly the one intended brute-force " +
+      s"NLJ, found $nlj")
+    assert(!plan.contains("CartesianProduct"), "q208 plans a cartesian product")
+    assert(plan.contains("Bucketed: true"),
+      "q208's hop joins must read the placed bucketed graph table")
   }
 
   test("q107: no mid-plan range exchange (the serving sort stays out of the fusion)") {
