@@ -136,7 +136,13 @@ object Recs {
       tableName, "part", buckets, Some("part"))
   }
 
-  private def coVisitationPairs(items: DataFrame, basketCol: String,
+  /** Symmetric (part, rec, cooc) pair counts of one corpus slice — the
+    * shared delta projection behind the batch miner, the durable index
+    * build/append, and the exactly-once streaming maintainer
+    * ([[graft.streaming.StreamSink.toCoVisitPairs]]). Counts are
+    * distributive sums over baskets, so any basket-complete partition of
+    * the corpus sums back to the whole-corpus matrix. */
+  private[graft] def coVisitationPairs(items: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
     graft.functions.CatalystExpressions.register(items.sparkSession)
     val baskets = items

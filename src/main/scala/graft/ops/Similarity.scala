@@ -496,6 +496,127 @@ object Similarity {
       .select(col("qid").as("src"), col("neighbor").as("dst"))
     graft.io.Lake.writeBucketed(edges.repartition(buckets, col("src")),
       graphTable, "src", buckets, Some("src"))
+    writeGraphMetaSidecar(emb.sparkSession, path, m, nProbe, buckets)
+  }
+
+  /** Build parameters the incremental maintainer must replay exactly —
+    * a plain sidecar file next to the codebook (same publish-by-rename
+    * protocol): `m \t nProbe \t buckets`. An append with different
+    * parameters would silently break the append ≡ rebuild identity, so
+    * they are index state, not caller arguments. */
+  private def writeGraphMetaSidecar(spark: SparkSession, path: String,
+      m: Int, nProbe: Int, buckets: Int): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/graphmeta.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/graphmeta.tsv.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"$m\t$nProbe\t$buckets\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish graph meta at $dst")
+  }
+
+  private def readGraphMeta(spark: SparkSession,
+      path: String): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/graphmeta.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no graph meta at $p — the index predates " +
+      "incremental maintenance; rebuild with writeBeamGraphIndex")
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val Array(m, nProbe, buckets) = line.trim.split('\t')
+    (m.toInt, nProbe.toInt, buckets.toInt)
+  }
+
+  /** Incremental beam-graph maintenance — [[writeBeamGraphIndex]]'s
+    * append path (the [[appendToIndex]] convention lifted to the HOP
+    * structure): new vectors join the IVF assignment under the FROZEN
+    * stored codebook, get their own probed-cell top-m edges over the
+    * full (old ∪ new) corpus, and REPAIR the existing graph — an old
+    * node's neighbor list changes exactly when a new vector lands in
+    * one of its probed cells, and top-m(old list ∪ new candidates) =
+    * top-m(all candidates) because the old list already IS the top-m of
+    * the old candidates (the top-k merge identity). With the codebook
+    * frozen the result is BIT-IDENTICAL to a from-scratch
+    * [[writeBeamGraphIndex]] over the union with the same codebook
+    * (SimilaritySpec append≡rebuild property) — the graph never decays
+    * under appends, unlike heuristic HNSW inserts which only relink the
+    * nodes the insert search happened to visit.
+    *
+    * Scale shape: the new batch is assigned narrowly (stored-codebook
+    * argmax per row), its edges come from one partition-pruned probe
+    * join, and the repair side prunes the OLD corpus to nodes probing a
+    * touched cell (an in-row filter against the ≤nCells-entry touched
+    * set) before the broadcast-sized join with the new batch — no
+    * old-corpus shuffle anywhere. The final publish rewrites the
+    * bucketed table read-modify-write (the [[graft.ops.Recs
+    * .appendToCoVisitIndex]] convention; at lake scale only the buckets
+    * of repaired srcs need rewriting). New ids must be NEW — a re-sent
+    * vec_id would duplicate assignment rows upstream in
+    * [[appendToIndex]] (same contract as there). */
+  def appendToBeamGraphIndex(newEmb: DataFrame, path: String,
+      graphTable: String): Unit = {
+    val spark = newEmb.sparkSession
+    val (m, nProbe, buckets) = readGraphMeta(spark, path)
+    val cents = readIndexCodebook(spark, path)
+    require(cents.nonEmpty, s"no codebook at $path — writeIndex first")
+    val oldAssigned = readAssignment(spark, path)
+    val newAssigned = assignmentForIndex(newEmb, path)
+    appendToIndex(newEmb, path)
+    val fullAssigned = readAssignment(spark, path)
+    // edges of the NEW nodes: probed-cell top-m over the full corpus —
+    // exactly the build's probe join, query side = the new batch only
+    val newQ = withNorm(newEmb).filter(col("nrm") > 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val newEdges = ivfProbeJoin(fullAssigned, newQ, cents, m, nProbe,
+      probeBroadcast = true, pruneScan = true, sorted = false)
+      .select(col("qid").as("src"), col("neighbor").as("dst"),
+        col("sim"))
+    // repair candidates: (old node u, new node w) where w's cell is one
+    // of u's probed cells. u's probed cells are recomputed in-row from
+    // the frozen codebook (the same probeCells projection the build's
+    // probe join used), pruned to the new batch's touched cells first.
+    val touched = newAssigned.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val oldQ = oldAssigned.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = probeCells(oldQ, cents, nProbe)
+      .filter(col("cell").isin(touched: _*))
+      .join(broadcast(newAssigned.select(col("cell"),
+        col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dnrm"))), "cell")
+      .select(col("qid").as("src"), col("dst"),
+        cosine(col("qv"), col("qnrm"), col("dv"), col("dnrm")).as("sim"))
+    // merged lists for repaired srcs: top-m of (stored list with sims
+    // recomputed UNROUNDED — ranking on stored rounded values could
+    // flip sub-1e-6 ties vs a rebuild) ∪ (new candidates)
+    val old = spark.table(graphTable)
+    val repairSrcs = cands.select(col("src")).distinct()
+    val oldScored = old.join(repairSrcs, Seq("src"), "left_semi")
+      .join(oldAssigned.select(col("vec_id").as("src"),
+        col("v").as("sv"), col("nrm").as("snrm")), "src")
+      .join(oldAssigned.select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dnrm")), "dst")
+      .select(col("src"), col("dst"),
+        cosine(col("sv"), col("snrm"), col("dv"), col("dnrm")).as("sim"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    val repaired = oldScored.unionByName(cands)
+      .withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") <= m)
+      .select(col("src"), col("dst"))
+    val untouchedEdges = old.join(repairSrcs, Seq("src"), "left_anti")
+    // the merged frame reads the table the publish overwrites —
+    // materialize first (the appendToCoVisitIndex convention)
+    val merged = untouchedEdges
+      .unionByName(repaired)
+      .unionByName(newEdges.select(col("src"), col("dst")))
+      .localCheckpoint()
+    graft.io.Lake.writeBucketed(merged.repartition(buckets, col("src")),
+      graphTable, "src", buckets, Some("src"))
   }
 
   /** Beam-search ANN for EXTERNAL query vectors served from the durable
@@ -979,19 +1100,29 @@ object Similarity {
     * and a query frame (qid, qv, qnrm) — shared by the in-session path
     * (assignment is a projection) and the durable-index path (assignment
     * is a partitioned lake scan, `pruneScan = true`). */
+  /** Top-`nProbe` probed cells per query row as a pure projection —
+    * (qid, qv, qnrm) exploded to one row per probed cell. The (−sim,
+    * cid) struct sort replays (csim DESC, cid ASC) exactly. Shared by
+    * the probe join and the append-time neighbor repair
+    * ([[appendToBeamGraphIndex]]), which must reproduce the SAME probed
+    * cells the build used. */
+  private def probeCells(queries: DataFrame, cents: Seq[Centroid],
+      nProbe: Int): DataFrame = {
+    val cidArr = typedLit(cents.map(_.cid))
+    queries.select(col("qid"), col("qv"), col("qnrm"),
+      explode(transform(
+        slice(array_sort(zip_with(
+          cellSims(centLiteral(cents), col("qv"), col("qnrm")), cidArr,
+          (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
+        x => x("cid"))).as("cell"))
+  }
+
   private def ivfProbeJoin(assigned: DataFrame, queries: DataFrame,
       cents: Seq[Centroid], k: Int, nProbe: Int, probeBroadcast: Boolean,
       pruneScan: Boolean, sorted: Boolean = true): DataFrame = {
-    val cidArr = typedLit(cents.map(_.cid))
     // query-time: top-nProbe cells = sort of an nCells-element array per
     // row — (−sim, cid) struct sort replays (csim DESC, cid ASC) exactly
-    val probes = queries
-      .select(col("qid"), col("qv"), col("qnrm"),
-        explode(transform(
-          slice(array_sort(zip_with(
-            cellSims(centLiteral(cents), col("qv"), col("qnrm")), cidArr,
-            (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
-          x => x("cid"))).as("cell"))
+    val probes = probeCells(queries, cents, nProbe)
     // durable-index serving: the union of probed cells is a ≤nCells
     // driver-side set (one tiny job over the query frame) — pushing it as
     // a literal IN makes the corpus read a static partition-pruned scan

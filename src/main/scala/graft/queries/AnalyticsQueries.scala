@@ -3712,6 +3712,46 @@ object AnalyticsQueries {
       "index: mine once at ingest, serve = placed scan + bounded top-k " +
       "with zero exchanges")
 
+  // q210: EXACTLY-ONCE STREAMING co-visitation index maintenance (the
+  // TWENTY-SECOND streaming query — q207's streaming twin, closing the
+  // recommendation index family's streaming-maintainer gap the q197
+  // way): base index mined from l_orderkey % 7 != 0 baskets, the rest
+  // STREAMS in as basket-complete micro-batches (slices cut by the
+  // basket key itself), each batch's symmetric pair-count partial
+  // landed idempotently in batch=<id> (replays overwrite their own
+  // landing — the additive-delta double-count trap appendToCoVisitIndex
+  // has under replay, solved the landing way), with the compaction
+  // cadence ON mid-stream (the q124 pattern). Serve = base ∪ landings
+  // summed + bounded top-k, equal to the from-scratch q184 mine over
+  // the full order log — shares its self-join oracle, and the compare
+  // proves batch-split AND fold invariance at once.
+  private val q210 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q210-covisit"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val li = table(s, dir, "lineitem")
+      val baseTbl = "covisit_q210_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.Recs.writeCoVisitIndex(
+        li.filter(col("l_orderkey") % 7 =!= 0),
+        "l_orderkey", "l_partkey", baseTbl, buckets = 8)
+      val stream = Queries.stagedTableStreamSplitBy(s, dir, "q210",
+          "lineitem", "l_orderkey", nFiles = 3)
+        .filter(col("l_orderkey") % 7 === 0)
+      val q = graft.streaming.StreamSink.toCoVisitPairs(stream,
+        s"$scratch/landings", s"$scratch/ckpt", "l_orderkey", "l_partkey",
+        compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.readCoVisitTopK(s, baseTbl,
+          s"$scratch/landings", k = 5)
+        .orderBy(col("part"), col("cooc").desc, col("rec"))
+    },
+    q184.oracle,
+    "Exactly-once streaming co-visitation index maintenance: basket-" +
+      "complete micro-batches land idempotent pair-count partials, " +
+      "folded mid-stream by the landing OPTIMIZE; base + landings " +
+      "serve the same top-5 as the from-scratch mine")
+
   /** Exact per-day ROC-AUC ([[graft.ops.Eval.rocAuc]] — Mann–Whitney
     * rank statistic with average-rank tie correction, all integer/
     * decimal arithmetic, ppm report): does the event value score
@@ -4514,6 +4554,7 @@ object AnalyticsQueries {
 
   val all: Map[String, Q] = Map(
     "q207_covisit_serve" -> q207,
+    "q210_stream_covisit_index" -> q210,
     "q205_stream_cdc" -> q205,
     "q196_bpe_tokenize" -> q196,
     "q195_bpe_iterative" -> q195,

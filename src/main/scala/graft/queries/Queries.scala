@@ -120,6 +120,40 @@ object Queries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
   }
 
+  /** [[stagedTableStream]] staged as `nFiles` slice files read ONE per
+    * micro-batch, cut by `pmod(keyCol, nFiles)` — the
+    * [[stagedEventStreamSplit]] mechanics generalized to any table and
+    * any split key. Cutting by the GROUP key (e.g. the basket id for
+    * q210's co-visitation maintainer) guarantees every group arrives
+    * complete within one micro-batch — the property per-batch
+    * distributive aggregation needs. */
+  def stagedTableStreamSplitBy(s: SparkSession, dir: String, name: String,
+      tbl: String, keyCol: String, nFiles: Int): DataFrame = {
+    val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+    java.nio.file.Files.createDirectories(srcDir)
+    val raw = s.read.parquet(s"$dir/$tbl.parquet")
+    val base = System.currentTimeMillis() - 120000L
+    (0 until nFiles).foreach { i =>
+      val tmp = java.nio.file.Paths.get(s"$scratchRoot/$name-slice-$i")
+      raw.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col(keyCol),
+          org.apache.spark.sql.functions.lit(nFiles.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .getOrElse(throw new IllegalStateException(s"no slice part file in $tmp"))
+      val dst = srcDir.resolve(f"$i%02d-$tbl%s.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // file-source batch order follows (modTime, path): pin slice i
+      // strictly before slice i+1, all in the past
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+  }
+
   /** [[stagedEventStream]] plus two far-future sentinel rows staged as
     * SEPARATE files, read one file per micro-batch — the scaffolding an
     * OUTER stream-stream join needs to terminate deterministically:

@@ -198,11 +198,19 @@ object TrainingDataQueries {
     s"pr0 AS (SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent WHERE n.vec_id % 10 = 0), " +
     "probes AS (SELECT qid, qv, qnrm, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS prn FROM pr0) WHERE prn <= 2)"
 
+  /** The `cent` codebook CTE with a membership predicate — the 16
+    * lowest vec_ids AMONG the rows satisfying `centPred`. `TRUE`
+    * reproduces the whole-corpus sample codebook; q209 passes the base
+    * slice so the oracle replays a codebook FROZEN before the appended
+    * rows arrived. */
+  private def duckIvfAssignPred(centPred: String) =
+    s", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n WHERE $centPred ORDER BY vec_id LIMIT 16)), " +
+    duckIvfAssignTail
+
   private val duckIvfAssign =
     // codebook = the 16 LOWEST vec_ids (matches Similarity.collectCentroids'
     // orderBy+limit, which stays correct for id spaces not starting at 0)
-    ", cent AS (SELECT vec_id AS cid, v AS cv, cnrm FROM (SELECT vec_id, v, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16)), " +
-    duckIvfAssignTail
+    duckIvfAssignPred("TRUE")
 
   // probed-cell brute force ending in `r` = (qid, neighbor, sim, rnk);
   // needs `probes` and `asg` in scope.
@@ -272,7 +280,7 @@ object TrainingDataQueries {
     * decided on unrounded doubles at every window, matching the
     * engine's (sim DESC, id ASC) contract. */
   private def duckBeamRecall(nProbe: Int, m: Int, beam: Int, hops: Int,
-      k: Int): String = {
+      k: Int, centPred: String = "TRUE"): String = {
     val p = Seq.newBuilder[String]
     // neighbor graph over every node's probed cells
     p += s"gp0 AS MATERIALIZED (SELECT n.vec_id AS src, n.v AS sv, n.nrm AS snrm, cent.cid, ${ddot("n.v", "cent.cv")}/(n.nrm*cent.cnrm) AS csim FROM n CROSS JOIN cent)"
@@ -304,7 +312,8 @@ object TrainingDataQueries {
       "FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)"
     p += "bf AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
       s"row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM bf0) WHERE rnk <= $k)"
-    duckIvf + ", " + p.result().mkString(", ") +
+    duckEmb + duckIvfAssignPred(centPred) + duckIvfRankTail + ", " +
+      p.result().mkString(", ") +
       s" SELECT bf.qid, CAST(count(vt.node) AS DOUBLE)/$k AS recall " +
       "FROM bf LEFT JOIN vtop vt ON bf.qid = vt.qid AND bf.neighbor = vt.node " +
       "GROUP BY bf.qid ORDER BY bf.qid"
@@ -354,6 +363,40 @@ object TrainingDataQueries {
       "off the stored codebook (partition-pruned), hops over the " +
       "src-bucketed lake graph — same recall rows as q206's in-session " +
       "build, with the graph build prepaid at ingest")
+
+  // q209: INCREMENTAL beam-graph maintenance (q208's append path — the
+  // appendToIndex/appendToShingleIndex convention lifted to the hop
+  // structure): the graph is built over the vec_id % 5 != 0 base, then
+  // the % 5 == 0 arrivals APPEND — assigned under the frozen stored
+  // codebook, given their own probed-cell top-m edges over the union,
+  // and repairing exactly the old nodes whose probed cells they touch
+  // (top-m(old list ∪ new candidates) = top-m(all candidates), the
+  // top-k merge identity — so the appended graph is BIT-IDENTICAL to a
+  // from-scratch rebuild with the same codebook, spec-proved). The
+  // readout is q206's recall construction served from the appended
+  // index; the oracle replays the whole thing with the codebook CTE
+  // restricted to the base slice — the only semantic difference from
+  // q206, which is precisely the frozen-codebook contract under test.
+  private val q209 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q209-index"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val tbl = "beam_graph_q209_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = table(s, dir, "embeddings")
+      Similarity.writeBeamGraphIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        scratch, tbl, nCells = 16, nProbe = 2, m = 6)
+      Similarity.appendToBeamGraphIndex(emb.filter(col("vec_id") % 5 === 0),
+        scratch, tbl)
+      Similarity.beamSearchRecallAtKFromIndex(s, scratch, tbl,
+        col("vec_id") % 10 === 0, k = 5, nProbe = 2, beam = 8, hops = 2)
+    },
+    Some(duckBeamRecall(nProbe = 2, m = 6, beam = 8, hops = 2, k = 5,
+      centPred = "vec_id % 5 <> 0")),
+    "Incremental beam-graph maintenance: arrivals append under the " +
+      "frozen codebook — own probed-cell edges plus exact repair of " +
+      "the old nodes they touch — and the appended graph serves q206's " +
+      "recall bit-identical to a same-codebook rebuild")
 
   // q55: the same recall metric over the deterministic sample codebook —
   // the zero-training member of the recall family (q54 trains its cells).
@@ -1615,6 +1658,7 @@ object TrainingDataQueries {
     "q55_ann_recall_sample" -> q55,
     "q206_beam_search" -> q206,
     "q208_beam_serve" -> q208,
+    "q209_beam_append" -> q209,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

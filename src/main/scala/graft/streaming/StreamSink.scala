@@ -316,6 +316,75 @@ object StreamSink {
       df.groupBy(col("pair")).agg(sum(col("cnt")).as("cnt")))
   }
 
+  /** Exactly-once streaming co-visitation index maintenance — the
+    * [[graft.ops.Recs.writeCoVisitIndex]] durable index kept live as
+    * baskets stream in (the [[toIvfLandings]] convention applied to the
+    * recommendation family): each micro-batch collapses to its own
+    * symmetric (part, rec, cooc) pair-count partial and lands in a
+    * `batch=<id>` partition via the idempotent [[landBatch]] rename, so
+    * a replayed batch overwrites its own landing instead of
+    * double-counting — the additive-delta trap [[graft.ops.Recs
+    * .appendToCoVisitIndex]]'s read-modify-write merge has under
+    * replay, solved the landing way. Counts are distributive sums, so
+    * [[readCoVisitTopK]]'s read-side merge equals the whole-corpus mine
+    * under any batch split ([[maybeCompact]]-fold-invariant too).
+    *
+    * CONTRACT: a basket must not span micro-batches — the per-batch
+    * pair kernel only sees the rows in its batch, so a split basket
+    * would miss its cross-batch pairs. Partition the source by the
+    * basket key (q210 stages slices cut by the basket id); a source
+    * that cannot guarantee this needs the [[graft.streaming
+    * .CoVisitStream]] state machine, which tracks basket growth across
+    * batches and emits each pair exactly once. */
+  def toCoVisitPairs(stream: DataFrame, path: String, checkpoint: String,
+      basketCol: String, itemCol: String, maxBasket: Int = 10000,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(graft.ops.Recs.coVisitationPairs(batch, basketCol,
+            itemCol, maxBasket), path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactCoVisitLandings(batch.sparkSession, path))
+      }
+      .start()
+
+  /** Top-`k` recommendations from the durable co-visitation index PLUS
+    * the live [[toCoVisitPairs]] landings: base counts and landed
+    * partials sum per (part, rec) — distributive, so the result equals
+    * a from-scratch [[graft.ops.Recs.coVisitation]] over everything
+    * ever admitted — then rank through the bounded TopKPerGroup
+    * operator. A missing landing path (nothing streamed yet) serves the
+    * base index alone. */
+  def readCoVisitTopK(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, landPath: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.table(baseTable)
+    val counts = graft.io.Landings.readLandings(spark, landPath) match {
+      case Some(l) => base.unionByName(l.drop("batch"))
+        .groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc"))
+      case None => base
+    }
+    graft.plans.TopKPerGroup.topKPerGroup(counts, Seq("part"),
+      Seq(col("cooc").desc, col("rec").asc), k)
+  }
+
+  /** Landing `OPTIMIZE` for [[toCoVisitPairs]] partials: fold every
+    * landed (part, rec, cooc) partial into ONE summed generation —
+    * [[readCoVisitTopK]] is fold-invariant because pair counts are
+    * distributive sums (the q210 oracle compare proves it mid-stream,
+    * the q124 pattern). */
+  def compactCoVisitLandings(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc")))
+  }
+
   /** The live per-key trend from a [[toTrendStats]] landing: moment
     * sums over the batch partitions, then the exact rational fit —
     * same row schema as a direct [[graft.ops.TimeSeries

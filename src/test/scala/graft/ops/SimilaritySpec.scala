@@ -303,6 +303,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS beam_graph_spec")
   }
 
+  test("appendToBeamGraphIndex: append ≡ rebuild with the same codebook — bit-identical edges and serve") {
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    // arrivals take the HIGHEST ids, so the base slice contains the 8
+    // lowest — the rebuild then samples the SAME codebook as the base
+    // build, making a plain writeBeamGraphIndex over the union the
+    // exact same-codebook reference the append must reproduce
+    val cut = corpus.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+    val base = corpus.filter(col("vec_id") <= cut)
+    val arrivals = corpus.filter(col("vec_id") > cut)
+    val dirA = s"/tmp/graft-test-sim/beamapp-${System.nanoTime()}"
+    val dirB = s"/tmp/graft-test-sim/beamreb-${System.nanoTime()}"
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def edgeSet(tbl: String) = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      Similarity.writeBeamGraphIndex(base, dirA, "beam_graph_app",
+        nCells = 8, nProbe = 2, m = 4, buckets = 4)
+      // an index without graph meta (pre-maintenance layout) must fail
+      // loudly, not silently append with default parameters
+      val noMeta = intercept[IllegalArgumentException] {
+        Similarity.appendToBeamGraphIndex(arrivals,
+          s"$dirA/definitely-missing", "beam_graph_app")
+      }
+      assert(noMeta.getMessage.contains("graph meta"))
+      Similarity.appendToBeamGraphIndex(arrivals, dirA, "beam_graph_app")
+      Similarity.writeBeamGraphIndex(corpus, dirB, "beam_graph_reb",
+        nCells = 8, nProbe = 2, m = 4, buckets = 4)
+      val ea = edgeSet("beam_graph_app")
+      val eb = edgeSet("beam_graph_reb")
+      assert(ea == eb && ea.nonEmpty,
+        s"append drifted from rebuild: only-append=${(ea -- eb).take(5)} " +
+          s"only-rebuild=${(eb -- ea).take(5)}")
+      // and the serve path reads identically off both indexes
+      val sa = Similarity.beamSearchRecallAtKFromIndex(spark, dirA,
+        "beam_graph_app", pred, k = 5, nProbe = 2, beam = 8, hops = 2)
+      val sb = Similarity.beamSearchRecallAtKFromIndex(spark, dirB,
+        "beam_graph_reb", pred, k = 5, nProbe = 2, beam = 8, hops = 2)
+      assert(byQ(sa) == byQ(sb) && byQ(sa).nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS beam_graph_app")
+      spark.sql("DROP TABLE IF EXISTS beam_graph_reb")
+    }
+  }
+
   test("durable index round trip: served results equal the in-session paths") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = s"/tmp/graft-test-sim/index-${System.nanoTime()}"

@@ -96,7 +96,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     // properties asserted in RecsSpec); q208 first-touch-builds the
     // durable beam-graph index (catalog + path writes) and has its own
     // dedicated NLJ test below
-    "q207_covisit_serve", "q190_rec_eval", "q208_beam_serve")
+    "q207_covisit_serve", "q190_rec_eval", "q208_beam_serve",
+    // q209 builds the base graph index AND replays the append (catalog
+    // + path writes, a collect for the touched-cell literal) at
+    // plan-build — its dedicated one-NLJ test below audits the serve;
+    // q210 runs the co-visitation landing stream at plan-build (the
+    // q197 shape)
+    "q209_beam_append", "q210_stream_covisit_index")
 
   /** Queries where a broadcast nested loop IS the plan: q17 broadcasts the
     * query set over the corpus scan by design; q04 joins a broadcast 1-row
@@ -182,6 +188,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("CartesianProduct"), "q208 plans a cartesian product")
     assert(plan.contains("Bucketed: true"),
       "q208's hop joins must read the placed bucketed graph table")
+  }
+
+  test("q209: appended-graph serve — exactly ONE NLJ (the recall ground truth), bucketed graph scan") {
+    // the first call performs the build + append (eager writes); the
+    // audited plan is the steady-state serve off the appended index
+    Queries.all("q209_beam_append").fn(spark, sf0001).count()
+    val plan = planOf("q209_beam_append")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"q209 expected exactly the one intended brute-force " +
+      s"NLJ, found $nlj")
+    assert(!plan.contains("CartesianProduct"), "q209 plans a cartesian product")
+    assert(plan.contains("Bucketed: true"),
+      "q209's hop joins must read the placed bucketed graph table")
   }
 
   test("q107: no mid-plan range exchange (the serving sort stays out of the fusion)") {

@@ -212,6 +212,42 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     assert(merged == direct && direct.nonEmpty)
   }
 
+  test("toCoVisitPairs protocol: base + landed batches serve the from-scratch mine; replay idempotent; fold-invariant; no landings = base alone") {
+    import graft.ops.Recs
+    val root = Files.createTempDirectory("graft-cvstream").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val land = s"$root/landings"
+    try {
+      Recs.writeCoVisitIndex(li.filter(col("l_orderkey") % 3 === 0),
+        "l_orderkey", "l_partkey", "covisit_stream_spec", buckets = 4)
+      def served = StreamSink.readCoVisitTopK(spark, "covisit_stream_spec",
+          land, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // nothing streamed yet: the base index serves alone
+      val baseDirect = Recs.coVisitation(
+          li.filter(col("l_orderkey") % 3 === 0),
+          "l_orderkey", "l_partkey", k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(served == baseDirect && served.nonEmpty)
+      // two basket-complete batches land; a replayed batch overwrites
+      // its own landing (exactly-once), never double-counts its pairs
+      val b1 = li.filter(col("l_orderkey") % 3 === 1)
+      val b2 = li.filter(col("l_orderkey") % 3 === 2)
+      def pairs(b: org.apache.spark.sql.DataFrame) =
+        Recs.coVisitationPairs(b, "l_orderkey", "l_partkey", 10000)
+      StreamSink.landBatch(pairs(b1), land, 0L)
+      StreamSink.landBatch(pairs(b2), land, 1L)
+      StreamSink.landBatch(pairs(b2), land, 1L) // replay
+      val full = Recs.coVisitation(li, "l_orderkey", "l_partkey", k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(served == full && full.nonEmpty)
+      // landing OPTIMIZE: the fold changes the layout, never the serve
+      assert(StreamSink.compactCoVisitLandings(spark, land))
+      assert(served == full)
+    } finally spark.sql("DROP TABLE IF EXISTS covisit_stream_spec")
+  }
+
   test("toIvfLandings protocol: base + landed batches serve the from-scratch pair set; replay idempotent; no landings = base alone") {
     import graft.ops.Similarity
     val root = Files.createTempDirectory("graft-ivfstream").toString
