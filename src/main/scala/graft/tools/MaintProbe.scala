@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility (r17): stage decomposition of the two new index
+  * maintainers — q209 (beam-graph append) and q210 (streaming
+  * co-visitation) — so their bench rows carry measured floors per
+  * stage, not guesses. Min-of-3 per stage, stages run in dependency
+  * order within each rep (the WatchProbe convention). */
+object MaintProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.Queries.table
+    import graft.ops.{Recs, Similarity}
+
+    def t[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def min3(name: String)(f: => Unit): Unit = {
+      var m = Double.MaxValue
+      for (_ <- 1 to 3) m = math.min(m, t(f))
+      println(f"[maint] $name%-34s $m%7.3f s")
+    }
+
+    // ---- q209 stages -----------------------------------------------
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+    val scratch = "/dev/shm/graft-scratch/maintprobe-q209"
+    def wipe(): Unit = {
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+    min3("q209 build(base)") {
+      wipe()
+      Similarity.writeBeamGraphIndex(base, scratch, "maint_beam",
+        nCells = 16, nProbe = 2, m = 6)
+    }
+    // append needs a fresh base each rep: rebuild untimed, time append
+    var m209a = Double.MaxValue
+    for (_ <- 1 to 3) {
+      wipe()
+      Similarity.writeBeamGraphIndex(base, scratch, "maint_beam",
+        nCells = 16, nProbe = 2, m = 6)
+      m209a = math.min(m209a,
+        t(Similarity.appendToBeamGraphIndex(arrivals, scratch, "maint_beam")))
+    }
+    println(f"[maint] q209 append(arrivals)            $m209a%7.3f s")
+    min3("q209 serve(recall)") {
+      Similarity.beamSearchRecallAtKFromIndex(spark, scratch, "maint_beam",
+        col("vec_id") % 10 === 0, k = 5, nProbe = 2, beam = 8, hops = 2)
+        .count()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_beam")
+
+    // ---- q210 stages -----------------------------------------------
+    val li = table(spark, dir, "lineitem")
+    min3("q210 base mine+write") {
+      Recs.writeCoVisitIndex(li.filter(col("l_orderkey") % 7 =!= 0),
+        "l_orderkey", "l_partkey", "maint_covisit", buckets = 8)
+    }
+    min3("q210 staging (3 slices)") {
+      graft.queries.Queries.stagedTableStreamSplitBy(spark, dir,
+        "maintprobe-q210", "lineitem", "l_orderkey", nFiles = 3)
+    }
+    min3("q210 stream (3 batches + fold)") {
+      val sroot = "/dev/shm/graft-scratch/maintprobe-q210-land"
+      val p = new org.apache.hadoop.fs.Path(sroot)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val stream = graft.queries.Queries.stagedTableStreamSplitBy(spark, dir,
+        "maintprobe-q210", "lineitem", "l_orderkey", nFiles = 3)
+        .filter(col("l_orderkey") % 7 === 0)
+      val q = graft.streaming.StreamSink.toCoVisitPairs(stream,
+        s"$sroot/landings", s"$sroot/ckpt", "l_orderkey", "l_partkey",
+        compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+    }
+    min3("q210 serve (base+landings topk)") {
+      graft.streaming.StreamSink.readCoVisitTopK(spark, "maint_covisit",
+        "/dev/shm/graft-scratch/maintprobe-q210-land/landings", k = 5)
+        .orderBy(col("part"), col("cooc").desc, col("rec")).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_covisit")
+    spark.stop()
+  }
+}
