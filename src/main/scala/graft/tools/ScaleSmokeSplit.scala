@@ -31,10 +31,16 @@ object ScaleSmokeSplit {
 
   private val splitList = Seq("q105_pagerank_index",
     "q200_personalized_pagerank", "q204_weighted_pagerank",
-    "q207_covisit_serve", "q208_beam_serve")
+    "q207_covisit_serve", "q208_beam_serve",
+    // the two r17 maintainers re-run their full maintenance cycle on
+    // BOTH calls (q209 rebuilds+appends per run by declaration; q210
+    // restages+restreams, only its base index is first-touch), so for
+    // them first≈serve and the serve_ratio IS the maintenance-cycle
+    // wall ratio at scale
+    "q209_beam_append", "q210_stream_covisit_index")
   private val pushList = Seq("q105_pagerank_index",
     "q204_weighted_pagerank", "q207_covisit_serve")
-  private val intendedNlj = Set("q208_beam_serve")
+  private val intendedNlj = Set("q208_beam_serve", "q209_beam_append")
 
   private class HeapPeak extends Thread {
     @volatile var peak = 0L
