@@ -329,7 +329,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
           s"$dirA/definitely-missing", "beam_graph_app")
       }
       assert(noMeta.getMessage.contains("graph meta"))
-      Similarity.appendToBeamGraphIndex(arrivals, dirA, "beam_graph_app")
+      // TWO sequential appends (the steady-state shape): each must see
+      // the prior append's exact state — the graph-table rewrite must
+      // not lose the meta/codebook sidecars, and exactness composes
+      val mid = (cut + corpus.agg(max(col("vec_id"))).head.getLong(0)) / 2
+      Similarity.appendToBeamGraphIndex(
+        arrivals.filter(col("vec_id") <= mid), dirA, "beam_graph_app")
+      Similarity.appendToBeamGraphIndex(
+        arrivals.filter(col("vec_id") > mid), dirA, "beam_graph_app")
       Similarity.writeBeamGraphIndex(corpus, dirB, "beam_graph_reb",
         nCells = 8, nProbe = 2, m = 4, buckets = 4)
       val ea = edgeSet("beam_graph_app")
