@@ -150,6 +150,47 @@ object Curation {
       .withColumnRenamed("__toks", "toks")
   }
 
+  /** Token-budget corpus selection — the curation step every training
+    * run ends with: each group (domain/source/language) contributes its
+    * BEST documents until its token budget is spent. Rows are ranked
+    * (score DESC, id ASC) within the group and selected while the
+    * running token total stays ≤ `budget` — the greedy
+    * quality-per-token rule, deterministic and SQL-replayable. Output
+    * keeps (id, group, score, tokens, cum_tokens).
+    *
+    * Scale shape (the [[capPerGroup]] two-phase trick, adapted to a
+    * prefix sum): a selected row's within-group rank is ≤ `budget`
+    * (every better row costs ≥ 1 token — rows with < 1 token are
+    * excluded up front to keep that bound sound), so phase 1 prunes to
+    * the top-`budget` rows per (group, salt) bucket — a billion-row
+    * domain splits across `salts` tasks and sheds everything that
+    * could never qualify. Phase 2 runs the exact cumulative sum on the
+    * ≤ salts·budget survivors per group — bounded window state, no
+    * single-task domain sort. Identical to the unsalted selection by
+    * the same superset argument as [[capPerGroup]]. */
+  def budgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, tokenCol: Column, budget: Long,
+      salts: Int = 16): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(salts > 0, "salts must be positive")
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("__score").desc, col(idCol))
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("__score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__score", scoreCol)
+      .withColumn("__toks", tokenCol.cast("long"))
+      .filter(col("__toks") >= 1)
+      .withColumn("__salt", idHash(col(idCol)) % salts)
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= budget)
+      .drop("__r", "__salt")
+      .withColumn("cum_tokens", sum(col("__toks")).over(w2))
+      .filter(col("cum_tokens") <= budget)
+      .withColumnRenamed("__score", "score")
+      .withColumnRenamed("__toks", "tokens")
+  }
+
   /** Domain/source capping: keep the top `k` rows per group by `orderCol`
     * DESC (ties broken by id asc) — the quality-weighted domain-mixing
     * step that stops one giant domain from dominating a corpus.

@@ -331,6 +331,47 @@ object Graph {
       tableName, "src", buckets, Some("src"))
   }
 
+  /** Incremental maintenance for [[writeWeightedEdgeIndex]] — the
+    * [[graft.ops.Recs.appendToCoVisitIndex]] convention on the graph
+    * family: edge weights are ADDITIVE (the multigraph's multiplicity
+    * is a count), so merging a batch of new edges is a pure re-sum —
+    * stored per-(src,dst) weights union the batch's aggregates, per-src
+    * totals and node sentinels re-derive from the merged edge set, and
+    * the result is BIT-IDENTICAL to a from-scratch
+    * [[writeWeightedEdgeIndex]] over old∪new edges BY CONSTRUCTION
+    * (rebuild-over-union ≡ merge for distributive sums; GraphSpec
+    * asserts it row-for-row including sw and sentinels). The overflow
+    * bound re-checks on every append — a batch that pushes max(w)·|V|
+    * past the 2^63 envelope REFUSES, it cannot silently wrap.
+    *
+    * The stored edge rows are already per-(src,dst) summed, so the
+    * merge aggregation runs over |index| + |batch| rows, never the raw
+    * edge log. The publish is the swap-rewrite convention (read side
+    * materialized via the write path's localCheckpoint before the
+    * table it reads is dropped); at lake scale only the buckets
+    * holding touched srcs need rewriting — the same note
+    * [[graft.ops.Similarity.appendToBeamGraphIndex]] carries.
+    *
+    * Unlike the unweighted [[writeEdgeIndex]] (whose dedup makes a
+    * re-sent edge invisible), re-sending an edge here ADDS weight —
+    * that is the multigraph semantics, not a bug, but it makes the
+    * exactly-once contract the caller's: a batch must not replay. */
+  def appendToWeightedEdgeIndex(newEdges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
+    val spark = newEdges.sparkSession
+    // materialize the stored edges BEFORE writeWeightedEdgeIndex drops
+    // the table they are read from (sentinel rows carry sw=MaxValue and
+    // re-derive from endpoints, so only true edge rows feed the merge)
+    val oldEdges = spark.table(tableName)
+      .filter(col("sw") =!= Long.MaxValue)
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val delta = newEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+    writeWeightedEdgeIndex(oldEdges.unionByName(delta), "src", "dst", "w",
+      tableName, buckets)
+  }
+
   /** [[pageRankFromIndex]] over a [[writeWeightedEdgeIndex]] table: the
     * contribution expression becomes `(u·w) div sw` — everything else
     * (fixed-point harness, integer units, checkpoint cadence, one

@@ -963,6 +963,38 @@ object Similarity {
       pruneScan = pruneScan, sorted = sorted)
   }
 
+  /** HARD-NEGATIVE mining from the durable IVF index — the
+    * training-pair op behind contrastive embedding/retriever training
+    * (DPR/SimCSE-style): for each query the candidates that look
+    * similar enough to be CONFUSABLE but are not near-duplicates, i.e.
+    * probed-cell candidates whose exact cosine lands in [lo, hi) —
+    * below the dedup threshold (`hi`, the [[cosinePairsBlocked]]
+    * near-dup bar: a near-dup is a false negative, not a hard one),
+    * above the easy-negative floor (`lo`: random pairs teach nothing).
+    * The k HARDEST (highest sim, id-tie-broken) per query return as
+    * (qid, rnk, neighbor, sim).
+    *
+    * Plan shape is exactly the [[ivfTopKFromIndex]] serve — codebook
+    * sidecar, partition-prunable assignment scan, one probe equi-join,
+    * one bounded window — with the band filter applied to the
+    * UNROUNDED sim before ranking. Mining negatives this way costs the
+    * same as serving a query: no extra pass over the corpus, which is
+    * the point at 100 TB — the candidate generator IS the index. */
+  def ivfHardNegativesFromIndex(spark: SparkSession, path: String,
+      queryPred: Column, k: Int, nProbe: Int, lo: Double, hi: Double,
+      probeBroadcast: Boolean = true, pruneScan: Boolean = true,
+      sorted: Boolean = true): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val cents = readIndexCodebook(spark, path)
+    if (cents.isEmpty) return emptyTopK(spark)
+    val assigned = readAssignment(spark, path)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    ivfProbeJoin(assigned, queries, cents, k, nProbe, probeBroadcast,
+      pruneScan = pruneScan, sorted = sorted, simBand = Some((lo, hi)))
+  }
+
   private def emptyPairs(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("ida"), col("id").as("idb"),
       col("id").cast("double").as("sim"))
@@ -1119,7 +1151,8 @@ object Similarity {
 
   private def ivfProbeJoin(assigned: DataFrame, queries: DataFrame,
       cents: Seq[Centroid], k: Int, nProbe: Int, probeBroadcast: Boolean,
-      pruneScan: Boolean, sorted: Boolean = true): DataFrame = {
+      pruneScan: Boolean, sorted: Boolean = true,
+      simBand: Option[(Double, Double)] = None): DataFrame = {
     // query-time: top-nProbe cells = sort of an nCells-element array per
     // row — (−sim, cid) struct sort replays (csim DESC, cid ASC) exactly
     val probes = probeCells(queries, cents, nProbe)
@@ -1142,9 +1175,15 @@ object Similarity {
     // probeBroadcast = false and let Spark size the join (broadcasting a
     // corpus-sized probe set would OOM the driver at scale).
     val probeSide = if (probeBroadcast) broadcast(probes) else probes
-    val topK = corpus.join(probeSide, "cell")
+    val scored = corpus.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("qnrm"), col("v"), col("nrm")))
+    // the band (hard-negative mining) filters on the UNROUNDED sim
+    // BEFORE ranking — membership must not depend on output rounding
+    val banded = simBand.fold(scored) { case (lo, hi) =>
+      scored.filter(col("sim") >= lo && col("sim") < hi)
+    }
+    val topK = banded
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),

@@ -1344,6 +1344,41 @@ object AnalyticsQueries {
       "served from a build-once weighted bucketed index — the " +
       "unweighted walk is the w=1 member (bit-identical, spec-asserted)")
 
+  // q211: INCREMENTAL weighted-edge maintenance (q204's append path —
+  // the q209/appendToCoVisitIndex convention closing the third r17
+  // index family): the index is built over the l_orderkey % 7 != 0
+  // base, then the % 7 == 0 arrivals APPEND — weights are additive
+  // counts, so the merge re-sums stored per-(src,dst) weights with the
+  // batch's and re-derives totals/sentinels, landing BIT-IDENTICAL to
+  // a whole-corpus rebuild (GraphSpec property; the overflow bound
+  // re-checks on every append). The readout is q204's weighted walk
+  // served from the appended index, so it shares q204's oracle — the
+  // strongest possible check that the append lost and invented nothing.
+  private val q211 = Q(
+    (s, dir) => {
+      val tbl = "pr_wedges_q211_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = table(s, dir, "lineitem")
+      def edges(f: org.apache.spark.sql.DataFrame) = f
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst"))
+        .unionAll(f.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")))
+        .withColumn("w", lit(1L))
+      graft.ops.Graph.writeWeightedEdgeIndex(
+        edges(li.filter(col("l_orderkey") % 7 =!= 0)), "src", "dst", "w",
+        tbl, buckets = 8)
+      graft.ops.Graph.appendToWeightedEdgeIndex(
+        edges(li.filter(col("l_orderkey") % 7 === 0)), "src", "dst", "w",
+        tbl, buckets = 8)
+      graft.ops.Graph.weightedPageRankFromIndex(s, tbl, iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100)
+    },
+    q204.oracle,
+    "Incremental weighted-edge maintenance: a batch of new edges " +
+      "re-sums into the durable weighted index (additive multigraph " +
+      "weights), bit-identical to a whole-corpus rebuild — the " +
+      "appended index serves q204's walk unchanged")
+
   private val q200 = Q(
     (s, dir) => {
       val tbl = ensurePrEdgeIndex(s, dir)
@@ -4638,6 +4673,7 @@ object AnalyticsQueries {
     "q105_pagerank_index" -> q105,
     "q200_personalized_pagerank" -> q200,
     "q204_weighted_pagerank" -> q204,
+    "q211_weighted_edge_append" -> q211,
     "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,
     "q102_kmv_distinct" -> q102,

@@ -153,6 +153,34 @@ object CurationQueries {
     "Domain capping: top-5 docs per source by quality, salted two-phase " +
       "top-k (no single-task domain sort) proven equal to the plain window")
 
+  // q213: token-budget corpus selection — each source contributes its
+  // best docs (quality DESC, id ASC) until an 800-token budget is
+  // spent: the greedy quality-per-token rule every training run's final
+  // curation step applies. The engine runs the salted two-phase form
+  // (top-`budget` per (source, salt) prune, exact prefix sum on the
+  // bounded survivors — see Curation.budgetSelect); the oracle is the
+  // plain window, so the hash check proves the salted rewrite exact —
+  // the q67 convention lifted from top-k to a prefix sum.
+  private val q213 = Q(
+    (s, dir) => Curation.budgetSelect(table(s, dir, "documents"),
+        "source", "doc_id",
+        graft.ops.TextAnalysis.qualityScore(col("text")),
+        size(split(col("text"), " ")).cast("long"), budget = 800L)
+      .select(col("source"), col("doc_id"), col("score"), col("tokens"),
+        col("cum_tokens"))
+      .orderBy("source", "cum_tokens"),
+    Some("WITH sc AS (SELECT source, doc_id, " + Queries.duckQualityScore +
+      " AS score, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "c AS (SELECT source, doc_id, score, tokens, CAST(sum(tokens) OVER " +
+      "(PARTITION BY source ORDER BY score DESC, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM sc) " +
+      "SELECT source, doc_id, score, tokens, cum_tokens FROM c " +
+      "WHERE cum_tokens <= 800 ORDER BY source, cum_tokens"),
+    "Token-budget selection: best docs per source until the token " +
+      "budget is spent — salted two-phase prefix sum (no single-task " +
+      "domain sort) proven equal to the plain window")
+
   // q153: cross-source quantile normalization — per-source quality
   // scores mapped onto the pooled distribution (percentile_disc
   // semantics) so one global threshold keeps the same fraction of
@@ -443,6 +471,7 @@ object CurationQueries {
     "q50_decontaminate" -> q50,
     "q51_decontaminate_mat" -> q51,
     "q67_domain_cap" -> q67,
+    "q213_budget_select" -> q213,
     "q69_filter_funnel" -> q69,
     "q76_segment_windows" -> q76,
     "q77_shuffle_shards" -> q77,

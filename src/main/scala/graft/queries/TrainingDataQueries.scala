@@ -398,6 +398,43 @@ object TrainingDataQueries {
       "the old nodes they touch — and the appended graph serves q206's " +
       "recall bit-identical to a same-codebook rebuild")
 
+  // q212: HARD-NEGATIVE mining from the durable IVF index — the
+  // contrastive-training-pair op (DPR/SimCSE shape): per query, the 5
+  // hardest probed-cell candidates whose exact cosine lands in
+  // [0.2, 0.4) — confusable (above the easy floor) but not near-dups
+  // (0.4 is q23's dedup bar; a near-dup is a false negative). Plan is
+  // exactly the q56/q107 IVF serve with the band filtered on the
+  // UNROUNDED sim before ranking: mining negatives costs one serve,
+  // no extra corpus pass — the candidate generator IS the index.
+  private val q212 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q212-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.CatalystExpressions.register(s)
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/embeddings.parquet")
+      if (!graft.io.Lake.exists(s, s"$scratch/assignment") ||
+          !graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp)) {
+        Similarity.writeIndex(table(s, dir, "embeddings"), scratch, nCells = 16)
+        graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+      }
+      // bulk serve (queries = 10% of the corpus): pruneScan=false per
+      // the q107 RrfProbe finding — the probed-cell union covers every
+      // cell, so the pruning job would prune nothing
+      Similarity.ivfHardNegativesFromIndex(s, scratch,
+        col("vec_id") % 10 === 0, k = 5, nProbe = 2, lo = 0.2, hi = 0.4,
+        pruneScan = false)
+    },
+    Some(duckIvf +
+      ", hb AS (SELECT qid, neighbor, sim, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY sim DESC, neighbor) AS rnk FROM top1 " +
+      "WHERE sim >= 0.2 AND sim < 0.4) " +
+      "SELECT qid, CAST(rnk AS BIGINT) AS rnk, neighbor, " +
+      dround6("sim") + " AS sim FROM hb WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "Hard-negative mining off the durable IVF index: per query the 5 " +
+      "hardest candidates in the [0.2, 0.4) cosine band — confusable " +
+      "but not near-dup, the contrastive-training-pair generator at " +
+      "one serve's cost")
+
   // q55: the same recall metric over the deterministic sample codebook —
   // the zero-training member of the recall family (q54 trains its cells).
   private val q55 = Q(
@@ -1659,6 +1696,7 @@ object TrainingDataQueries {
     "q206_beam_search" -> q206,
     "q208_beam_serve" -> q208,
     "q209_beam_append" -> q209,
+    "q212_hard_negatives" -> q212,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

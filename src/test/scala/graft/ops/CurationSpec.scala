@@ -277,6 +277,40 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(route(Seq("only")).values.toSet == Set("only"))
   }
 
+  test("budgetSelect: salted two-phase selection equals the plain window; " +
+    "budget respected; salts=1 degenerates identically") {
+    import org.apache.spark.sql.expressions.Window
+    val score = TextAnalysis.qualityScore(col("text"))
+    val toks = size(split(col("text"), " ")).cast("long")
+    val got = Curation.budgetSelect(docs, "source", "doc_id", score, toks,
+        budget = 800L)
+      .select("source", "doc_id", "tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    // the unsalted single-window reference the oracle also replays
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__s").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("__s", score).withColumn("__t", toks)
+      .filter(col("__t") >= 1)
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .filter(col("__cum") <= 800L)
+      .select(col("source"), col("doc_id"), col("__t"), col("__cum"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == ref)
+    // each source's selected tokens fit the budget, and selection is
+    // partial (the budget actually binds on this corpus)
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.values.forall(_.map(_._3).sum <= 800L))
+    assert(got.size < docs.filter(col("text").isNotNull).count())
+    // degenerate salting changes nothing
+    val one = Curation.budgetSelect(docs, "source", "doc_id", score, toks,
+        budget = 800L, salts = 1)
+      .select("source", "doc_id", "tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(one == got)
+  }
+
   test("quantileNormalize: pooled percentile_disc mapping, seeded replay") {
     // hand case: group a = {10, 20}, group b = {30, 40}; pooled sorted
     // = [10, 20, 30, 40], N = 4. a's rank-1 of 2 -> p = ceil(1*4/2) = 2

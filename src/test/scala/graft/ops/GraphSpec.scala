@@ -159,6 +159,44 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("negative"), e2.getMessage)
   }
 
+  test("appendToWeightedEdgeIndex ≡ rebuild over the union, row-for-row " +
+    "(weights, totals, sentinels); overflow bound re-checks on append") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    def edges(f: org.apache.spark.sql.DataFrame) = f
+      .select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst"))
+      .unionAll(f.select(($"l_partkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst")))
+      .withColumn("w", lit(1L))
+    def rows(t: String) = spark.table(t)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    try {
+      Graph.writeWeightedEdgeIndex(edges(li.filter($"l_orderkey" % 7 =!= 0)),
+        "src", "dst", "w", "wpr_app", buckets = 4)
+      Graph.appendToWeightedEdgeIndex(edges(li.filter($"l_orderkey" % 7 === 0)),
+        "src", "dst", "w", "wpr_app", buckets = 4)
+      Graph.writeWeightedEdgeIndex(edges(li), "src", "dst", "w",
+        "wpr_whole", buckets = 4)
+      val (app, whole) = (rows("wpr_app"), rows("wpr_whole"))
+      assert(app == whole && app.nonEmpty)
+      // batch weights ADD to stored weights (multigraph semantics):
+      // re-appending the same batch doubles exactly its edges' w
+      val batch = edges(li.filter($"l_orderkey" % 7 === 0))
+      Graph.appendToWeightedEdgeIndex(batch, "src", "dst", "w",
+        "wpr_app", buckets = 4)
+      Graph.writeWeightedEdgeIndex(edges(li).unionByName(batch),
+        "src", "dst", "w", "wpr_twice", buckets = 4)
+      assert(rows("wpr_app") == rows("wpr_twice"))
+      // a batch that pushes max(w) past the 2^63 envelope REFUSES
+      val huge = Seq((1L, 2L, 1L << 33)).toDF("src", "dst", "w")
+      val e = intercept[IllegalArgumentException] {
+        Graph.appendToWeightedEdgeIndex(huge, "src", "dst", "w",
+          "wpr_app", buckets = 4)
+      }
+      assert(e.getMessage.contains("overflow"), e.getMessage)
+    } finally Seq("wpr_app", "wpr_whole", "wpr_twice").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pageRankFromIndex iteration joins shuffle ONLY the rank side") {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

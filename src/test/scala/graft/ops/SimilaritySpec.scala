@@ -372,6 +372,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(pairsFromIndex.nonEmpty && pairsFromIndex == brute)
   }
 
+  test("ivfHardNegativesFromIndex: band-filtered re-rank of the full " +
+    "probed-cell candidate list; every row in-band") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = s"/tmp/graft-test-sim/hardneg-${System.nanoTime()}"
+    Similarity.writeIndex(fixture, dir, nCells = 16)
+    val pred = col("vec_id") % 10 === 0
+    val (lo, hi) = (0.2, 0.4)
+    val hard = Similarity.ivfHardNegativesFromIndex(spark, dir, pred,
+      k = 5, nProbe = 2, lo = lo, hi = hi)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(hard.nonEmpty)
+    assert(hard.forall(t => t._4 >= lo && t._4 < hi), "out-of-band row")
+    // expected = the FULL candidate ranking (k = corpus size reaches
+    // every probed-cell candidate), band-filtered, re-ranked, top 5.
+    // (Band boundaries sit far from any rounded sim in this fixture, so
+    // filtering the rounded output is equivalent; the DuckDB oracle
+    // checks the unrounded contract.)
+    val n = fixture.count().toInt
+    val full = Similarity.ivfTopKFromIndex(spark, dir, pred, k = n, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    val expect = full.filter(t => t._3 >= lo && t._3 < hi)
+      .groupBy(_._1).toSeq.flatMap { case (_, cs) =>
+        cs.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((q, nb, s), i) => (q, (i + 1).toLong, nb, s) }
+      }.sorted
+    assert(hard.sorted == expect)
+  }
+
   test("index serving prunes the corpus scan to the probed cells") {
     // 3 orthogonal clusters -> 3 well-separated KMeans cells; a single
     // query probing 1 cell must push a literal partition filter so the
