@@ -171,7 +171,7 @@ object Graph {
 
   /** Re-place the fused relation by src and sort within partitions —
     * the build-once layout the SMJ iteration path streams against. */
-  private def placedBySrc(degERaw: DataFrame): DataFrame =
+  private[graft] def placedBySrc(degERaw: DataFrame): DataFrame =
     degERaw.repartition(col("src")).sortWithinPartitions(col("src"))
 
   /** Write the fused edge relation ONCE as a bucketed, bucket-sorted
@@ -305,16 +305,35 @@ object Graph {
     * the bound analysis). */
   def writeWeightedEdgeIndex(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(wCol).cast("long").as("w"))
-      .repartition(col("src"))
+    val rel = buildWeightedRelation(edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), col(wCol).cast("long").as("w")))
+      .localCheckpoint() // stats pass + bucketed write share one compute
+    requireWeightedBound(rel)
+    graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
+      tableName, "src", buckets, Some("src"))
+  }
+
+  /** The fused weighted relation from raw (src, dst, w) edges:
+    * duplicates pre-summed, per-src totals alongside, node sentinels
+    * (w = 0, sw = MaxValue) keeping every endpoint in the rank vector.
+    * Shared by the index build and the streaming read-side merge
+    * ([[graft.streaming.StreamSink.readWeightedPageRank]]). */
+  private[graft] def buildWeightedRelation(edges: DataFrame): DataFrame = {
+    val e = edges.repartition(col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val rel = e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
+    e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("w"), lit(Long.MaxValue).as("sw")))
-      .localCheckpoint() // stats pass + bucketed write share one compute
+  }
+
+  /** The build/read-time overflow gate: one metadata-sized aggregation
+    * over an already-materialized relation; REFUSES relations whose
+    * max(w)·|V|·SCALE envelope can wrap 2^63 and rejects negative
+    * weights. Shared by every path that hands a weighted relation to
+    * the fixed-point walk. */
+  private[graft] def requireWeightedBound(rel: DataFrame): Unit = {
     val st = rel.agg(max(col("w")).as("maxW"), min(col("w")).as("minW"),
       countDistinct(col("src")).as("nv")).head()
     if (!st.isNullAt(0)) { // empty edge set has nothing to overflow
@@ -327,8 +346,6 @@ object Graph {
           s"overflow the 64-bit fixed-point update (bound $bound >= 2^63); " +
           "rescale the weights (only w/sw ratios matter to the walk)")
     }
-    graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
-      tableName, "src", buckets, Some("src"))
   }
 
   /** Incremental maintenance for [[writeWeightedEdgeIndex]] — the
@@ -383,11 +400,20 @@ object Graph {
     * unweighted family is the w≡1 member of this one. */
   def weightedPageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
       tableName: String, iterations: Int, alphaNum: Long = 85L,
+      checkpointInterval: Int = 8): DataFrame =
+    weightedPageRankOverRelation(spark.table(tableName), iterations,
+      alphaNum, checkpointInterval)
+
+  /** The fixed-point walk over ANY prepared weighted relation (the
+    * [[buildWeightedRelation]] shape) — the placed bucketed table is
+    * the durable caller; the streaming read-side merge hands in its
+    * localCheckpointed base∪landings relation. */
+  private[graft] def weightedPageRankOverRelation(wE: DataFrame,
+      iterations: Int, alphaNum: Long = 85L,
       checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
     val teleport = (100L - alphaNum) * SCALE / 100L
-    val wE = spark.table(tableName)
     var ranks = wE.filter(col("sw") === Long.MaxValue)
       .select(col("src").as("node")).withColumn("u", lit(SCALE))
     for (i <- 1 to iterations) {

@@ -1412,7 +1412,8 @@ object Similarity {
     * samples, so the whole composition is SQL-replayable and the
     * declared query (q74) hash-checks it end to end. */
   def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 0,
-      nProbe: Int = 2, m: Int = 8, ks: Int = 16): DataFrame = {
+      nProbe: Int = 2, m: Int = 8, ks: Int = 16,
+      sorted: Boolean = true): DataFrame = {
     val e = withNorm(emb).filter(col("nrm") > 0)
     val cents = collectCentroids(e, resolveCells(e, nCells))
     val cb = collectPqCodebook(e, m, ks)
@@ -1431,7 +1432,7 @@ object Similarity {
             (s, c) => struct((-s).as("negsim"), c.as("cid")))), 1, nProbe),
           x => x("cid"))).as("cell"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    corpus.join(broadcast(probes), "cell")
+    val topK = corpus.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       // ADC: Σ_j tabs[j][codes[j]] — the compiled left fold (AdcDistance);
       // this runs once per CANDIDATE, the multiplied hot path
@@ -1440,6 +1441,45 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
         round(col("adist"), 6).as("adist"))
+    // a consumer that re-ranks the list (ivfPqRerank) passes
+    // sorted=false — the serving sort would survive as a mid-plan range
+    // exchange (the q107/rrfFuse finding)
+    if (sorted) topK.orderBy("qid", "rnk") else topK
+  }
+
+  /** Two-stage PQ serving — ADC shortlist, EXACT re-rank: the standard
+    * production repair for ADC's quantization error (Jégou et al.'s
+    * IVFADC+R shape). Stage 1 is [[ivfPqTopK]] with k = `r` (the
+    * compressed-domain scan that never touches raw vectors); stage 2
+    * fetches true vectors for ONLY the |queries|·r shortlist rows —
+    * two id-equi point-lookup joins, vec_id-bucketed state at lake
+    * scale — recomputes exact cosine, and keeps the top `k`
+    * (sim DESC, id ASC).
+    *
+    * Exactness anchor (spec-asserted): with r = corpus size the
+    * shortlist is every probed-cell candidate, so the re-rank
+    * degenerates bit-equal to [[ivfTopK]] — the re-rank stage IS exact
+    * search restricted to the shortlist, and `r` is the single knob
+    * trading ADC recall loss against raw-vector fetches. */
+  def ivfPqRerank(emb: DataFrame, queryPred: Column, k: Int, r: Int,
+      nCells: Int = 0, nProbe: Int = 2, m: Int = 8,
+      ks: Int = 16): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be at least k=$k")
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val shortlist = ivfPqTopK(emb, queryPred, r, nCells, nProbe, m, ks,
+      sorted = false).select(col("qid"), col("neighbor"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    shortlist
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "qid")
+      .join(e.select(col("vec_id").as("neighbor"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "neighbor")
+      .withColumn("sim", cosine(col("qv"), col("qnrm"), col("cv"), col("cnrm")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("neighbor"),
+        round(col("sim"), 6).as("sim"))
       .orderBy("qid", "rnk")
   }
 

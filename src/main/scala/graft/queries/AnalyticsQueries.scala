@@ -3791,6 +3791,57 @@ object AnalyticsQueries {
       "folded mid-stream by the landing OPTIMIZE; base + landings " +
       "serve the same top-5 as the from-scratch mine")
 
+  // q214: EXACTLY-ONCE STREAMING weighted-edge index maintenance (the
+  // TWENTY-THIRD streaming query — q204/q211's streaming twin, the
+  // q210 pattern on the graph family): base weighted index built over
+  // l_orderkey % 7 != 0, the rest STREAMS in as micro-batches (slices
+  // cut by l_orderkey % 3 — weights sum per row, so unlike baskets ANY
+  // batch split is valid), each batch's (src, dst, Σw) partial landed
+  // idempotently in batch=<id>, compaction cadence ON mid-stream.
+  // Serve = base ∪ landings re-summed through the shared relation
+  // builder + the 5-iteration walk, equal to the whole-corpus q204
+  // walk — shares its oracle, so the compare proves batch-split AND
+  // fold invariance at once.
+  private val q214 = Q(
+    (s, dir) => {
+      val scratch = s"${Queries.scratchRoot}/q214-wedges"
+      val root = new org.apache.hadoop.fs.Path(scratch)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val li = table(s, dir, "lineitem")
+      val baseTbl = "wedges_q214_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(baseTbl))
+        graft.ops.Graph.writeWeightedEdgeIndex(
+          li.filter(col("l_orderkey") % 7 =!= 0)
+            .select((col("l_suppkey") * 2 + 1).as("src"),
+              (col("l_partkey") * 2).as("dst"))
+            .unionAll(li.filter(col("l_orderkey") % 7 =!= 0)
+              .select((col("l_partkey") * 2).as("src"),
+                (col("l_suppkey") * 2 + 1).as("dst")))
+            .withColumn("w", lit(1L)),
+          "src", "dst", "w", baseTbl, buckets = 8)
+      val staged = Queries.stagedTableStreamSplitBy(s, dir, "q214",
+          "lineitem", "l_orderkey", nFiles = 3)
+        .filter(col("l_orderkey") % 7 === 0)
+      val edgeStream = staged
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst"))
+        .unionByName(staged.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")))
+        .withColumn("w", lit(1L))
+      val q = graft.streaming.StreamSink.toWeightedEdges(edgeStream,
+        s"$scratch/landings", s"$scratch/ckpt", "src", "dst", "w",
+        compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      graft.streaming.StreamSink.readWeightedPageRank(s, baseTbl,
+          s"$scratch/landings", iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100)
+    },
+    q204.oracle,
+    "Exactly-once streaming weighted-edge maintenance: micro-batches " +
+      "land idempotent per-edge weight-sum partials (any batch split " +
+      "is valid — weights sum per row), folded mid-stream; base + " +
+      "landings serve the same weighted walk as the whole-corpus mine")
+
   /** Exact per-day ROC-AUC ([[graft.ops.Eval.rocAuc]] — Mann–Whitney
     * rank statistic with average-rank tie correction, all integer/
     * decimal arithmetic, ppm report): does the event value score
@@ -4674,6 +4725,7 @@ object AnalyticsQueries {
     "q200_personalized_pagerank" -> q200,
     "q204_weighted_pagerank" -> q204,
     "q211_weighted_edge_append" -> q211,
+    "q214_stream_wedge_index" -> q214,
     "q104_cohort_retention" -> q104,
     "q103_pit_join" -> q103,
     "q102_kmv_distinct" -> q102,

@@ -878,6 +878,42 @@ object TrainingDataQueries {
       "codebook sidecars, ADC top-k served partition-pruned with no " +
       "raw-vector access — full vectors needed at index time only")
 
+  /** ADC shortlist CTE (`sr` = top-`r` per qid by ADC distance over a
+    * candidate CTE) — [[duckAdcRank]]'s scoring without the final
+    * readout, feeding q215's exact re-rank. */
+  private def duckAdcShortlist(cand: String, r: Int) =
+    s", p2 AS (SELECT t.qid, t.neighbor, " +
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    "list_transform(range(8), j -> q.tabs[j+1][c.codes[j+1]+1])), (a,b) -> a+b) AS adist " +
+    s"FROM $cand t JOIN encl c ON t.neighbor = c.vec_id JOIN qtl q ON t.qid = q.qid), " +
+    "sr AS (SELECT qid, neighbor FROM (SELECT qid, neighbor, " +
+    "row_number() OVER (PARTITION BY qid ORDER BY adist, neighbor) AS rnk " +
+    s"FROM p2) WHERE rnk <= $r)"
+
+  // q215: two-stage PQ serving — ADC shortlist (r=25), EXACT re-rank
+  // (the IVFADC+R production shape): stage 1 is q74's compressed-domain
+  // scan, stage 2 fetches true vectors for only the shortlist rows and
+  // re-ranks by exact cosine. `r` is the single knob trading ADC
+  // quantization error against raw-vector fetches; with r = corpus the
+  // re-rank degenerates bit-equal to plain exact IVF (spec-asserted).
+  private val q215 = Q(
+    (s, dir) => Similarity.ivfPqRerank(table(s, dir, "embeddings"),
+      col("vec_id") % 10 === 0, k = 5, r = 25, nCells = 16, nProbe = 2,
+      m = 8, ks = 16),
+    Some(Queries.duckEmb + duckIvfAssign + duckPq +
+      ", cand AS (SELECT p.qid, a.vec_id AS neighbor FROM probes p " +
+      "JOIN asg a ON p.cell = a.cell WHERE a.vec_id <> p.qid)" +
+      duckAdcShortlist("cand", r = 25) +
+      s", ex AS (SELECT sr.qid, sr.neighbor, ${ddot("q.v", "c.v")}/(q.nrm*c.nrm) AS sim " +
+      "FROM sr JOIN n q ON q.vec_id = sr.qid JOIN n c ON c.vec_id = sr.neighbor), " +
+      "fr AS (SELECT qid, neighbor, sim, CAST(row_number() OVER " +
+      "(PARTITION BY qid ORDER BY sim DESC, neighbor) AS BIGINT) AS rnk FROM ex) " +
+      "SELECT qid, rnk, neighbor, " + dround6("sim") + " AS sim " +
+      "FROM fr WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "Two-stage PQ serving: in-cell ADC shortlist (top-25), exact-cosine " +
+      "re-rank of only the shortlist — the IVFADC+R repair for ADC " +
+      "quantization error at a bounded raw-vector-fetch cost")
+
   // q73: corpus-statistics LM quality score. Mean bigram probability
   // instead of log-perplexity ON PURPOSE: ln() is not bit-portable
   // across engines, +,x,/ are — and the per-doc sum folds a
@@ -1697,6 +1733,7 @@ object TrainingDataQueries {
     "q208_beam_serve" -> q208,
     "q209_beam_append" -> q209,
     "q212_hard_negatives" -> q212,
+    "q215_pq_rerank" -> q215,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

@@ -385,6 +385,84 @@ object StreamSink {
       df.groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc")))
   }
 
+  /** Exactly-once streaming weighted-edge index maintenance — the
+    * [[toCoVisitPairs]] convention on the graph family
+    * ([[graft.ops.Graph.writeWeightedEdgeIndex]] kept live as edge
+    * observations stream in): each micro-batch collapses to its own
+    * per-(src, dst) weight-sum partial and lands in a `batch=<id>`
+    * partition via the idempotent [[landBatch]] rename, so a replayed
+    * batch overwrites its own landing instead of double-counting — the
+    * additive-delta trap [[graft.ops.Graph.appendToWeightedEdgeIndex]]'s
+    * read-modify-write merge has under replay. Weights are distributive
+    * sums PER ROW, so unlike baskets there is NO cross-batch contract:
+    * any split of the edge log into micro-batches sums back to the same
+    * totals ([[readWeightedPageRank]] proves it against the whole-corpus
+    * oracle; [[maybeCompact]]-fold-invariant too). */
+  def toWeightedEdges(stream: DataFrame, path: String, checkpoint: String,
+      srcCol: String, dstCol: String, wCol: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          landBatch(batch.select(col(srcCol).cast("long").as("src"),
+              col(dstCol).cast("long").as("dst"),
+              col(wCol).cast("long").as("w"))
+            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+            path, batchId)
+        maybeCompact(compactEvery, batchId)(
+          compactWeightedEdges(batch.sparkSession, path))
+      }
+      .start()
+  }
+
+  /** The weighted walk over the durable edge index PLUS the live
+    * [[toWeightedEdges]] landings: base edge rows (sentinels dropped —
+    * they re-derive from the merged endpoints) and landed partials sum
+    * per (src, dst), totals and sentinels rebuild via the shared
+    * relation builder, the merged relation materializes ONCE
+    * (localCheckpoint — five iterations must not re-aggregate
+    * base∪landings five times) and re-checks the overflow bound (landed
+    * deltas could breach what the base build admitted). Equal to
+    * [[graft.ops.Graph.weightedPageRankFromIndex]] over a from-scratch
+    * index of everything ever admitted. A missing landing path serves
+    * the base index alone. */
+  def readWeightedPageRank(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, landPath: String, iterations: Int,
+      alphaNum: Long = 85L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val baseEdges = spark.table(baseTable)
+      .filter(col("sw") =!= Long.MaxValue)
+      .select(col("src"), col("dst"), col("w"))
+    val edges = graft.io.Landings.readLandings(spark, landPath) match {
+      case Some(l) => baseEdges.unionByName(l.drop("batch"))
+      case None => baseEdges
+    }
+    // place by src BEFORE the pin: localCheckpoint preserves the
+    // partitioning/ordering it captures, so all `iterations` SMJ rounds
+    // stream against the placed relation with ZERO edge-side exchanges —
+    // the property the bucketed table gives the durable path, bought
+    // here with one exchange instead of one per iteration
+    val rel = graft.ops.Graph.placedBySrc(
+      graft.ops.Graph.buildWeightedRelation(edges)).localCheckpoint()
+    graft.ops.Graph.requireWeightedBound(rel)
+    graft.ops.Graph.weightedPageRankOverRelation(rel, iterations, alphaNum)
+  }
+
+  /** Landing `OPTIMIZE` for [[toWeightedEdges]] partials: fold every
+    * landed (src, dst, w) partial into ONE summed generation —
+    * [[readWeightedPageRank]] is fold-invariant because edge weights
+    * are distributive sums. */
+  def compactWeightedEdges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.compactLandings(spark, path, reduce = df =>
+      df.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+  }
+
   /** The live per-key trend from a [[toTrendStats]] landing: moment
     * sums over the batch partitions, then the exact rational fit —
     * same row schema as a direct [[graft.ops.TimeSeries

@@ -91,6 +91,68 @@ object MaintProbe {
         .orderBy(col("part"), col("cooc").desc, col("rec")).count()
     }
     spark.sql("DROP TABLE IF EXISTS maint_covisit")
+
+    // ---- q211 stages (weighted-edge append) -------------------------
+    def edgesOf(f: org.apache.spark.sql.DataFrame) = f
+      .select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      .unionAll(f.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")))
+      .withColumn("w", lit(1L))
+    val baseE = edgesOf(li.filter(col("l_orderkey") % 7 =!= 0))
+    val batchE = edgesOf(li.filter(col("l_orderkey") % 7 === 0))
+    min3("q211 build(base 6/7 wedges)") {
+      graft.ops.Graph.writeWeightedEdgeIndex(baseE, "src", "dst", "w",
+        "maint_wedge", buckets = 8)
+    }
+    var m211a = Double.MaxValue
+    for (_ <- 1 to 3) {
+      graft.ops.Graph.writeWeightedEdgeIndex(baseE, "src", "dst", "w",
+        "maint_wedge", buckets = 8)
+      m211a = math.min(m211a, t(graft.ops.Graph.appendToWeightedEdgeIndex(
+        batchE, "src", "dst", "w", "maint_wedge", buckets = 8)))
+    }
+    println(f"[maint] q211 append(1/7 batch)            $m211a%7.3f s")
+    min3("q211 walk(5 iter + top100)") {
+      graft.ops.Graph.weightedPageRankFromIndex(spark, "maint_wedge",
+          iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_wedge")
+
+    // ---- q214 stages (streaming weighted edges) ----------------------
+    min3("q214 base build") {
+      graft.ops.Graph.writeWeightedEdgeIndex(baseE, "src", "dst", "w",
+        "maint_wedge14", buckets = 8)
+    }
+    min3("q214 staging (3 slices)") {
+      graft.queries.Queries.stagedTableStreamSplitBy(spark, dir,
+        "maintprobe-q214", "lineitem", "l_orderkey", nFiles = 3)
+    }
+    val w14root = "/dev/shm/graft-scratch/maintprobe-q214-land"
+    min3("q214 stream (3 batches + fold)") {
+      val p = new org.apache.hadoop.fs.Path(w14root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val staged = graft.queries.Queries.stagedTableStreamSplitBy(spark, dir,
+        "maintprobe-q214", "lineitem", "l_orderkey", nFiles = 3)
+        .filter(col("l_orderkey") % 7 === 0)
+      val edgeStream = staged
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst"))
+        .unionByName(staged.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")))
+        .withColumn("w", lit(1L))
+      val q = graft.streaming.StreamSink.toWeightedEdges(edgeStream,
+        s"$w14root/landings", s"$w14root/ckpt", "src", "dst", "w",
+        compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+    }
+    min3("q214 serve (walk over base+landings)") {
+      graft.streaming.StreamSink.readWeightedPageRank(spark,
+          "maint_wedge14", s"$w14root/landings", iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_wedge14")
     spark.stop()
   }
 }

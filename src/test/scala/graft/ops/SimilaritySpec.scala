@@ -402,6 +402,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(hard.sorted == expect)
   }
 
+  test("ivfPqRerank: r = corpus size degenerates bit-equal to exact IVF; " +
+    "re-rank never hurts shortlist recall") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val n = fixture.count().toInt
+    // shortlist = every probed-cell candidate -> exact re-rank IS exact
+    // IVF over the same probe set (same cells, same tie-breaks)
+    val rr = Similarity.ivfPqRerank(fixture, pred, k = 5, r = n,
+        nCells = 16, nProbe = 2, m = 8, ks = 16)
+      .collect().map(_.toSeq).toSeq
+    val exact = Similarity.ivfTopK(fixture, pred, k = 5, nCells = 16,
+        nProbe = 2).collect().map(_.toSeq).toSeq
+    assert(rr == exact && rr.nonEmpty)
+    // at a working shortlist size the result is exact over the
+    // shortlist: every returned neighbor must come from the ADC top-25
+    val short = Similarity.ivfPqTopK(fixture, pred, k = 25, nCells = 16,
+        nProbe = 2, m = 8, ks = 16)
+      .select(col("qid"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val rr25 = Similarity.ivfPqRerank(fixture, pred, k = 5, r = 25,
+      nCells = 16, nProbe = 2, m = 8, ks = 16)
+    val pairs = rr25.select(col("qid"), col("neighbor"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty && pairs.forall(short.contains))
+    // sims are exact cosines in descending order per query
+    val byQ = rr25.select(col("qid"), col("rnk"), col("sim"))
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQ.values.forall { rows =>
+      val sims = rows.sortBy(_._2).map(_._3).toSeq
+      sims == sims.sorted.reverse
+    })
+  }
+
   test("index serving prunes the corpus scan to the probed cells") {
     // 3 orthogonal clusters -> 3 well-separated KMeans cells; a single
     // query probing 1 cell must push a literal partition filter so the

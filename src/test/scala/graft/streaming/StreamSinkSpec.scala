@@ -248,6 +248,52 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS covisit_stream_spec")
   }
 
+  test("toWeightedEdges protocol: base + landed batches serve the " +
+    "from-scratch weighted walk under an ARBITRARY batch split; replay " +
+    "idempotent; fold-invariant; no landings = base alone") {
+    import graft.ops.Graph
+    val root = Files.createTempDirectory("graft-westream").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    def edges(f: org.apache.spark.sql.DataFrame) = f
+      .select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+      .unionAll(f.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")))
+      .withColumn("w", lit(1L))
+    val land = s"$root/landings"
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    try {
+      Graph.writeWeightedEdgeIndex(edges(li.filter(col("l_orderkey") % 3 === 0)),
+        "src", "dst", "w", "wedge_stream_spec", buckets = 4)
+      def served = ranks(StreamSink.readWeightedPageRank(spark,
+        "wedge_stream_spec", land, iterations = 3))
+      // nothing streamed yet: the base index serves alone
+      val baseDirect = ranks(Graph.weightedPageRankFromIndex(spark,
+        "wedge_stream_spec", iterations = 3))
+      assert(served == baseDirect && served.nonEmpty)
+      // batches cut by LINE NUMBER — they split orders mid-basket, which
+      // is legal here (weights sum per ROW, no cross-batch contract)
+      val rest = li.filter(col("l_orderkey") % 3 =!= 0)
+      def partial(b: org.apache.spark.sql.DataFrame) = edges(b)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      StreamSink.landBatch(partial(rest.filter(col("l_linenumber") % 2 === 0)),
+        land, 0L)
+      StreamSink.landBatch(partial(rest.filter(col("l_linenumber") % 2 === 1)),
+        land, 1L)
+      StreamSink.landBatch(partial(rest.filter(col("l_linenumber") % 2 === 1)),
+        land, 1L) // replay overwrites its own landing, never double-counts
+      Graph.writeWeightedEdgeIndex(edges(li), "src", "dst", "w",
+        "wedge_stream_whole", buckets = 4)
+      val full = ranks(Graph.weightedPageRankFromIndex(spark,
+        "wedge_stream_whole", iterations = 3))
+      assert(served == full && full.nonEmpty)
+      // landing OPTIMIZE: the fold changes the layout, never the serve
+      assert(StreamSink.compactWeightedEdges(spark, land))
+      assert(served == full)
+    } finally Seq("wedge_stream_spec", "wedge_stream_whole").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("toIvfLandings protocol: base + landed batches serve the from-scratch pair set; replay idempotent; no landings = base alone") {
     import graft.ops.Similarity
     val root = Files.createTempDirectory("graft-ivfstream").toString
