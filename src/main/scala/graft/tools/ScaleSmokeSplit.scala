@@ -32,12 +32,17 @@ object ScaleSmokeSplit {
   private val splitList = Seq("q105_pagerank_index",
     "q200_personalized_pagerank", "q204_weighted_pagerank",
     "q207_covisit_serve", "q208_beam_serve",
-    // the two r17 maintainers re-run their full maintenance cycle on
-    // BOTH calls (q209 rebuilds+appends per run by declaration; q210
-    // restages+restreams, only its base index is first-touch), so for
-    // them first≈serve and the serve_ratio IS the maintenance-cycle
-    // wall ratio at scale
-    "q209_beam_append", "q210_stream_covisit_index")
+    // the maintainers re-run their full maintenance cycle on BOTH
+    // calls (q209/q211 rebuild+append per run by declaration;
+    // q210/q214 restage+restream, only their base index is
+    // first-touch), so for them first≈serve and the serve_ratio IS the
+    // maintenance-cycle wall ratio at scale
+    "q209_beam_append", "q210_stream_covisit_index",
+    "q211_weighted_edge_append", "q214_stream_wedge_index",
+    // serve-shape additions (r17 session 2): q212 first-touch builds
+    // the IVF index then serves the band top-k; q213/q215 are
+    // in-session (window prefix-sum / ADC shortlist + re-rank)
+    "q212_hard_negatives", "q213_budget_select", "q215_pq_rerank")
   private val pushList = Seq("q105_pagerank_index",
     "q204_weighted_pagerank", "q207_covisit_serve")
   private val intendedNlj = Set("q208_beam_serve", "q209_beam_append")
@@ -155,7 +160,12 @@ object ScaleSmokeSplit {
     val work = s"$workRoot-x$factor"
     synthesize(work, factor, Seq(
       "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
-      "embeddings" -> Seq("vec_id")))
+      "embeddings" -> Seq("vec_id"),
+      // q213 reads documents; ids offset, text carried as-is — sources
+      // repeat so each group gets f× rows while the budget keeps the
+      // OUTPUT fixed (≤ budget tokens per source): the smoke measures
+      // linear scan work against deliberately sub-linear output
+      "documents" -> Seq("doc_id")))
     val main = rows(splitList, work, factor)
 
     val pushJson =
