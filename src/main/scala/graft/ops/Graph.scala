@@ -305,9 +305,13 @@ object Graph {
     * the bound analysis). */
   def writeWeightedEdgeIndex(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
+    // EAGER checkpoint: stats pass + bucketed write share one compute,
+    // AND [[appendToWeightedEdgeIndex]] depends on the materialization
+    // happening BEFORE writeBucketed drops the table its input reads —
+    // do not make this lazy
     val rel = buildWeightedRelation(edges.select(col(srcCol).as("src"),
         col(dstCol).as("dst"), col(wCol).cast("long").as("w")))
-      .localCheckpoint() // stats pass + bucketed write share one compute
+      .localCheckpoint()
     requireWeightedBound(rel)
     graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
       tableName, "src", buckets, Some("src"))
@@ -376,13 +380,16 @@ object Graph {
   def appendToWeightedEdgeIndex(newEdges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
     val spark = newEdges.sparkSession
-    // materialize the stored edges BEFORE writeWeightedEdgeIndex drops
-    // the table they are read from (sentinel rows carry sw=MaxValue and
-    // re-derive from endpoints, so only true edge rows feed the merge)
+    // sentinel rows carry sw=MaxValue and re-derive from endpoints, so
+    // only true edge rows feed the merge. No checkpoint needed here:
+    // writeWeightedEdgeIndex EAGERLY checkpoints the merged relation
+    // (its stats pass depends on it) BEFORE writeBucketed drops the
+    // table this plan reads — a second materialization of the old
+    // edges would be a pure extra pass (GraphSpec's append≡rebuild
+    // property guards the read-before-drop ordering).
     val oldEdges = spark.table(tableName)
       .filter(col("sw") =!= Long.MaxValue)
       .select(col("src"), col("dst"), col("w"))
-      .localCheckpoint()
     val delta = newEdges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
     writeWeightedEdgeIndex(oldEdges.unionByName(delta), "src", "dst", "w",
