@@ -995,6 +995,20 @@ object Similarity {
       pruneScan = pruneScan, sorted = sorted, simBand = Some((lo, hi)))
   }
 
+  /** Public (vec_id, cell) assignment under the deterministic sample
+    * codebook — the clustering signal for cluster-BALANCED curation
+    * ([[graft.ops.Curation]] composes it with per-cell top-k to pick a
+    * diverse corpus slice) and any other consumer that wants the IVF
+    * geometry without a search. One stateless projection per row
+    * (nCells compiled dots against the plan-literal codebook), no
+    * shuffle; the same assignment the IVF search/index family uses, so
+    * it is SQL-replayable by the shared oracle CTEs. */
+  def cellAssignments(emb: DataFrame, nCells: Int = 0): DataFrame = {
+    val e = withNorm(emb).filter(col("nrm") > 0)
+    val cents = collectCentroids(e, resolveCells(e, nCells))
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+  }
+
   private def emptyPairs(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("ida"), col("id").as("idb"),
       col("id").cast("double").as("sim"))

@@ -435,6 +435,41 @@ object TrainingDataQueries {
       "but not near-dup, the contrastive-training-pair generator at " +
       "one serve's cost")
 
+  // q216: CLUSTER-BALANCED curation — the diversity-aware selection
+  // step (the SemDeDup-paper companion move: dedup removes redundancy,
+  // cluster-balanced sampling keeps COVERAGE): assign every document's
+  // embedding to its IVF cell, keep the top-10 docs per cell by text
+  // quality. Crosses the two modalities the engine already serves —
+  // embedding geometry picks the strata, text quality ranks within —
+  // via the salted two-phase top-k (q67's operator), so no single-task
+  // cell sort at 100 TB. doc_id and vec_id share the id space
+  // (TESTDATA: one embedding per document; the q107 contract).
+  private val q216 = Q(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("score"))
+      val cells = Similarity.cellAssignments(
+        table(s, dir, "embeddings"), nCells = 16)
+      val joined = cells.join(docs,
+        cells("vec_id") === docs("doc_id")).drop("vec_id")
+      graft.ops.Curation.capPerGroup(joined, "cell", "doc_id",
+          col("score"), k = 10)
+        .select(col("cell"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("cell", "rnk")
+    },
+    Some(Queries.duckEmb + duckIvfAssign +
+      ", sc AS (SELECT a.cell, d.doc_id, " + Queries.duckQualityScore +
+      " AS score FROM asg a JOIN documents d ON d.doc_id = a.vec_id), " +
+      "r AS (SELECT cell, doc_id, score, CAST(row_number() OVER " +
+      "(PARTITION BY cell ORDER BY score DESC, doc_id) AS BIGINT) AS rnk " +
+      "FROM sc) " +
+      "SELECT cell, rnk, doc_id, score FROM r WHERE rnk <= 10 " +
+      "ORDER BY cell, rnk"),
+    "Cluster-balanced curation: top-10 docs per embedding cluster by " +
+      "text quality — geometry picks the strata, quality ranks within; " +
+      "the coverage-preserving selection that complements dedup")
+
   // q55: the same recall metric over the deterministic sample codebook —
   // the zero-training member of the recall family (q54 trains its cells).
   private val q55 = Q(
@@ -1734,6 +1769,7 @@ object TrainingDataQueries {
     "q209_beam_append" -> q209,
     "q212_hard_negatives" -> q212,
     "q215_pq_rerank" -> q215,
+    "q216_diverse_sample" -> q216,
     "q56_ann_index_roundtrip" -> q56,
     "q57_pairs_index_roundtrip" -> q57,
     "q58_dedup_index_roundtrip" -> q58,

@@ -402,6 +402,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(hard.sorted == expect)
   }
 
+  test("cellAssignments: total (every nonzero-norm vector exactly once), " +
+    "cells drawn from the sample codebook, deterministic") {
+    val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = Similarity.cellAssignments(fixture, nCells = 16)
+      .as[(Long, Long)].collect().toSeq
+    val n = fixture.count()
+    assert(a.size == n && a.map(_._1).distinct.size == n.toInt)
+    // the codebook is the 16 lowest vec_ids, so cells are vector ids
+    val cells = a.map(_._2).distinct.sorted
+    val lowest16 = a.map(_._1).sorted.take(16).toSet
+    assert(cells.forall(lowest16.contains), cells.toString)
+    val b = Similarity.cellAssignments(fixture, nCells = 16)
+      .as[(Long, Long)].collect().toSeq
+    assert(a.sorted == b.sorted)
+  }
+
   test("ivfPqRerank: r = corpus size degenerates bit-equal to exact IVF; " +
     "re-rank never hurts shortlist recall") {
     val fixture = spark.read.parquet(s"$sf0001/embeddings.parquet")
