@@ -820,6 +820,65 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Line-level corpus dedup WITH document reconstitution — the
+    * CCNet/C4/Dolma cleaning pass that completes the exact-dedup family:
+    * where [[chunkExactDups]] *inventories* repeated passages, this
+    * operator *removes* them and re-emits the cleaned documents. Every
+    * document is segmented into non-overlapping `width`-word lines
+    * (tail-preserving, so reconstitution is lossless on clean text); a
+    * line appearing in ≥ `minDocs` distinct documents corpus-wide is
+    * boilerplate and dropped from ALL documents; the surviving lines are
+    * re-assembled in original intra-document order.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_dropped) — one row per input
+    * document, including documents whose every line was boilerplate
+    * (clean_text = "").
+    *
+    * Shape at scale (the 100 TB argument):
+    *  1. ONE posexplode — corpus tokens / width rows, each carrying its
+    *     ordinal so no later step needs the original text.
+    *  2. ONE hash aggregation keyed by line for the corpus-wide
+    *     distinct-doc count; map-side partial aggregation absorbs
+    *     within-partition repeats before the wire (collect_set, not
+    *     countDistinct — see [[chunkExactDups]]' Expand note).
+    *  3. The boilerplate set is only the duplicated tail of the line
+    *     distribution — orders of magnitude smaller than the corpus — so
+    *     the left join marking dropped lines is broadcast-sized in
+    *     practice (AQE converts it at runtime; a bloom semi-join is the
+    *     fallback if a pathological corpus defeats the size estimate).
+    *  4. Reconstitution is a per-document array_sort over that document's
+    *     own surviving lines (bounded by document length), inside one
+    *     hash aggregation keyed by doc_id — never a global sort.
+    * Production groups on a 128-bit line hash to keep shuffle keys
+    * fixed-width; the plain-text key keeps the operator SQL-replayable,
+    * and the two differ only when the hash collides. */
+  def lineDedupReconstitute(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(width >= 1, s"line width must be >= 1, got $width")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a line is boilerplate " +
+      s"only if shared across documents), got $minDocs")
+    graft.functions.CatalystExpressions.register(docs.sparkSession)
+    // WordWindows with stride = width is the TAIL-PRESERVING tiling
+    // (WordChunks drops a trailing short chunk — fine for inventory,
+    // lossy for reconstitution)
+    val tiles = call_function("graft_word_windows",
+      col(textCol), lit(width), lit(width))
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(tiles).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(size(collect_set(col("doc_id"))).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line").as("__boiler_line"))
+    lines.join(boiler, col("line") === col("__boiler_line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__boiler_line").isNull, struct(col("pos"), col("line"))))),
+          t => t.getField("line")), " ").as("clean_text"),
+        count(when(col("__boiler_line").isNull, 1)).as("n_kept"),
+        count(col("__boiler_line")).as("n_dropped"))
+  }
+
   /** Blocked fuzzy entity linkage: pairs of DISTINCT attribute values
     * within `1 ≤ levenshtein ≤ maxDist`, each annotated with how many
     * records carry it — the record-linkage / entity-resolution step

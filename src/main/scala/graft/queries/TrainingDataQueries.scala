@@ -1141,6 +1141,33 @@ object TrainingDataQueries {
       "candidates (content-defined, the MOSS guarantee), L-gram " +
       "diagonal-run verify on collisions only")
 
+  // q217: LINE-level corpus dedup WITH document reconstitution (the
+  // CCNet/C4/Dolma cleaning pass — VERDICT r17 #4): segment each document
+  // into non-overlapping 3-word lines (tail-preserving), count distinct
+  // documents per line corpus-wide, drop every line shared by >= 2
+  // documents from ALL documents, and re-emit the cleaned documents with
+  // intra-document line order preserved. Where q70 INVENTORIES repeated
+  // passages, q217 REMOVES them — the missing family member that actually
+  // produces cleaned training text.
+  private val q217 = Q(
+    (s, dir) => Dedup.lineDedupReconstitute(table(s, dir, "documents"),
+        "doc_id", "text", width = 3, minDocs = 2)
+      .orderBy("doc_id"),
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "lp AS (SELECT doc_id, unnest(range((len(ws)+2)//3)) AS pos, ws FROM w), " +
+      "l AS (SELECT doc_id, pos, array_to_string(ws[pos*3+1:pos*3+3], ' ') AS line FROM lp), " +
+      "b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2), " +
+      "k AS (SELECT doc_id, pos, l.line, (b.line IS NOT NULL) AS dropped " +
+      "FROM l LEFT JOIN b ON l.line = b.line) " +
+      "SELECT doc_id, coalesce(string_agg(CASE WHEN NOT dropped THEN line END, ' ' " +
+      "ORDER BY pos), '') AS clean_text, " +
+      "count(CASE WHEN NOT dropped THEN 1 END) AS n_kept, " +
+      "count(CASE WHEN dropped THEN 1 END) AS n_dropped " +
+      "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    "Line-level corpus dedup with document reconstitution (CCNet/C4 " +
+      "class): corpus-wide line counts, boilerplate lines dropped from " +
+      "all documents, cleaned documents re-emitted in original order")
+
   private val allTables = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -1778,6 +1805,7 @@ object TrainingDataQueries {
     "q197_stream_ivf" -> q197,
     "q198_kmeans" -> q198,
     "q199_substring_dedup" -> q199,
+    "q217_line_dedup" -> q217,
     "q61_dedup_index_append" -> q61,
     "q62_dedup_clusters" -> q62,
     "q63_dedup_survivors" -> q63,

@@ -610,4 +610,35 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(got.forall(_._3 >= 10L))
   }
+
+  test("lineDedupReconstitute: order preserved, threshold boundary exact, " +
+      "tail kept, fully-boilerplate doc re-emitted empty") {
+    // width=3 lines; "b1 b2 b3" planted in docs 1,2,3 (>= minDocs=2 ->
+    // dropped everywhere); "u1 u2 u3" appears only in doc 1 (kept: exactly
+    // minDocs-1 documents — the threshold boundary). Doc 1 interleaves
+    // boilerplate between unique lines so reconstitution order is
+    // observable; doc 3 is ONLY boilerplate; doc 4 has a 2-word tail.
+    val corpus = Seq(
+      1L -> "u1 u2 u3 b1 b2 b3 v1 v2 v3",
+      2L -> "w1 w2 w3 b1 b2 b3",
+      3L -> "b1 b2 b3",
+      4L -> "x1 x2 x3 t1 t2") // tail line "t1 t2" must survive intact
+    val out = Dedup.lineDedupReconstitute(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", width = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "u1 u2 u3 v1 v2 v3", 2L, 1L), // middle boilerplate excised, order kept
+      (2L, "w1 w2 w3", 1L, 1L),
+      (3L, "", 0L, 1L),                  // fully-boilerplate doc still present
+      (4L, "x1 x2 x3 t1 t2", 2L, 0L)))   // short tail preserved verbatim
+  }
+
+  test("lineDedupReconstitute is the identity on a corpus with no shared lines") {
+    val corpus = Seq(1L -> "a b c d e", 2L -> "f g h i j").toDF("doc_id", "text")
+    val out = Dedup.lineDedupReconstitute(corpus, "doc_id", "text",
+        width = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a b c d e", 2L, 0L), (2L, "f g h i j", 2L, 0L)))
+  }
 }
