@@ -154,6 +154,52 @@ object Landings {
         "live_min", "live_max", "servable")
   }
 
+  /** Retire the ENTIRE current serve set of a landing directory: commit
+    * a DATA-LESS `compact=<g>` generation whose manifest covers every
+    * member (old generation + all live batch ids), so readers serve
+    * NOTHING from this directory while a replayed covered batch stays
+    * ignored — deleting the directory outright would re-admit such a
+    * replay's rows, losing the landing protocol's exactly-once
+    * guarantee. This is the landing-side commit of the fold-into-base
+    * compaction ([[graft.streaming.StreamSink.compactCoVisitIntoIndex]]
+    * and kin): the data now lives in the base index, the manifest
+    * records that these landings must never serve again.
+    *
+    * Crash-safe like [[compactLandings]] (single atomic rename commits
+    * the covering generation; cleanup is idempotent GC). Returns false
+    * when there is nothing servable to retire. Single-maintainer,
+    * stream-quiescent discipline: a batch landing between the caller's
+    * fold and this commit would be retired UNFOLDED — call only after
+    * the stream is stopped or from the maintainer thread. */
+  def retireLandings(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val st = landingState(spark, path)
+    val genHasData = st.gen.exists { case (_, p) => hasParquetData(spark, p.toString) }
+    val liveHasData = st.live.exists { case (_, p) => hasParquetData(spark, p.toString) }
+    if (!genHasData && !liveHasData) return false // already retired / nothing servable
+    val g2 = math.max(st.live.map(_._1).foldLeft(0L)(math.max),
+      st.gen.map(_._1 + 1).getOrElse(0L))
+    val newCovered = st.covered ++ st.live.map(_._1)
+    val staging = new Path(root, s".staging-compact-$g2")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    val mf = fs.create(new Path(staging, "_covered.txt"), true)
+    try mf.write((newCovered.toSeq.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally mf.close()
+    val target = new Path(root, s"compact=$g2")
+    if (fs.exists(target)) fs.delete(target, true) // hand-damaged leftover
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"landing retirement commit failed: rename $staging -> $target")
+    // idempotent GC — covered members readers already ignore
+    st.gen.foreach { case (_, p) => fs.delete(p, true) }
+    st.live.foreach { case (_, p) => fs.delete(p, true) }
+    true
+  }
+
   /** Fold the current serve set into one `compact=<g>` generation —
     * the landing `OPTIMIZE`. `reduce` is an optional ALGEBRAIC merge
     * applied to the union before landing (cell-wise CM sums, moment

@@ -156,7 +156,10 @@ object Curation {
     * (score DESC, id ASC) within the group and selected while the
     * running token total stays ≤ `budget` — the greedy
     * quality-per-token rule, deterministic and SQL-replayable. Output
-    * keeps (id, group, score, tokens, cum_tokens).
+    * is EXACTLY (group, id, score, tokens, cum_tokens) — projected
+    * explicitly, so input columns never leak through, and input names
+    * that would collide with the output or the internal working
+    * columns are rejected up front (ADVICE r17 #3).
     *
     * Scale shape (the [[capPerGroup]] two-phase trick, adapted to a
     * prefix sum): a selected row's within-group rank is ≤ `budget`
@@ -173,6 +176,12 @@ object Curation {
       salts: Int = 16): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(salts > 0, "salts must be positive")
+    val reserved = Seq("score", "tokens", "cum_tokens",
+      "__score", "__toks", "__salt", "__r")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty, "budgetSelect: input column(s) " +
+      s"${clash.mkString(", ")} collide with the output/working columns " +
+      s"(${reserved.mkString(", ")}); rename them first")
     val w1 = Window.partitionBy(col(groupCol), col("__salt"))
       .orderBy(col("__score").desc, col(idCol))
     val w2 = Window.partitionBy(col(groupCol))
@@ -184,11 +193,10 @@ object Curation {
       .withColumn("__salt", idHash(col(idCol)) % salts)
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= budget)
-      .drop("__r", "__salt")
       .withColumn("cum_tokens", sum(col("__toks")).over(w2))
       .filter(col("cum_tokens") <= budget)
-      .withColumnRenamed("__score", "score")
-      .withColumnRenamed("__toks", "tokens")
+      .select(col(groupCol), col(idCol), col("__score").as("score"),
+        col("__toks").as("tokens"), col("cum_tokens"))
   }
 
   /** Domain/source capping: keep the top `k` rows per group by `orderCol`

@@ -376,24 +376,43 @@ object Graph {
     * Unlike the unweighted [[writeEdgeIndex]] (whose dedup makes a
     * re-sent edge invisible), re-sending an edge here ADDS weight —
     * that is the multigraph semantics, not a bug, but it makes the
-    * exactly-once contract the caller's: a batch must not replay. */
+    * exactly-once contract the caller's: a batch must not replay.
+    *
+    * Crash-recovery contract (ADVICE r17): when `into == tableName` the
+    * publish is an IN-PLACE swap whose durability leg is localCheckpoint
+    * — eager, but executor-local and non-recoverable. An executor loss
+    * (or process death) after writeBucketed's drop and before its
+    * rewrite completes loses the durable index mid-append; the recovery
+    * path is a rebuild from the raw edge log
+    * ([[writeWeightedEdgeIndex]] over everything ever admitted — edge
+    * weights are distributive sums, so the rebuild is exact). Pass a
+    * DIFFERENT `into` to publish the merge as a new table instead: the
+    * old index is then never dropped and the append is trivially
+    * crash-safe (the fold-into-base compaction uses this).
+    *
+    * @param into target table for the merged index; defaults to an
+    *             in-place swap of `tableName` */
   def appendToWeightedEdgeIndex(newEdges: DataFrame, srcCol: String,
-      dstCol: String, wCol: String, tableName: String, buckets: Int): Unit = {
+      dstCol: String, wCol: String, tableName: String, buckets: Int,
+      into: String = ""): Unit = {
     val spark = newEdges.sparkSession
+    val target = if (into.isEmpty) tableName else into
     // sentinel rows carry sw=MaxValue and re-derive from endpoints, so
     // only true edge rows feed the merge. No checkpoint needed here:
     // writeWeightedEdgeIndex EAGERLY checkpoints the merged relation
     // (its stats pass depends on it) BEFORE writeBucketed drops the
     // table this plan reads — a second materialization of the old
     // edges would be a pure extra pass (GraphSpec's append≡rebuild
-    // property guards the read-before-drop ordering).
+    // property guards the read-before-drop ordering; LOAD-BEARING:
+    // localCheckpoint must stay EAGER or the in-place swap reads a
+    // dropped table).
     val oldEdges = spark.table(tableName)
       .filter(col("sw") =!= Long.MaxValue)
       .select(col("src"), col("dst"), col("w"))
     val delta = newEdges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
     writeWeightedEdgeIndex(oldEdges.unionByName(delta), "src", "dst", "w",
-      tableName, buckets)
+      target, buckets)
   }
 
   /** [[pageRankFromIndex]] over a [[writeWeightedEdgeIndex]] table: the

@@ -385,6 +385,49 @@ object StreamSink {
       df.groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc")))
   }
 
+  /** Fold the landed streaming partials INTO the durable base index and
+    * retire the landing directory — the landing `OPTIMIZE` taken to its
+    * conclusion (VERDICT r17 #1): base ∪ landings re-sum per
+    * (part, rec) and publish as a bucketed index table, then a
+    * data-less covering generation commits in the landing dir
+    * ([[graft.io.Landings.retireLandings]]) so [[readCoVisitTopK]]
+    * serves the bucketed base ALONE — the zero-exchange
+    * [[graft.ops.Recs.serveCoVisitTopK]] plan — with no per-read
+    * base∪landings re-sum, while a replayed covered batch stays
+    * ignored. Fold-invariant by the same distributive-sum argument as
+    * [[compactCoVisitLandings]] (StreamSinkSpec proves serve-before ==
+    * serve-after row-for-row).
+    *
+    * `into` defaults to an in-place swap of `baseTable`; pass a
+    * different name to keep the old base immutable (crash-safe publish
+    * — see [[graft.ops.Graph.appendToWeightedEdgeIndex]]'s recovery
+    * contract). Single-maintainer, stream-quiescent: the base publish
+    * and the landing retirement are two commits in two stores — a crash
+    * between them double-serves the folded landings until the
+    * retirement is re-issued (the fold itself is already durable, so
+    * recovery is exactly that re-issue); a transactional table format
+    * would carry both legs in one commit (Delta — environment-absent,
+    * A21). */
+  def compactCoVisitIntoIndex(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, landPath: String, buckets: Int,
+      into: String = ""): Boolean = {
+    import org.apache.spark.sql.functions._
+    graft.io.Landings.readLandings(spark, landPath) match {
+      case Some(l) =>
+        val target = if (into.isEmpty) baseTable else into
+        // EAGER pin (load-bearing when target == baseTable): the merge
+        // must materialize before writeBucketed drops the table it reads
+        val merged = spark.table(baseTable).unionByName(l.drop("batch"))
+          .groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc"))
+          .localCheckpoint()
+        graft.io.Lake.writeBucketed(merged.repartition(buckets, col("part")),
+          target, "part", buckets, Some("part"))
+        graft.io.Landings.retireLandings(spark, landPath)
+        true
+      case None => false
+    }
+  }
+
   /** Exactly-once streaming weighted-edge index maintenance — the
     * [[toCoVisitPairs]] convention on the graph family
     * ([[graft.ops.Graph.writeWeightedEdgeIndex]] kept live as edge
@@ -434,22 +477,30 @@ object StreamSink {
       baseTable: String, landPath: String, iterations: Int,
       alphaNum: Long = 85L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val baseEdges = spark.table(baseTable)
-      .filter(col("sw") =!= Long.MaxValue)
-      .select(col("src"), col("dst"), col("w"))
-    val edges = graft.io.Landings.readLandings(spark, landPath) match {
-      case Some(l) => baseEdges.unionByName(l.drop("batch"))
-      case None => baseEdges
+    graft.io.Landings.readLandings(spark, landPath) match {
+      case Some(l) =>
+        val baseEdges = spark.table(baseTable)
+          .filter(col("sw") =!= Long.MaxValue)
+          .select(col("src"), col("dst"), col("w"))
+        val edges = baseEdges.unionByName(l.drop("batch"))
+        // place by src BEFORE the pin: localCheckpoint preserves the
+        // partitioning/ordering it captures, so all `iterations` SMJ
+        // rounds stream against the placed relation with ZERO edge-side
+        // exchanges — the property the bucketed table gives the durable
+        // path, bought here with one exchange instead of one per
+        // iteration
+        val rel = graft.ops.Graph.placedBySrc(
+          graft.ops.Graph.buildWeightedRelation(edges)).localCheckpoint()
+        graft.ops.Graph.requireWeightedBound(rel)
+        graft.ops.Graph.weightedPageRankOverRelation(rel, iterations, alphaNum)
+      case None =>
+        // nothing landed (or everything folded into the base by
+        // [[compactWeightedEdgesIntoIndex]]): the bucketed base IS the
+        // complete placed relation — serve the durable-index walk
+        // directly, no relation rebuild, no checkpoint pass
+        graft.ops.Graph.weightedPageRankFromIndex(spark, baseTable,
+          iterations, alphaNum)
     }
-    // place by src BEFORE the pin: localCheckpoint preserves the
-    // partitioning/ordering it captures, so all `iterations` SMJ rounds
-    // stream against the placed relation with ZERO edge-side exchanges —
-    // the property the bucketed table gives the durable path, bought
-    // here with one exchange instead of one per iteration
-    val rel = graft.ops.Graph.placedBySrc(
-      graft.ops.Graph.buildWeightedRelation(edges)).localCheckpoint()
-    graft.ops.Graph.requireWeightedBound(rel)
-    graft.ops.Graph.weightedPageRankOverRelation(rel, iterations, alphaNum)
   }
 
   /** Landing `OPTIMIZE` for [[toWeightedEdges]] partials: fold every
@@ -462,6 +513,27 @@ object StreamSink {
     graft.io.Landings.compactLandings(spark, path, reduce = df =>
       df.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
   }
+
+  /** [[compactCoVisitIntoIndex]] for the weighted-edge family: fold the
+    * landed (src, dst, Σw) partials into the durable edge index through
+    * [[graft.ops.Graph.appendToWeightedEdgeIndex]] (per-(src,dst)
+    * re-sum, totals + sentinels rebuilt, overflow bound re-checked) and
+    * retire the landing directory, so [[readWeightedPageRank]] serves
+    * the bucketed base alone — the durable-index walk with no
+    * base∪landings relation rebuild per read. Same fold-invariance,
+    * single-maintainer, and two-store-commit recovery contract as the
+    * co-visitation form. */
+  def compactWeightedEdgesIntoIndex(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, landPath: String, buckets: Int,
+      into: String = ""): Boolean =
+    graft.io.Landings.readLandings(spark, landPath) match {
+      case Some(l) =>
+        graft.ops.Graph.appendToWeightedEdgeIndex(l.drop("batch"),
+          "src", "dst", "w", baseTable, buckets, into)
+        graft.io.Landings.retireLandings(spark, landPath)
+        true
+      case None => false
+    }
 
   /** The live per-key trend from a [[toTrendStats]] landing: moment
     * sums over the batch partitions, then the exact rational fit —

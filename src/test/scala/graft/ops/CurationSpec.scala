@@ -309,6 +309,16 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .select("source", "doc_id", "tokens", "cum_tokens")
       .as[(String, Long, Long, Long)].collect().sorted.toSeq
     assert(one == got)
+    // output is exactly the documented projection — nothing leaks through
+    assert(Curation.budgetSelect(docs, "source", "doc_id", score, toks,
+      budget = 800L).columns.toSeq ==
+      Seq("source", "doc_id", "score", "tokens", "cum_tokens"))
+    // reserved-name collisions are rejected up front, not silently shadowed
+    val ex = intercept[IllegalArgumentException] {
+      Curation.budgetSelect(docs.withColumn("tokens", lit(1L)),
+        "source", "doc_id", score, toks, budget = 800L)
+    }
+    assert(ex.getMessage.contains("tokens"))
   }
 
   test("quantileNormalize: pooled percentile_disc mapping, seeded replay") {

@@ -245,6 +245,20 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       // landing OPTIMIZE: the fold changes the layout, never the serve
       assert(StreamSink.compactCoVisitLandings(spark, land))
       assert(served == full)
+      // fold INTO the index (in-place): the base absorbs the landings,
+      // the landing dir retires — the serve is unchanged and now reads
+      // the bucketed index ALONE
+      assert(StreamSink.compactCoVisitIntoIndex(spark,
+        "covisit_stream_spec", land, buckets = 4))
+      assert(graft.io.Landings.readLandings(spark, land).isEmpty,
+        "retired landings must serve nothing")
+      assert(served == full)
+      // a replayed covered batch re-lands AFTER retirement: its id is in
+      // the covering manifest, so it stays ignored — the exactly-once
+      // guarantee survives the fold
+      StreamSink.landBatch(pairs(b2), land, 1L)
+      assert(graft.io.Landings.readLandings(spark, land).isEmpty)
+      assert(served == full)
     } finally spark.sql("DROP TABLE IF EXISTS covisit_stream_spec")
   }
 
@@ -290,7 +304,69 @@ class StreamSinkSpec extends AnyFunSuite with SparkTest {
       // landing OPTIMIZE: the fold changes the layout, never the serve
       assert(StreamSink.compactWeightedEdges(spark, land))
       assert(served == full)
+      // fold INTO the index (in-place): base absorbs the landings, the
+      // landing dir retires, the serve is unchanged and is now the
+      // durable-index walk alone
+      assert(StreamSink.compactWeightedEdgesIntoIndex(spark,
+        "wedge_stream_spec", land, buckets = 4))
+      assert(graft.io.Landings.readLandings(spark, land).isEmpty,
+        "retired landings must serve nothing")
+      assert(served == full)
     } finally Seq("wedge_stream_spec", "wedge_stream_whole").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("toWeightedEdges drives a REAL streaming query end to end: " +
+    "foreachBatch wiring (casts, per-batch pre-agg, empty-batch skip, " +
+    "compaction cadence), then the fold into the index") {
+    // ADVICE r17 #2: the protocol test above exercises landBatch/read/
+    // compact directly — this one goes through an actual file-source
+    // streaming query so the sink wiring itself is unit-covered
+    import graft.ops.Graph
+    val root = Files.createTempDirectory("graft-we-e2e").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    def edges(f: org.apache.spark.sql.DataFrame) = f
+      .select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+      .unionAll(f.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")))
+      .withColumn("w", lit(1L))
+    val srcDir = s"$root/src"
+    val rest = li.filter(col("l_orderkey") % 3 =!= 0)
+    // three slice files (one micro-batch each under maxFilesPerTrigger=1)
+    // + one EMPTY slice to exercise the empty-batch skip;
+    // w as INT so the sink's cast-to-long wiring is observable
+    (0 until 3).foreach { i =>
+      edges(rest.filter(pmod(col("l_linenumber"), lit(3)) === i))
+        .withColumn("w", col("w").cast("int"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    edges(rest.filter(lit(false))).withColumn("w", col("w").cast("int"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val sch = spark.read.parquet(srcDir).schema
+    val q = StreamSink.toWeightedEdges(
+      spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir),
+      s"$root/landings", s"$root/ckpt", "src", "dst", "w",
+      compactEvery = 2) // cadence fires mid-stream
+    q.processAllAvailable(); q.stop()
+    try {
+      Graph.writeWeightedEdgeIndex(edges(li.filter(col("l_orderkey") % 3 === 0)),
+        "src", "dst", "w", "wedge_e2e_spec", buckets = 4)
+      def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val served = ranks(StreamSink.readWeightedPageRank(spark,
+        "wedge_e2e_spec", s"$root/landings", iterations = 3))
+      Graph.writeWeightedEdgeIndex(edges(li), "src", "dst", "w",
+        "wedge_e2e_whole", buckets = 4)
+      val full = ranks(Graph.weightedPageRankFromIndex(spark,
+        "wedge_e2e_whole", iterations = 3))
+      assert(served == full && full.nonEmpty)
+      // fold into the index; the streamed state must survive unchanged
+      assert(StreamSink.compactWeightedEdgesIntoIndex(spark,
+        "wedge_e2e_spec", s"$root/landings", buckets = 4))
+      assert(ranks(StreamSink.readWeightedPageRank(spark, "wedge_e2e_spec",
+        s"$root/landings", iterations = 3)) == full)
+    } finally Seq("wedge_e2e_spec", "wedge_e2e_whole").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
