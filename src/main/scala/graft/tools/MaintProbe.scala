@@ -90,7 +90,36 @@ object MaintProbe {
         "/dev/shm/graft-scratch/maintprobe-q210-land/landings", k = 5)
         .orderBy(col("part"), col("cooc").desc, col("rec")).count()
     }
+    // r18 fold-into-index stages: time the fold itself (fresh landings
+    // restored per rep — the fold retires them), then the post-fold
+    // serve, which reads the bucketed index ALONE
+    def copyDir(src: String, dst: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      val fs = sp.getFileSystem(conf)
+      fs.delete(dp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf)
+    }
+    val cvLand = "/dev/shm/graft-scratch/maintprobe-q210-land/landings"
+    val cvBak = "/dev/shm/graft-scratch/maintprobe-q210-bak"
+    copyDir(cvLand, cvBak)
+    var m210f = Double.MaxValue
+    for (_ <- 1 to 3) {
+      copyDir(cvBak, cvLand)
+      m210f = math.min(m210f, t(
+        graft.streaming.StreamSink.compactCoVisitIntoIndex(spark,
+          "maint_covisit", cvLand, buckets = 8,
+          into = "maint_covisit_served")))
+    }
+    println(f"[maint] q210 fold into index              $m210f%7.3f s")
+    min3("q210 serve post-fold (index only)") {
+      graft.streaming.StreamSink.readCoVisitTopK(spark,
+          "maint_covisit_served", cvLand, k = 5)
+        .orderBy(col("part"), col("cooc").desc, col("rec")).count()
+    }
     spark.sql("DROP TABLE IF EXISTS maint_covisit")
+    spark.sql("DROP TABLE IF EXISTS maint_covisit_served")
 
     // ---- q211 stages (weighted-edge append) -------------------------
     def edgesOf(f: org.apache.spark.sql.DataFrame) = f
@@ -152,7 +181,27 @@ object MaintProbe {
           "maint_wedge14", s"$w14root/landings", iterations = 5)
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     }
+    // r18 fold-into-index stages (the q210 convention on the graph
+    // family): fold timed with fresh landings per rep, then the
+    // post-fold serve = the durable-index walk alone
+    val weBak = "/dev/shm/graft-scratch/maintprobe-q214-bak"
+    copyDir(s"$w14root/landings", weBak)
+    var m214f = Double.MaxValue
+    for (_ <- 1 to 3) {
+      copyDir(weBak, s"$w14root/landings")
+      m214f = math.min(m214f, t(
+        graft.streaming.StreamSink.compactWeightedEdgesIntoIndex(spark,
+          "maint_wedge14", s"$w14root/landings", buckets = 8,
+          into = "maint_wedge14_served")))
+    }
+    println(f"[maint] q214 fold into index              $m214f%7.3f s")
+    min3("q214 serve post-fold (index walk)") {
+      graft.streaming.StreamSink.readWeightedPageRank(spark,
+          "maint_wedge14_served", s"$w14root/landings", iterations = 5)
+        .orderBy(col("rank_units").desc, col("node")).limit(100).count()
+    }
     spark.sql("DROP TABLE IF EXISTS maint_wedge14")
+    spark.sql("DROP TABLE IF EXISTS maint_wedge14_served")
     spark.stop()
   }
 }
