@@ -68,9 +68,20 @@ object Graph {
       iterations: Int, alphaNum: Long = 85L,
       broadcastRanks: Option[Boolean] = None,
       checkpointInterval: Int = 4,
-      broadcastMaxNodes: Long = 0L): DataFrame = {
+      broadcastMaxNodes: Long = 0L,
+      pin: String = "cache"): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(alphaNum > 0 && alphaNum < 100, "alphaNum is a percentage")
+    require(pin == "cache" || pin == "checkpoint",
+      s"pin must be cache|checkpoint, got $pin")
+    // pin strategy for the fused relation (r18 A/B, Pr18AB): "cache"
+    // fills the columnar InMemoryRelation lazily under iteration 1;
+    // "checkpoint" materializes row-form partitions EAGERLY and
+    // preserves the captured placement/ordering (the q214 read-side
+    // convention). Measured equal within the window band at sf0.1 —
+    // cache stays the default (no extra eager job; LRU-evictable).
+    def pinned(df: DataFrame): DataFrame =
+      if (pin == "checkpoint") df.localCheckpoint() else df.cache()
     val teleport = (100L - alphaNum) * SCALE / 100L
     val degERaw = edgeRelation(edges, srcCol, dstCol)
     // ONE cached materialization (r10 had three — e, nodes, degE — plus
@@ -88,12 +99,12 @@ object Graph {
     broadcastRanks match {
       case Some(b) =>
         useBroadcast = chooseRankStrategy(0L, broadcastMaxNodes, broadcastRanks)
-        degE = (if (b) degERaw else placedBySrc(degERaw)).cache()
+        degE = pinned(if (b) degERaw else placedBySrc(degERaw))
       case None if broadcastMaxNodes <= 0L =>
         // auto with a zero cutover can never pick broadcast — skip the
         // |V| estimation job and build the placed layout directly
         useBroadcast = false
-        degE = placedBySrc(degERaw).cache()
+        degE = pinned(placedBySrc(degERaw))
       case None =>
         val degE0 = degERaw.cache()
         val nV = degE0.filter(col("d") === Long.MaxValue).count()
