@@ -36,8 +36,8 @@ object Pr18AB {
         .orderBy(col("rank_units").desc, col("node")).limit(100).count()
     val q105 = graft.queries.Queries.all("q105_pagerank_index").fn
     val variants = Seq(
-      ("cache (current)", () => run("cache")),
-      ("checkpoint", () => run("checkpoint")),
+      ("cache", () => run("cache")),
+      ("checkpoint (default)", () => run("checkpoint")),
       ("q105 serve ref", () => q105(spark, dir).count()))
     variants.foreach(_._2())
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
