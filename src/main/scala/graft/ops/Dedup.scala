@@ -157,7 +157,26 @@ object Dedup {
     * `checkpoint()` with `spark.checkpoint.dir` instead — same plan
     * shape. */
   def connectedComponents(pairs: DataFrame, aCol: String = "da",
-      bCol: String = "db", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "db", maxRounds: Int = 50): DataFrame =
+    connectedComponentsMode(pairs, aCol, bCol, maxRounds, tuneLoop = true)
+
+  /** [[connectedComponents]] with the loop-conf knob exposed for A/B
+    * probing (tools/Cc18AB). `tuneLoop = true` (the default above) sizes
+    * the propagation loop's shuffles from the data instead of the session
+    * constant: round 0's aggregate runs under the session conf (AQE
+    * coalescing sizes its output from the real edge bytes), and the loop
+    * then runs with `spark.sql.shuffle.partitions` = that coalesced
+    * partition count and AQE OFF — the iterative frames are the SAME size
+    * every round, so there is nothing left for AQE to adapt, and its
+    * per-stage re-planning jobs plus the session-constant task count are
+    * pure scheduler overhead on the loop's tiny-to-medium relations
+    * (measured 3.38 → 1.16 s on q85's 920-pair set; the derivation keeps
+    * the loop scale-adaptive — at lake scale round 0 coalesces to many
+    * partitions and the loop inherits them). Conf is restored in a
+    * finally. */
+  private[graft] def connectedComponentsMode(pairs: DataFrame,
+      aCol: String = "da", bCol: String = "db", maxRounds: Int = 50,
+      tuneLoop: Boolean): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val edges = pairs.select(a.as("src"), b.as("dst"))
@@ -173,8 +192,17 @@ object Dedup {
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("lbl"))
       .localCheckpoint()
+    val conf = pairs.sparkSession.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    if (tuneLoop) {
+      val p = math.max(2, labels.rdd.getNumPartitions)
+      conf.set("spark.sql.shuffle.partitions", p.toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+    }
     var changed = 1L
     var rounds = 1
+    try {
     while (changed > 0 && rounds < maxRounds) {
       // every id has >= 1 edge by construction, so the inner join is total
       val nbrMin = edges
@@ -205,6 +233,12 @@ object Dedup {
       changed = next.filter(col("lbl") < col("prev")).count()
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
+    }
+    } finally {
+      if (tuneLoop) {
+        conf.set("spark.sql.shuffle.partitions", prevParts)
+        conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     }
     edges.unpersist()
     require(changed == 0,

@@ -172,6 +172,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       "compaction must not change served pairs")
   }
 
+  test("connectedComponents: tuned loop == legacy loop, and session conf restored") {
+    import spark.implicits._
+    // r18: the propagation loop sizes its shuffles from round 0's
+    // AQE-coalesced output and runs with AQE off; labeling must be
+    // identical to the legacy (session-conf) loop on BOTH regimes —
+    // dense near-dup clusters and the chain that exercises pointer
+    // doubling — and the session conf must come back exactly.
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val dense = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("da", "db")
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("da", "db")
+    for (pairs <- Seq(dense, chain)) {
+      val legacy = Dedup.connectedComponentsMode(pairs, "da", "db", 50, tuneLoop = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tuned = Dedup.connectedComponentsMode(pairs, "da", "db", 50, tuneLoop = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tuned == legacy)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+      "shuffle partitions not restored after the tuned loop")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore,
+      "AQE flag not restored after the tuned loop")
+  }
+
   test("connectedComponents: 1000-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // worst case for plain min-label propagation (would need ~999
