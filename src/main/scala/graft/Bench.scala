@@ -96,6 +96,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Scaling evidence (VERDICT r18 #2): the artifact must let the driver
+    // tell "honors $SPARK_GRAFT_CPUS but sits on a constant-overhead
+    // floor at this SF" apart from "ignores cpus". Two fields:
+    //  - default_parallelism: read back from the LIVE context — local[N]
+    //    reports N, so an ignored env var would be visible directly;
+    //  - task_time_s: total executor run time across every task of the
+    //    run (listener-accumulated). task_time_s / wall seconds is the
+    //    achieved concurrency; it can never exceed the core count, so a
+    //    c8 artifact with concurrency ≤ 8 while the c32 artifact shows
+    //    > 8 proves both ran at their declared width even when their
+    //    wall clocks tie (the fixed-cost-floor regime at small SF).
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { taskTimeMs.addAndGet(m.executorRunTime); () }
+      }
+    })
+    val defaultParallelism = spark.sparkContext.defaultParallelism
+
     // streaming queries are checked for batch-equivalence in Verify, not
     // timed (BASELINE.md BENCH definition). q54 joined the timed set in
     // r16: its Lloyd-trained codebook replaced the MLlib one, so it now
@@ -176,8 +196,11 @@ object Bench {
     // fluctuates, a stale floor produces a flat plateau. The artifact
     // records probe_ref_source (file | fresh | plateau-reset) so a
     // first-run or re-based reference is distinguishable.
+    // keyed by core count (VERDICT r18 #2): an N-thread probe's floor is
+    // only comparable to other N-thread probes — a shared file let the
+    // c32 floor grade c8 runs (and vice versa)
     val probeRefFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_FILE",
-      "/tmp/graft-probe-ref")
+      s"/tmp/graft-probe-ref-c$cpus")
     val probeRefMaxAgeMs = sys.env.getOrElse(
       "SPARK_GRAFT_PROBE_REF_MAX_AGE_H", "24").toDouble * 3600 * 1000
     val probeRefPath = java.nio.file.Paths.get(probeRefFile)
@@ -488,7 +511,10 @@ object Bench {
         s""""retry_reps":$retryUsed,"retry_sweeps":$sweep,""" +
         s""""salvage_reps":$salvageUsed,""" +
         s""""unclean_n":${unclean.size},"n_timed":${timedQueries.size},""" +
-        s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs}"""
+        s""""base_reps":$baseReps,"warm_s":$warmSum,"gc_ms":$gcMs,""" +
+        s""""cpus":$cpus,"default_parallelism":$defaultParallelism,""" +
+        s""""task_time_s":${r3(taskTimeMs.get() / 1000.0)},""" +
+        s""""wall_s":${r3(elapsedS)}}"""
     }
     // Artifact survival (VERDICT r11 item 1): round 11 measured its best
     // clean-window number (probe_ok:true, 1.31x) and then LOST the file —
@@ -706,6 +732,8 @@ object Bench {
       s""""queries":$qsShort,"sf":"$sfDir","n_timed":${results.size},""" +
       s""""probe_ok":${unclean.isEmpty},""" +
       s""""unclean_n":${unclean.size},"base_reps":$baseReps,""" +
+      s""""cpus":$cpus,"default_parallelism":$defaultParallelism,""" +
+      s""""task_time_s":${r2(taskTimeMs.get() / 1000.0)},"wall_s":${r2(elapsedS)},""" +
       s""""load_gated_ok":${!everContended},"detail":"BENCH_LOCAL.json"}"""
     writeFullArtifact()
     maybePromoteBest(fullLine())

@@ -179,6 +179,168 @@ object Lake {
     w.saveAsTable(tableName)
   }
 
+  /** The bucket id Spark encodes in a bucketed data file's name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3) — the same
+    * `_(\d+)` rule Spark's own reader applies when grouping files into
+    * buckets, re-stated here so bucket-level maintenance can address
+    * individual bucket files without going through a full-table write. */
+  private val bucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[graft] def bucketIdOf(fileName: String): Option[Int] =
+    fileName match {
+      case bucketedFileName(id) => Some(id.toInt)
+      case _                    => None
+    }
+
+  /** The bucket id of a ROW: `pmod(murmur3(col), buckets)` — exactly the
+    * assignment Spark's bucketed writer applies (HashPartitioning's
+    * partitionIdExpression with the default murmur3 seed, which is also
+    * what `functions.hash` computes), so `repartition(buckets, col)`
+    * places each bucket's rows in the task that writes that bucket's
+    * file. Spec-pinned against the file naming (BucketingSpec). */
+  def bucketIdColumn(c: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(c), lit(buckets))
+  }
+
+  private def tableLocation(spark: SparkSession, tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location)
+
+  /** The data files of a bucketed table, with their parsed bucket ids. */
+  private def bucketDataFiles(spark: SparkSession,
+      loc: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) Nil
+    else fs.listStatus(loc).toSeq.filter(_.isFile).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .flatMap(p => bucketIdOf(p.getName).map(b => (b, p)))
+  }
+
+  /** Read ONLY the given bucket ids of a bucketed catalog table — a
+    * plain parquet read of exactly those buckets' data files (bucket
+    * ids are encoded in the file names), schema pinned to the table's.
+    * The input side of a bucket-level rewrite: O(touched buckets) read,
+    * never O(index). */
+  def readBuckets(spark: SparkSession, tableName: String,
+      touched: Seq[Int]): DataFrame = {
+    val t = touched.toSet
+    val files = bucketDataFiles(spark, tableLocation(spark, tableName))
+      .collect { case (b, p) if t(b) => p.toString }
+    if (files.isEmpty) spark.table(tableName).limit(0)
+    else spark.read.schema(spark.table(tableName).schema)
+      .parquet(files: _*)
+  }
+
+  /** BUCKET-LEVEL rewrite of a bucketed catalog table — the publish leg
+    * of index maintenance priced at O(touched buckets) instead of
+    * O(index) (guide §6; VERDICT r18 #1: the fold/append paths were
+    * rewriting the WHOLE index to fold a small landing set).
+    * `mergedTouched` must be the COMPLETE new content of the `touched`
+    * bucket ids; every other bucket's data files are reused byte-for-
+    * byte (hard-copied when publishing to a new `into` table, left in
+    * place for an in-place rewrite of `baseTable` itself).
+    *
+    * For one output file per bucket (which is what lets the bucketed
+    * scan advertise its sort order), hand `mergedTouched` in already
+    * distributed as `repartition(buckets, col(bucketCol))` — keyed
+    * aggregations/joins on a superset of {bucketCol} preserve that
+    * placement, so one early repartition usually suffices. A frame in
+    * any other distribution still publishes correctly (the bucketed
+    * writer routes rows by content), just with more files per touched
+    * bucket.
+    *
+    * Crash contract: the merged content is fully materialized in a
+    * staging table BEFORE any base file moves, so `into != baseTable`
+    * never mutates the base at all (crash-safe; a half-built target is
+    * rebuilt by the next publish). In-place (`into == baseTable`)
+    * deletes the touched buckets' old files and then moves the new ones
+    * in — a crash between the two loses the touched buckets until the
+    * append is re-run from its source, the same recovery contract the
+    * previous drop-and-rewrite publish had (a transactional table
+    * format would close this; environment-absent, A21). */
+  def rewriteBuckets(spark: SparkSession, baseTable: String, into: String,
+      mergedTouched: DataFrame, touched: Seq[Int], bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None,
+      check: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
+    require(!baseTable.contains(".") && !into.contains("."),
+      s"rewriteBuckets: unqualified table names required, got '$baseTable' -> '$into'")
+    val touchedSet = touched.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseLoc = tableLocation(spark, baseTable)
+    val fs = baseLoc.getFileSystem(conf)
+    // stage the touched buckets' new content as a bucketed table of the
+    // same layout: its files carry the same `_NNNNN` bucket suffixes, so
+    // they can be adopted by the target directory as-is
+    val tmpTbl = into + "__bkt_tmp"
+    writeBucketed(mergedTouched, tmpTbl, bucketCol, buckets, sortCol)
+    val tmpLoc = tableLocation(spark, tmpTbl)
+    // pre-publish gate over the WOULD-BE final content (the staged
+    // touched buckets and the untouched base files, handed separately so
+    // a check with stored whole-index stats can price itself O(touched)):
+    // a failing check leaves the base completely unmodified — stricter
+    // than the old full-rewrite publish, which had already dropped the
+    // table it was replacing
+    try {
+      val untouchedFiles = bucketDataFiles(spark, baseLoc)
+        .collect { case (b, p) if !touchedSet(b) => p.toString }
+      val untouched =
+        if (untouchedFiles.isEmpty) spark.table(baseTable).limit(0)
+        else spark.read.schema(spark.table(baseTable).schema)
+          .parquet(untouchedFiles: _*)
+      check(spark.table(tmpTbl), untouched)
+    } catch {
+      case e: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+        fs.delete(tmpLoc, true)
+        throw e
+    }
+    val tmpFiles = bucketDataFiles(spark, tmpLoc)
+    val stray = tmpFiles.collect { case (b, p) if !touchedSet(b) => p.getName }
+    require(stray.isEmpty,
+      s"rewriteBuckets: merged frame produced rows outside the touched " +
+        s"buckets ${touched.sorted.mkString(",")}: ${stray.mkString(", ")}")
+    def moveIn(dst: org.apache.hadoop.fs.Path): Unit = tmpFiles.foreach {
+      case (_, p) =>
+        val target = new org.apache.hadoop.fs.Path(dst, p.getName)
+        if (!fs.rename(p, target))
+          throw new java.io.IOException(
+            s"rewriteBuckets: could not publish $p -> $target")
+    }
+    if (into == baseTable) {
+      bucketDataFiles(spark, baseLoc)
+        .collect { case (b, p) if touchedSet(b) => p }
+        .foreach(fs.delete(_, false))
+      moveIn(baseLoc)
+      spark.catalog.refreshTable(baseTable)
+    } else {
+      // fresh target with the base's schema and bucket layout; untouched
+      // bucket files copy over (at lake scale the fold is in-place and
+      // this copy disappears; the bench keeps the pristine base reusable)
+      val loc: org.apache.hadoop.fs.Path =
+        if (spark.catalog.tableExists(into)) tableLocation(spark, into)
+        else new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(into)))
+      spark.sql(s"DROP TABLE IF EXISTS `$into`")
+      fs.delete(loc, true)
+      val sorted = sortCol.map(c => s"SORTED BY (`$c`) ").getOrElse("")
+      spark.sql(s"CREATE TABLE `$into` (${spark.table(baseTable).schema.toDDL}) " +
+        s"USING parquet CLUSTERED BY (`$bucketCol`) ${sorted}INTO $buckets BUCKETS")
+      val intoLoc = tableLocation(spark, into)
+      fs.mkdirs(intoLoc)
+      bucketDataFiles(spark, baseLoc)
+        .collect { case (b, p) if !touchedSet(b) => p }
+        .foreach { p =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+            new org.apache.hadoop.fs.Path(intoLoc, p.getName), false, conf)
+        }
+      moveIn(intoLoc)
+      spark.catalog.refreshTable(into)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+    fs.delete(tmpLoc, true)
+  }
+
   /** Delta-style latest-wins MERGE (upsert) into a Hive-partitioned
     * parquet lake — the copy-on-write rewrite every mutable ingest
     * pipeline eventually needs (the reference only ever appends behind a

@@ -330,9 +330,14 @@ object Graph {
     val rel = buildWeightedRelation(edges.select(col(srcCol).as("src"),
         col(dstCol).as("dst"), col(wCol).cast("long").as("w")))
       .localCheckpoint()
-    requireWeightedBound(rel)
+    val st = weightedStats(rel)
+    st.foreach { case (maxW, minW, nv) =>
+      requireWeightedBoundStats(maxW, minW, nv) }
     graft.io.Lake.writeBucketed(rel.repartition(buckets, col("src")),
       tableName, "src", buckets, Some("src"))
+    // persist the envelope so appends re-check it O(touched), not O(index)
+    val (maxW, nv) = st.map(s => (s._1, s._3)).getOrElse((0L, 0L))
+    setBoundProps(edges.sparkSession, tableName, maxW, nv)
   }
 
   /** The fused weighted relation from raw (src, dst, w) edges:
@@ -355,20 +360,53 @@ object Graph {
     * max(w)·|V|·SCALE envelope can wrap 2^63 and rejects negative
     * weights. Shared by every path that hands a weighted relation to
     * the fixed-point walk. */
-  private[graft] def requireWeightedBound(rel: DataFrame): Unit = {
+  /** (max w, min w, |V|) of a prepared weighted relation in ONE 1-row
+    * aggregation pass. |V| = the sentinel count: buildWeightedRelation
+    * emits exactly one (w=0, sw=MaxValue) sentinel per node, so counting
+    * them equals the old countDistinct(src) — WITHOUT the distinct's
+    * shuffle (r19). None for an empty relation. */
+  private[graft] def weightedStats(rel: DataFrame): Option[(Long, Long, Long)] = {
     val st = rel.agg(max(col("w")).as("maxW"), min(col("w")).as("minW"),
-      countDistinct(col("src")).as("nv")).head()
-    if (!st.isNullAt(0)) { // empty edge set has nothing to overflow
-      val (maxW, minW, nv) = (st.getLong(0), st.getLong(1), st.getLong(2))
-      require(minW >= 0L,
-        s"writeWeightedEdgeIndex: negative edge weight $minW — weights are walk probabilities")
-      val bound = BigInt(maxW).max(BigInt(100)) * BigInt(nv) * BigInt(SCALE)
-      require(bound < BigInt(2).pow(63),
-        s"writeWeightedEdgeIndex: max(w)=$maxW on a $nv-node graph can " +
-          s"overflow the 64-bit fixed-point update (bound $bound >= 2^63); " +
-          "rescale the weights (only w/sw ratios matter to the walk)")
-    }
+      sum(when(col("sw") === Long.MaxValue, 1L).otherwise(0L)).as("nv")).head()
+    if (st.isNullAt(0)) None
+    else Some((st.getLong(0), st.getLong(1), st.getLong(2)))
   }
+
+  /** The 2^63 fixed-point envelope on already-computed stats. */
+  private[graft] def requireWeightedBoundStats(maxW: Long, minW: Long,
+      nv: Long): Unit = {
+    require(minW >= 0L,
+      s"writeWeightedEdgeIndex: negative edge weight $minW — weights are walk probabilities")
+    val bound = BigInt(maxW).max(BigInt(100)) * BigInt(nv) * BigInt(SCALE)
+    require(bound < BigInt(2).pow(63),
+      s"writeWeightedEdgeIndex: max(w)=$maxW on a $nv-node graph can " +
+        s"overflow the 64-bit fixed-point update (bound $bound >= 2^63); " +
+        "rescale the weights (only w/sw ratios matter to the walk)")
+  }
+
+  private[graft] def requireWeightedBound(rel: DataFrame): Unit =
+    weightedStats(rel).foreach { case (maxW, minW, nv) =>
+      requireWeightedBoundStats(maxW, minW, nv) }
+
+  /** The stored (max w, |V|) envelope of a weighted-edge index table,
+    * kept as table properties so an append can re-check the overflow
+    * bound WITHOUT an O(index) stats scan: new max(w) is exactly
+    * max(stored, staged) — weights only ever grow, so the old global max
+    * never disappears — and new |V| is stored − (touched buckets' old
+    * sentinels) + (staged sentinels). Absent on pre-r19 indexes, where
+    * the append falls back to the full-content stats pass. */
+  private val propMaxW = "graft.wbound.maxw"
+  private val propNv = "graft.wbound.nv"
+  private def boundProps(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[(Long, Long)] = {
+    val p = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).properties
+    for (m <- p.get(propMaxW); n <- p.get(propNv)) yield (m.toLong, n.toLong)
+  }
+  private def setBoundProps(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, maxW: Long, nv: Long): Unit =
+    spark.sql(s"ALTER TABLE `$tableName` SET TBLPROPERTIES " +
+      s"('$propMaxW' = '$maxW', '$propNv' = '$nv')")
 
   /** Incremental maintenance for [[writeWeightedEdgeIndex]] — the
     * [[graft.ops.Recs.appendToCoVisitIndex]] convention on the graph
@@ -415,22 +453,85 @@ object Graph {
       into: String = ""): Unit = {
     val spark = newEdges.sparkSession
     val target = if (into.isEmpty) tableName else into
-    // sentinel rows carry sw=MaxValue and re-derive from endpoints, so
-    // only true edge rows feed the merge. No checkpoint needed here:
-    // writeWeightedEdgeIndex EAGERLY checkpoints the merged relation
-    // (its stats pass depends on it) BEFORE writeBucketed drops the
-    // table this plan reads — a second materialization of the old
-    // edges would be a pure extra pass (GraphSpec's append≡rebuild
-    // property guards the read-before-drop ordering; LOAD-BEARING:
-    // localCheckpoint must stay EAGER or the in-place swap reads a
-    // dropped table).
-    val oldEdges = spark.table(tableName)
-      .filter(col("sw") =!= Long.MaxValue)
-      .select(col("src"), col("dst"), col("w"))
+    // BUCKET-LEVEL merge (guide §6; VERDICT r18 #1 — the "at lake scale
+    // only the buckets holding touched srcs need rewriting" note, now
+    // implemented): the batch collapses to per-(src, dst) delta sums
+    // (the only pass over the raw edge log), the delta's ENDPOINT
+    // buckets name the touched set (dst buckets too — a new node's
+    // sentinel lives in ITS bucket, not its edge's), and only those
+    // buckets re-merge and republish. Within the touched buckets the
+    // merge reproduces buildWeightedRelation EXACTLY: edges re-sum per
+    // (src, dst), per-src totals re-derive (every edge of a src lives
+    // in that src's bucket, so the bucket-local sum IS sw), sentinels =
+    // the bucket's existing sentinels ∪ the delta's new endpoints —
+    // bit-identical to a from-scratch rebuild over old∪new (GraphSpec's
+    // append≡rebuild property runs against this path unchanged).
+    // Plan shape: ONE exchange places base-touched∪delta into the
+    // bucket partitioning; the (src,dst) re-sum, the per-src totals,
+    // and the totals join all run on that placement exchange-free; one
+    // more exchange places the final union (sentinels included). The
+    // old path re-aggregated and re-wrote the WHOLE index through ~4
+    // exchanges + a full localCheckpoint materialization.
     val delta = newEdges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
-    writeWeightedEdgeIndex(oldEdges.unionByName(delta), "src", "dst", "w",
-      target, buckets)
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint() // small; reused by 3 consumers + the touched listing
+    val touched = delta.select(explode(array(
+        graft.io.Lake.bucketIdColumn(col("src"), buckets),
+        graft.io.Lake.bucketIdColumn(col("dst"), buckets))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val baseTouched = graft.io.Lake.readBuckets(spark, tableName, touched)
+    val baseEdges = baseTouched.filter(col("sw") =!= Long.MaxValue)
+      .select(col("src"), col("dst"), col("w"))
+    val baseSent = baseTouched.filter(col("sw") === Long.MaxValue)
+      .select(col("src").as("node"))
+    val e = baseEdges.unionByName(delta)
+      .repartition(buckets, col("src"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val edgeRows = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("sw")),
+        "src")
+      .select(col("src"), col("dst"), col("w"), col("sw"))
+    val deltaNodes = delta
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val newSent = deltaNodes.join(baseSent, Seq("node"), "left_anti")
+    val sentRows = baseSent.unionByName(newSent)
+      .select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("w"), lit(Long.MaxValue).as("sw"))
+    val merged = edgeRows.unionByName(sentRows)
+      .repartition(buckets, col("src"))
+    // the overflow bound re-checks BEFORE any base file moves (a refusing
+    // append leaves the old index fully intact, where the old
+    // full-rewrite publish refused only after materializing the whole
+    // merge) — and O(touched): with the stored (max w, |V|) envelope the
+    // new stats derive from the STAGED buckets alone (weights only grow,
+    // so max(stored, staged) is the exact new max; |V| = stored − the
+    // touched buckets' old sentinels + the staged ones). A pre-r19 index
+    // without stored props falls back to the full-content stats pass
+    // once; either way the target carries props afterwards.
+    var newProps: Option[(Long, Long)] = None
+    val check: (DataFrame, DataFrame) => Unit =
+      boundProps(spark, tableName) match {
+        case Some((bMax, bNv)) => (staged, _) =>
+          weightedStats(staged) match {
+            case Some((sMax, sMin, sSent)) =>
+              val baseSentTouched = baseSent.count()
+              val maxW = math.max(bMax, sMax)
+              val nv = bNv - baseSentTouched + sSent
+              requireWeightedBoundStats(maxW, sMin, nv)
+              newProps = Some((maxW, nv))
+            case None => newProps = Some((bMax, bNv)) // empty delta
+          }
+        case None => (staged, untouched) => {
+          val st = weightedStats(staged.unionByName(untouched))
+          st.foreach { case (maxW, minW, nv) =>
+            requireWeightedBoundStats(maxW, minW, nv) }
+          newProps = st.map(s => (s._1, s._3))
+        }
+      }
+    graft.io.Lake.rewriteBuckets(spark, tableName, target, merged, touched,
+      "src", buckets, Some("src"), check = check)
+    val (maxW, nv) = newProps.getOrElse((0L, 0L))
+    setBoundProps(spark, target, maxW, nv)
   }
 
   /** [[pageRankFromIndex]] over a [[writeWeightedEdgeIndex]] table: the

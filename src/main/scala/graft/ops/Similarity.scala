@@ -556,9 +556,14 @@ object Similarity {
     * of repaired srcs need rewriting). New ids must be NEW — a re-sent
     * vec_id would duplicate assignment rows upstream in
     * [[appendToIndex]] (same contract as there). */
+  /** @param into target table for the merged graph; defaults to an
+    *             in-place bucket-level swap of `graphTable` — pass a
+    *             different name to keep the old graph immutable (the
+    *             appendToWeightedEdgeIndex crash-safe-publish option) */
   def appendToBeamGraphIndex(newEmb: DataFrame, path: String,
-      graphTable: String): Unit = {
+      graphTable: String, into: String = ""): Unit = {
     val spark = newEmb.sparkSession
+    val target = if (into.isEmpty) graphTable else into
     val (m, nProbe, buckets) = readGraphMeta(spark, path)
     val cents = readIndexCodebook(spark, path)
     require(cents.nonEmpty, s"no codebook at $path — writeIndex first")
@@ -594,7 +599,10 @@ object Similarity {
     // recomputed UNROUNDED — ranking on stored rounded values could
     // flip sub-1e-6 ties vs a rebuild) ∪ (new candidates)
     val old = spark.table(graphTable)
-    val repairSrcs = cands.select(col("src")).distinct()
+    // small (≤ old-corpus ids) but derived from the probe join — pin it:
+    // three consumers below (repair scoring, the touched-bucket listing,
+    // the kept-rows anti-join) must not re-run that join each
+    val repairSrcs = cands.select(col("src")).distinct().localCheckpoint()
     val oldScored = old.join(repairSrcs, Seq("src"), "left_semi")
       .join(oldAssigned.select(col("vec_id").as("src"),
         col("v").as("sv"), col("nrm").as("snrm")), "src")
@@ -608,15 +616,33 @@ object Similarity {
       .withColumn("__rk", row_number().over(wTop))
       .filter(col("__rk") <= m)
       .select(col("src"), col("dst"))
-    val untouchedEdges = old.join(repairSrcs, Seq("src"), "left_anti")
-    // the merged frame reads the table the publish overwrites —
-    // materialize first (the appendToCoVisitIndex convention)
-    val merged = untouchedEdges
+    // BUCKET-LEVEL publish (guide §6; VERDICT r18 #1): only the buckets
+    // holding a repaired or new src rewrite — their new content is the
+    // bucket's kept old rows (srcs not repaired) ∪ repaired lists ∪ the
+    // new nodes' lists; every other bucket's file is reused as-is. The
+    // staging-table write inside rewriteBuckets materializes the merge
+    // BEFORE any base file moves, which replaces the old eager
+    // localCheckpoint (the full-table publish had to checkpoint because
+    // it dropped the very table its plan was reading).
+    // new-node srcs come off the (already materialized) assignment, NOT
+    // off newEdges — listing the touched buckets through newEdges would
+    // re-execute the probe join just to learn the batch's ids. A new
+    // vector with zero candidates contributes no rows; its bucket being
+    // listed as touched is harmless (the bucket's kept rows republish
+    // unchanged).
+    val touchedSrcs = repairSrcs
+      .unionByName(newAssigned.select(col("vec_id").as("src"))).distinct()
+    val touchedBuckets = touchedSrcs
+      .select(graft.io.Lake.bucketIdColumn(col("src"), buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val keepOld = graft.io.Lake.readBuckets(spark, graphTable, touchedBuckets)
+      .join(repairSrcs, Seq("src"), "left_anti")
+    val merged = keepOld
       .unionByName(repaired)
       .unionByName(newEdges.select(col("src"), col("dst")))
-      .localCheckpoint()
-    graft.io.Lake.writeBucketed(merged.repartition(buckets, col("src")),
-      graphTable, "src", buckets, Some("src"))
+      .repartition(buckets, col("src"))
+    graft.io.Lake.rewriteBuckets(spark, graphTable, target, merged,
+      touchedBuckets, "src", buckets, Some("src"))
   }
 
   /** Beam-search ANN for EXTERNAL query vectors served from the durable

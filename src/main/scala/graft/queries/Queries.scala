@@ -93,9 +93,35 @@ object Queries {
     * mid-stream; batch-split invariance is exactly what its oracle
     * compare then proves). Slices are deterministic `event_id % nFiles`
     * cuts, so every row streams exactly once. */
+  /** First-touch guard for the staged stream-source slices: the slice
+    * files are a DETERMINISTIC function of (source parquet, split key,
+    * nFiles) — the streaming upstream "queue" fixture, not part of any
+    * maintenance operator — so re-materializing them on every run was
+    * pure repeated setup (guide §1: time the computation, not the
+    * fixture). The marker records the source fingerprint + the slice
+    * layout; any change to either re-stages. Every run still REPLAYS the
+    * full stream through its own fresh checkpoint — only the queue-file
+    * construction is prepaid, exactly like the ensureIndexTable ingest
+    * state. */
+  private def stagingCurrent(s: SparkSession, srcDir: java.nio.file.Path,
+      srcPath: String, layout: String): Boolean = {
+    val fp = graft.io.Lake.sourceFingerprint(s, srcPath) + "\n" + layout
+    graft.io.Lake.fingerprintCurrent(s, s"$srcDir/_staged_fp", fp)
+  }
+  private def markStaged(s: SparkSession, srcDir: java.nio.file.Path,
+      srcPath: String, layout: String): Unit =
+    graft.io.Lake.writeFingerprint(s, s"$srcDir/_staged_fp",
+      graft.io.Lake.sourceFingerprint(s, srcPath) + "\n" + layout)
+
   def stagedEventStreamSplit(s: SparkSession, dir: String, name: String,
       nFiles: Int): DataFrame = {
     val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    val srcPath = s"$dir/events.parquet"
+    if (stagingCurrent(s, srcDir, srcPath, s"events|event_id|$nFiles")) {
+      val rawSchema = s.read.parquet(srcPath).schema
+      return normalizeTs(s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
     java.nio.file.Files.createDirectories(srcDir)
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -116,6 +142,7 @@ object Queries {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
+    markStaged(s, srcDir, srcPath, s"events|event_id|$nFiles")
     normalizeTs(s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
   }
@@ -130,6 +157,12 @@ object Queries {
   def stagedTableStreamSplitBy(s: SparkSession, dir: String, name: String,
       tbl: String, keyCol: String, nFiles: Int): DataFrame = {
     val srcDir = java.nio.file.Paths.get(s"$scratchRoot/$name-src")
+    val srcPath = s"$dir/$tbl.parquet"
+    if (stagingCurrent(s, srcDir, srcPath, s"$tbl|$keyCol|$nFiles")) {
+      val rawSchema = s.read.parquet(srcPath).schema
+      return s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
     java.nio.file.Files.createDirectories(srcDir)
     val raw = s.read.parquet(s"$dir/$tbl.parquet")
@@ -155,6 +188,7 @@ object Queries {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
+    markStaged(s, srcDir, srcPath, s"$tbl|$keyCol|$nFiles")
     s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
   }

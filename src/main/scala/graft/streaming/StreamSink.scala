@@ -415,13 +415,28 @@ object StreamSink {
     graft.io.Landings.readLandings(spark, landPath) match {
       case Some(l) =>
         val target = if (into.isEmpty) baseTable else into
-        // EAGER pin (load-bearing when target == baseTable): the merge
-        // must materialize before writeBucketed drops the table it reads
-        val merged = spark.table(baseTable).unionByName(l.drop("batch"))
+        // BUCKET-LEVEL fold (guide §6; VERDICT r18 #1): the landings
+        // collapse to per-(part, rec) deltas first (metadata-sized next
+        // to the index), their bucket ids name the touched buckets, and
+        // ONLY those buckets re-merge and republish — every other
+        // bucket's file is reused as-is, so the publish leg costs
+        // O(touched buckets), not O(index). The merged frame enters the
+        // bucket partitioning with ONE exchange (the groupBys below are
+        // keyed on supersets of {part}, so the placement survives them
+        // and each touched bucket lands as one file). The staging-table
+        // materialization inside rewriteBuckets replaces the old eager
+        // localCheckpoint (nothing reads a dropped table anymore).
+        val delta = l.drop("batch").groupBy(col("part"), col("rec"))
+          .agg(sum(col("cooc")).as("cooc")).localCheckpoint()
+        val touched = delta
+          .select(graft.io.Lake.bucketIdColumn(col("part"), buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val merged = graft.io.Lake.readBuckets(spark, baseTable, touched)
+          .unionByName(delta)
+          .repartition(buckets, col("part"))
           .groupBy(col("part"), col("rec")).agg(sum(col("cooc")).as("cooc"))
-          .localCheckpoint()
-        graft.io.Lake.writeBucketed(merged.repartition(buckets, col("part")),
-          target, "part", buckets, Some("part"))
+        graft.io.Lake.rewriteBuckets(spark, baseTable, target, merged,
+          touched, "part", buckets, Some("part"))
         graft.io.Landings.retireLandings(spark, landPath)
         true
       case None => false

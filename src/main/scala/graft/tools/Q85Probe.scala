@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
 object Q85Probe {
   def main(args: Array[String]): Unit = {
     val sfIdx = args.indexOf("--sf")
+    if (sfIdx >= 0 && sfIdx + 1 >= args.length) {
+      System.err.println("Q85Probe: --sf needs a directory")
+      sys.exit(2)
+    }
     val dir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
