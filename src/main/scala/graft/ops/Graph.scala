@@ -178,10 +178,24 @@ object Graph {
     * (ReusedExchange) within the one materialization job. */
   private def edgeRelation(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).dropDuplicates("src", "dst")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // ONE exchange for dedup + degree + node set (r19, VERDICT r18 #4 —
+    // the r18 shape paid a SECOND 2|E| exchange for the node-set
+    // distinct): edge rows route by src and a narrow dst-endpoint MARKER
+    // row routes by dst through the same hash(k) exchange, so the
+    // (k, dst, m) dedup, the per-src degree, the node distinct (every
+    // endpoint appears as a k — srcs via their edge rows, dsts via their
+    // markers), and the degree join all satisfy their distributions on
+    // that single exchange (AliasAware partitioning propagation keeps it
+    // through the renames).
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val dstType = raw.schema("dst").dataType
+    val tagged = raw.select(col("src").as("k"), col("dst"), lit(false).as("m"))
+      .unionAll(raw.select(col("dst").as("k"),
+        lit(null).cast(dstType).as("dst"), lit(true).as("m")))
+    val dedup = tagged.repartition(col("k")).dropDuplicates("k", "dst", "m")
+    val e = dedup.filter(!col("m"))
+      .select(col("k").as("src"), col("dst"))
+    val nodes = dedup.select(col("k").as("node")).distinct()
     e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(Long.MaxValue).as("d")))

@@ -376,6 +376,17 @@ object Similarity {
     val xs = graft.ops.Clustering.quantized(emb).persist()
     val ints = graft.ops.Clustering.lloydCentroidInts(xs, nCells, rounds)
     xs.unpersist()
+    ivfRecallAtKFromCentroidInts(emb, ints, queryPred, k, nProbe)
+  }
+
+  /** The serve half of [[ivfRecallAtKLloyd]] over an ALREADY-TRAINED
+    * integer centroid table (r19 — VERDICT r18 #5): callers that cache
+    * the Lloyd fixed point as first-touch ingest state
+    * ([[graft.ops.Clustering.writeCentroidInts]] under a source
+    * fingerprint) serve the identical recall rows without re-running the
+    * training rounds' collect barriers on every call. */
+  def ivfRecallAtKFromCentroidInts(emb: DataFrame, ints: Array[Array[Long]],
+      queryPred: Column, k: Int, nProbe: Int = 2): DataFrame = {
     val cents = ints.zipWithIndex.map { case (c, i) =>
       val arr = c.map(_.toDouble / 1e6)
       var acc = 0.0

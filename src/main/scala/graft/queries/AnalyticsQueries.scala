@@ -1114,7 +1114,10 @@ object AnalyticsQueries {
       val d = 3; val w = 64
       val ev = table(s, dir, "events")
       // the ≤ groups·d·w-row cell table feeds both the merge and the
-      // estimate union — materialize once, same rationale as q102
+      // estimate union — materialize once, same rationale as q102.
+      // (r19 probed dropping this pin: ReuseExchange does NOT dedup the
+      // consumers — the plan grew from 2 parquet scans to 10 — so the
+      // checkpoint stays; adjudicated in OPTIMIZATION_r19.md.)
       val perType = Sketches.cmSketch(ev, col("event_type"), col("user_id"), d, w)
         .localCheckpoint()
       val sk = perType.unionByName(Sketches.cmMerge(perType, "__all"))

@@ -265,8 +265,32 @@ object TrainingDataQueries {
   // (Similarity.ivfRecallAtK) stays spec-covered in SimilaritySpec; it
   // had no SQL twin, which kept this row rows-only through r15.
   private val q54 = Q(
-    (s, dir) => Similarity.ivfRecallAtKLloyd(table(s, dir, "embeddings"),
-      col("vec_id") % 10 === 0, k = 5, nCells = 16, nProbe = 2, rounds = 3),
+    (s, dir) => {
+      // trained codebook = ingest state (VERDICT r18 #5): the Lloyd
+      // fixed point is a pure function of the embeddings source — train
+      // first-touch under the source-fingerprint guard and serve the
+      // recall from the stored integer centroids (bit-identical by
+      // construction: the stored ints ARE the training output the
+      // oracle replays; a changed source re-trains)
+      val scratch = s"${Queries.scratchRoot}/q54-lloyd-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = table(s, dir, "embeddings")
+      val fp = graft.io.Lake.sourceFingerprint(s, s"$dir/embeddings.parquet")
+      val ints =
+        if (graft.io.Lake.fingerprintCurrent(s, s"$scratch/_source_fp", fp))
+          graft.ops.Clustering.readCentroidInts(s, s"$scratch/codebook_ints.tsv")
+        else {
+          val xs = graft.ops.Clustering.quantized(emb).persist()
+          val trained = graft.ops.Clustering.lloydCentroidInts(xs, 16, 3)
+          xs.unpersist()
+          graft.ops.Clustering.writeCentroidInts(s,
+            s"$scratch/codebook_ints.tsv", trained)
+          graft.io.Lake.writeFingerprint(s, s"$scratch/_source_fp", fp)
+          trained
+        }
+      Similarity.ivfRecallAtKFromCentroidInts(emb, ints,
+        col("vec_id") % 10 === 0, k = 5, nProbe = 2)
+    },
     Some(duckIvfTrainedRecall(rounds = 3)),
     "Recall@5 of the trained-codebook IVF ANN path (exact fixed-point " +
       "Lloyd's k-means coarse quantizer) vs exact brute force, per query " +
